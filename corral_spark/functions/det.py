@@ -1,0 +1,48 @@
+"""Deterministic cross-engine aggregate helpers.
+
+Problem: SUM/AVG over doubles accumulate in engine- and order-
+dependent ways; ``round(x, n)`` then flips at boundaries (observed:
+DuckDB avg 217870.85125 -> .8513 vs Spark .8512). The driver's gate
+hash-compares values, so outputs must be BIT-identical.
+
+Solution: the testdata money/rate columns carry exactly 2 decimal
+places (verified in tests), so we cast to DECIMAL before aggregating —
+integer-exact arithmetic in both engines — and cast the final result
+to DOUBLE (one IEEE rounding of the same exact value on both sides).
+AVG is expressed as CAST(SUM(dec) AS DOUBLE) / COUNT so both engines
+perform the identical single division.
+
+The mirrored DuckDB SQL shapes live in the oracle strings next to each
+query; keep them in sync with these helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Per-column precision 12 keeps 3-factor decimal products within both
+#: engines' 38-digit cap (12,2 x 13,2 x 13,2). SUM internally widens to
+#: decimal(38,s) in both engines, so 100 TB-scale sums stay exact.
+_PREC = 12
+
+
+def dec(col: Column | str, scale: int = 2) -> Column:
+    """Cast a (2-decimal) double column to exact decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({_PREC},{scale})")
+
+
+def dsum(col: Column | str, scale: int = 2) -> Column:
+    """Exact decimal SUM, surfaced as double."""
+    return F.sum(dec(col, scale)).cast("double")
+
+
+def dsum_expr(expr: Column) -> Column:
+    """Exact SUM of an already-decimal expression, surfaced as double."""
+    return F.sum(expr).cast("double")
+
+
+def davg(col: Column | str, scale: int = 2) -> Column:
+    """Exact-sum average: CAST(SUM(dec) AS DOUBLE)/COUNT(*)."""
+    return F.sum(dec(col, scale)).cast("double") / F.count(F.lit(1))

@@ -1,0 +1,14 @@
+"""Declared query registry — every operator from SURVEY.md §2 appears
+here as a named (Spark DataFrame fn, DuckDB oracle SQL) pair.
+
+Importing this package populates ``REGISTRY`` via module side effects.
+"""
+
+from corral_spark.queries.registry import REGISTRY, Query, register
+
+# Import for side effect: each module registers its queries.
+from corral_spark.queries import relational as _relational  # noqa: E402,F401
+from corral_spark.queries import extensions as _extensions  # noqa: E402,F401
+from corral_spark.queries import streaming_q as _streaming  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "Query", "register"]

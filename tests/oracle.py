@@ -1,0 +1,78 @@
+"""Local replica of the driver's correctness gate: run the Spark query
+and the DuckDB oracle SQL side-by-side, canonicalize (sort columns by
+name, sort rows), and compare values.
+
+Floats are compared exactly first — an exact match predicts the
+driver's value-hash will match — with a tolerance fallback that fails
+loudly but distinguishes 'ulp jitter' from 'wrong answer'.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from corral_spark.sources.tables import TABLES, table_path
+
+
+def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # Stringify for a stable multiset compare (mirrors a value-hash).
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> list[str]:
+    """Return list of discrepancy strings; empty == exact match."""
+    problems: list[str] = []
+    if len(spark_pdf) != len(oracle_pdf):
+        return [f"{name}: row count {len(spark_pdf)} != oracle {len(oracle_pdf)}"]
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if s_cols != o_cols:
+        return [f"{name}: columns {s_cols} != oracle {o_cols}"]
+    s = canonicalize(spark_pdf)
+    o = canonicalize(oracle_pdf)
+    for col in s.columns:
+        sv, ov = s[col].tolist(), o[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            if a is None and b is None:
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                if a != b:
+                    kind = (
+                        "FLOAT-JITTER"
+                        if b and abs(a - b) / max(abs(a), abs(b)) < 1e-9
+                        else "VALUE"
+                    )
+                    problems.append(f"{name}.{col}[{i}]: {kind} {a!r} != {b!r}")
+                    if len(problems) > 5:
+                        return problems
+            elif a != b:
+                problems.append(f"{name}.{col}[{i}]: VALUE {a!r} != {b!r}")
+                if len(problems) > 5:
+                    return problems
+    return problems
+
+
+def run_gate(spark, sf_dir: str, name: str, spark_fn, oracle: str) -> list[str]:
+    spark_pdf = spark_fn(spark, sf_dir).toPandas()
+    con = oracle_connection(sf_dir)
+    try:
+        oracle_pdf = con.execute(oracle).fetchdf()
+    finally:
+        con.close()
+    return compare(spark_pdf, oracle_pdf, name)
