@@ -1,0 +1,311 @@
+"""Deduplication operators for large-scale text corpora.
+
+North-star extension (SURVEY §2.4); no reference analog — the
+reference's closest primitive is groupByKey (reference job.go:104-153),
+which exact dedup composes.
+
+Scale design notes (100 TB posture):
+
+* Exact dedup is ONE shuffle on the dedup key (hash of the content,
+  not the content itself, so the shuffle carries 8-byte keys).
+* MinHash/LSH near-dup never compares all pairs: shingle -> k seeded
+  min-hashes -> band keys -> candidates are rows sharing a band key
+  (one shuffle per self-join side on an 8-byte band key). Verification
+  runs only on candidates.
+* SimHash pairs uses the pigeonhole banding trick: hamming(a,b) <= 3
+  implies one of 4 16-bit bands is identical, so candidates come from
+  4 equi-joins on short keys, never a cross join.
+* Everything is built-in expressions (xxhash64, explode, groupBy) —
+  no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from corral_spark.functions.text import tokenize
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row per key: the one with the smallest id.
+
+    Deterministic alternative to ``dropDuplicates`` (which keeps an
+    arbitrary row). One hash-shuffle on the key; min-id rule makes the
+    result reproducible run-to-run — required for the hash gate and
+    good hygiene in training-data pipelines (stable winners across
+    re-runs).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def content_key(col: Column) -> Column:
+    """64-bit content hash for shuffling dedup keys instead of payloads."""
+    return F.xxhash64(col)
+
+
+# ---------------------------------------------------------------------------
+# Shingles
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct word n-gram shingles of the tokenized text.
+
+    Implemented with JVM-side higher-order functions: tokenize, then
+    for each start offset build the joined n-gram via slice().
+    Documents shorter than n words contribute their full token join
+    (one shingle), so no document is silently dropped.
+    """
+    toks = tokenize(text)
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n_sh)
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram / token Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard similarity for all pairs sharing >= 1
+    token, via an inverted index (token -> doc) self-join — never a
+    document cross join. At 100 TB the index join is the scalable
+    skeleton; drop high-document-frequency tokens (stopword ceiling)
+    to bound the per-token fan-out before enabling on a full corpus.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    words = F.array_distinct(
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    )
+    tok = df.select(F.col(id_col).alias("id"), F.explode(words).alias("token"))
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+
+    a = tok.select(F.col("id").alias("id_a"), "token")
+    b = tok.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        a.join(b, on="token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    )
+    return (
+        inter.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 64,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Per-document MinHash signature: array of ``n_hashes`` minima of
+    seeded xxhash64 over word shingles.
+
+    All hashes are computed per shingle with transform() and reduced
+    with array_min — no explode, no shuffle; the only shuffle in the
+    LSH pipeline is the band-key self-join downstream.
+    Output: (id_col, sig: array<bigint>, n_shingles: int).
+    """
+    sh = word_shingles(F.col(text_col), shingle_n)
+    sigs = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("__sh"), lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return (
+        df.select(F.col(id_col), sh.alias("__sh"))
+        .select(
+            id_col,
+            sigs.alias("sig"),
+            F.size("__sh").alias("n_shingles"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from banded MinHash signatures,
+    scored by the signature-agreement estimate of Jaccard similarity.
+
+    bands * rows_per_band must equal len(sig). A pair is a candidate
+    iff it agrees on at least one full band (standard LSH S-curve);
+    candidates are then scored exactly on their signatures and
+    filtered at ``threshold``. Shuffles: one groupBy on (band, key)
+    per side — never all-pairs.
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    n_hashes_col = F.size("sig")
+    rows_per_band = F.floor(n_hashes_col / F.lit(bands))
+
+    band_key = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("key"),
+            ),
+        )
+    )
+    banded = sig_df.select(F.col(id_col).alias("id"), F.col("sig"), band_key.alias("bk"))
+
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "bk"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "bk"
+    )
+    cand = (
+        left.join(right, on="bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    est = agree.cast("double") / F.size("sig_a").cast("double")
+    return (
+        cand.select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over tokens: bit b of the result is 1 iff the
+    count of token-hashes with bit b set exceeds half the tokens.
+
+    Expressed as one aggregate over the token array per row (no
+    explode): for each bit, count tokens whose xxhash64 has that bit.
+    Output: (id_col, simhash: bigint, n_tokens: int).
+    """
+    toks = tokenize(F.col(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_count(b: int) -> Column:
+        return F.size(
+            F.filter(
+                F.col("__h"), lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+            )
+        )
+
+    half = F.size("__h").cast("double") / 2.0
+    sim = None
+    for b in range(64):
+        bit = F.when(bit_count(b) > half, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+
+    return df.select(F.col(id_col), hashes.alias("__h")).select(
+        id_col,
+        sim.alias("simhash"),
+        F.size("__h").alias("n_tokens"),
+    )
+
+
+def simhash_pairs(
+    sim_df: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole banding: with 4 disjoint 16-bit bands, any pair within
+    hamming distance 3 matches exactly on >= 1 band, so candidates
+    come from 4 equi-joins on 16-bit band keys — never a cross join.
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    bands = 4
+    width = 16
+    band_key = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("key"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    banded = sim_df.select(
+        F.col(id_col).alias("id"), F.col("simhash"), band_key.alias("bk")
+    )
+    left = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "bk")
+    right = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "bk")
+    cand = (
+        left.join(right, on="bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension (SURVEY §2.4). Two paths:
+
+* ``cosine_topk`` — brute force: broadcast the (small) query set
+  against the corpus, score with JVM-side zip_with/aggregate, take
+  top-k per query with a window. Exact; scales linearly in corpus
+  size and is embarrassingly parallel — the right baseline even at
+  100 TB when the query set is small.
+* ``ivf_topk`` — IVF (inverted-file) approximate path: partition the
+  corpus by nearest centroid (the coarse quantizer), then probe only
+  the ``nprobe`` nearest cells for each query. Corpus scoring cost
+  drops by ~ncells/nprobe. Centroids here are chosen deterministically
+  (first ``ncells`` vectors by id) so results are reproducible without
+  an iterative k-means job; swap in k-means centroids for better
+  recall at real scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from corral_spark.functions.vectors import cosine_sim
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_sim: int | None = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``queries`` must have (query_id, embedding). Self-matches
+    (query_id == corpus id) are excluded. Similarity is computed in
+    double precision; ``round_sim`` quantizes before ranking so that
+    cross-engine ulp noise cannot flip the ranking (ties broken by
+    neighbor id).
+    Output: (query_id, vec_id, sim, rnk).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+        )
+    )
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
+    sim = cosine_sim(F.col("__qv"), F.col("__cv"))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col, sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid (max cosine).
+
+    One broadcast of the centroid set; no corpus shuffle. Output:
+    corpus columns + cell (centroid id).
+    """
+    cen = F.broadcast(
+        centroids.select(
+            F.col("cell_id"), _as_double(F.col(vec_col)).alias("__cenv")
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col), _as_double(F.col(vec_col)).alias("__v")
+    ).crossJoin(cen)
+    sim = cosine_sim(F.col("__v"), F.col("__cenv"))
+    w = Window.partitionBy(id_col).orderBy(F.desc(sim), F.asc("cell_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, F.col("cell_id").alias("cell"))
+    )
+
+
+def deterministic_centroids(
+    corpus: DataFrame,
+    ncells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """First ``ncells`` vectors by id as coarse centroids (reproducible
+    stand-in for k-means; the IVF plumbing is identical either way)."""
+    return (
+        corpus.orderBy(F.asc(id_col))
+        .limit(ncells)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    ncells: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_sim: int | None = 4,
+) -> DataFrame:
+    """Approximate top-k: search only the ``nprobe`` cells nearest to
+    each query. Output: (query_id, vec_id, sim, rnk)."""
+    centroids = deterministic_centroids(corpus, ncells, id_col, vec_col)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    # Which cells does each query probe?
+    cen = F.broadcast(
+        centroids.select("cell_id", _as_double(F.col(vec_col)).alias("__cenv"))
+    )
+    q = queries.select(F.col("query_id"), _as_double(F.col(vec_col)).alias("__qv"))
+    qsim = cosine_sim(F.col("__qv"), F.col("__cenv"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc(qsim), F.asc("cell_id"))
+    probes = (
+        q.crossJoin(cen)
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", F.col("cell_id").alias("cell"), "__qv")
+    )
+
+    # Score queries only against their probed cells.
+    scored = probes.join(assigned, on="cell").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    sim = cosine_sim(F.col("__qv"), _as_double(F.col(vec_col)))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.select("query_id", id_col, sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

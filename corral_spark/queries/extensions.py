@@ -1,4 +1,321 @@
 """North-star extension queries (SURVEY §2.4): dedup, similarity
-search, text analysis, multimodal — filled in as operators land."""
+search, text analysis, multimodal plumbing — each op declared over the
+driver's documents/embeddings tables, with a DuckDB oracle wherever
+the semantics are SQL-expressible (hash-based ops are rows-only: the
+hash functions are Spark-side).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corral_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash64,
+    simhash_pairs,
+)
+from corral_spark.operators.multimodal import assets_from_documents, extract_features
+from corral_spark.operators.similarity import cosine_topk, ivf_topk
+from corral_spark.operators.textanalysis import (
+    LANG_MARKERS,
+    doc_fingerprint,
+    lang_id,
+    text_stats,
+    token_count_bpe,
+)
+from corral_spark.queries.registry import register
+from corral_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
+               ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    headline=True,
+    tags=("dedup", "extension"),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a normalized content key (first 10 words), keep
+    the smallest doc_id per key. The generated corpus has no full-text
+    duplicates but does share prefixes, so the operator is exercised
+    for real. One shuffle on the key; deterministic winner."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "__key", F.array_join(F.slice(F.split("text", " "), 1, 10), " ")
+    )
+    return (
+        dedup_exact(docs, ["__key"], "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "jaccard_pairs_docs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS token
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "similarity", "extension"),
+)
+def jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard >= 0.5 pairs via inverted-index join
+    (operators.dedup.jaccard_pairs) — the exact-scoring backbone that
+    MinHash approximates."""
+    return (
+        jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", threshold=0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "minhash_pairs_docs",
+    headline=True,
+    tags=("dedup", "lsh", "extension"),  # rows-only: xxhash64 is Spark-side
+)
+def minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 hashes) + LSH(16 bands) candidate pairs with
+    signature-estimated Jaccard >= 0.5 over 5-word shingles. Rows-only
+    gate (seeded xxhash64 signatures have no DuckDB twin); pytest
+    cross-checks recall against exact Jaccard pairs."""
+    sigs = minhash_signatures(
+        _docs(spark, sf_dir), "text", "doc_id", n_hashes=64, shingle_n=5
+    )
+    return (
+        minhash_lsh_pairs(sigs, "doc_id", bands=16, threshold=0.5)
+        .select(
+            "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "simhash_pairs_docs",
+    tags=("dedup", "extension"),  # rows-only
+)
+def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming <= 3 via 4x16-bit pigeonhole
+    banding (operators.dedup.simhash_pairs). Rows-only gate."""
+    sims = simhash64(_docs(spark, sf_dir), "text", "doc_id")
+    return simhash_pairs(sims, "doc_id", max_hamming=3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, sim, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """,
+    headline=True,
+    tags=("similarity", "extension"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors against the
+    corpus: broadcast queries, JVM-side zip_with/aggregate dot
+    products, per-query window top-k. Similarity quantized to 4dp so
+    rank order is engine-stable."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=10).orderBy("query_id", "rnk")
+
+
+@register(
+    "ann_ivf_topk",
+    tags=("similarity", "extension"),  # rows-only: approximate path
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (16 cells, probe 4) for the same 5
+    queries — the scale path: scoring cost drops ~4x vs brute force.
+    Rows-only gate; pytest checks recall against ann_cosine_topk."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, ncells=16, nprobe=4, k=10).orderBy(
+        "query_id", "rnk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_EN_STOP_SQL = _sql_list(LANG_MARKERS["en"])
+
+
+@register(
+    "text_stats_docs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           len(words) AS n_words,
+           len(list_distinct(words)) AS n_distinct_words,
+           CAST(list_reduce(list_transform(words, x -> length(x)), (a, b) -> a + b) AS DOUBLE)
+             / len(words) AS avg_word_len,
+           CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio,
+           CAST(len(list_intersect(words, {_EN_STOP_SQL})) AS DOUBLE)
+             / len(list_distinct(words)) AS stopword_ratio
+    FROM w
+    ORDER BY doc_id
+    """,
+    tags=("text", "extension"),
+)
+def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics (operators.textanalysis.
+    text_stats): counts and IEEE-stable ratios for filtering a
+    training corpus by quality."""
+    return text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _lang_id_oracle() -> str:
+    score = {
+        lang: f"len(list_intersect(wd, {_sql_list(m)}))"
+        for lang, m in sorted(LANG_MARKERS.items())
+    }
+    greatest = "greatest(" + ", ".join(score.values()) + ")"
+    case = " ".join(
+        f"WHEN {score[lang]} = __best THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS wd
+      FROM documents
+    ),
+    s AS (SELECT doc_id, wd, {greatest} AS __best FROM w)
+    SELECT doc_id, CASE {case} END AS pred_lang, __best AS marker_hits
+    FROM s
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "lang_id_docs",
+    oracle=_lang_id_oracle(),
+    tags=("text", "extension"),
+)
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (operators.textanalysis.lang_id):
+    distinct-marker hit count per language, argmax with code-order tie
+    break."""
+    return lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "token_count_docs",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "extension"),
+)
+def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (operators.textanalysis.token_count_bpe):
+    whitespace words + BPE-ish regex tokens for LLM budget
+    estimation."""
+    return token_count_bpe(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprint_docs",
+    tags=("text", "extension"),  # rows-only: xxhash64 fingerprints
+)
+def doc_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-hash document fingerprints (min/max/xor-fold of
+    xxhash64 over 5-word shingles). Rows-only gate; determinism is
+    pinned by a pytest golden."""
+    return doc_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    tags=("multimodal", "extension"),  # rows-only: mapInPandas pipeline
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset pipeline: documents -> binary payload column ->
+    Arrow-batched mapInPandas feature extraction (decode stubbed with
+    a deterministic fake; see operators.multimodal). Exercises the
+    real schema/batch plumbing a media pipeline needs."""
+    assets = assets_from_documents(_docs(spark, sf_dir))
+    return extract_features(assets).orderBy("asset_id")

@@ -1,0 +1,163 @@
+"""Operator-level tests for the extension ops: semantics that the
+rows-only driver gate can't see (recall vs exact methods, determinism,
+duplicate handling on synthetic fixtures)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from corral_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash64,
+    simhash_pairs,
+)
+from corral_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    assets_from_documents,
+    decode_real,
+    extract_features,
+)
+from corral_spark.operators.similarity import cosine_topk, ivf_topk
+from corral_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_dedup_exact_keeps_min_id_on_synthetic_dups(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=3, text="a b c"),
+            Row(doc_id=1, text="a b c"),
+            Row(doc_id=2, text="x y z"),
+            Row(doc_id=9, text="a b c"),
+        ]
+    )
+    out = dedup_exact(df, ["text"], "doc_id").collect()
+    kept = sorted(r.doc_id for r in out)
+    assert kept == [1, 2]
+
+
+def test_minhash_recall_vs_exact_shingle_jaccard(spark, docs):
+    """MinHash estimates SHINGLE-set Jaccard, so compare against the
+    exact shingle Jaccard (not token Jaccard — the corpus shares one
+    small vocabulary, making token Jaccard ~1 for most pairs). Every
+    exact pair >=0.5 must be recalled by LSH at threshold 0.4."""
+    from corral_spark.operators.dedup import word_shingles
+
+    n = 3
+    tok = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_shingles(F.col("text"), n)).alias("token"),
+    )
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("cnt"))
+    a = tok.select(F.col("id").alias("id_a"), "token")
+    b = tok.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("cnt").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("cnt").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    sigs = minhash_signatures(docs, "text", "doc_id", n_hashes=64, shingle_n=n)
+    approx = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(sigs, "doc_id", bands=16, threshold=0.4).collect()
+    }
+    assert exact, "fixture should contain shingle-similar pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall} over {len(exact)} pairs"
+
+
+def test_minhash_identical_docs_full_agreement(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=3, text="completely different words appear in this one here"),
+        ]
+    )
+    sigs = minhash_signatures(df, "text", "doc_id", n_hashes=32, shingle_n=3)
+    pairs = minhash_lsh_pairs(sigs, "doc_id", bands=8, threshold=0.9).collect()
+    assert [(p.id_a, p.id_b, p.est_jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark query engine shuffles data across the cluster"),
+            Row(doc_id=2, text="spark query engine shuffles data across the cluster"),
+        ]
+    )
+    sims = simhash64(df, "text", "doc_id")
+    pairs = simhash_pairs(sims, "doc_id", max_hamming=3).collect()
+    assert len(pairs) == 1 and pairs[0].hamming == 0
+
+
+def test_fingerprint_deterministic_across_runs(spark, docs):
+    from corral_spark.operators.textanalysis import doc_fingerprint
+
+    a = {r.doc_id: (r.fp_min, r.fp_max, r.fp_xor) for r in doc_fingerprint(docs).collect()}
+    b = {r.doc_id: (r.fp_min, r.fp_max, r.fp_xor) for r in doc_fingerprint(docs).collect()}
+    assert a == b and len(a) == docs.count()
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = ivf_topk(emb, queries, ncells=16, nprobe=4, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # IVF with deterministic (non-kmeans) centroids and nprobe=4/16:
+    # macro recall should be well above random cell coverage (25%).
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_multimodal_schema_and_determinism(spark, docs):
+    feats = extract_features(assets_from_documents(docs))
+    assert feats.schema == FEATURE_SCHEMA
+    rows = feats.orderBy("asset_id").limit(5).collect()
+    again = feats.orderBy("asset_id").limit(5).collect()
+    assert rows == again
+    assert all(64 <= r.width < 256 and 64 <= r.height < 256 for r in rows)
+    assert all(len(r.sha256) == 64 for r in rows)
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_real(b"bytes", "image/png")
