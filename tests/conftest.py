@@ -15,6 +15,14 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    import os
+
+    # Workers unpickle classes defined in test modules (the MapReduce
+    # facade ships user classes to executors) — they need repo + tests
+    # on their import path.
+    os.environ["PYTHONPATH"] = (
+        f"{REPO_ROOT}:{REPO_ROOT / 'tests'}:" + os.environ.get("PYTHONPATH", "")
+    )
     from corral_spark.session import build_session
 
     spark = build_session(
