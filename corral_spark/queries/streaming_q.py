@@ -1,4 +1,112 @@
 """Streaming-analytics queries over ``events`` in deterministic batch
-form (the streaming module runs the same logic via readStream)."""
+form. The identical builder functions run under Structured Streaming
+(corral_spark.streaming; availableNow equivalence pinned in
+tests/test_streaming.py), so these oracles genuinely gate the
+streaming operators."""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from corral_spark.queries.registry import register
+from corral_spark.sources.tables import load_table
+from corral_spark.streaming.ops import session_agg, sliding_agg, tumbling_agg
+
+_SUM_VALUE_SQL = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "events_tumbling_1h",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_SUM_VALUE_SQL} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    headline=True,
+    tags=("streaming", "window", "extension"),
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation (streaming.ops.
+    tumbling_agg): the Structured Streaming workhorse, here in its
+    batch-equivalent form."""
+    return tumbling_agg(_events(spark, sf_dir), "1 hour").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle=f"""
+    WITH slid AS (
+      SELECT unnest([
+               date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+                 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END,
+               date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+                 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+                 - INTERVAL 30 MINUTE
+             ]) AS window_start,
+             value
+      FROM events
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           {_SUM_VALUE_SQL} AS sum_value
+    FROM slid
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+    tags=("streaming", "window", "extension"),
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30m slide): every event contributes
+    to exactly two windows; the oracle explodes each row into its two
+    window starts (30-minute truncation and the preceding one)."""
+    return sliding_agg(_events(spark, sf_dir), "1 hour", "30 minutes").orderBy(
+        "window_start"
+    )
+
+
+@register(
+    "events_session_30m",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    tagged AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           {_SUM_VALUE_SQL} AS sum_value
+    FROM tagged
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    headline=True,
+    tags=("streaming", "session", "extension"),
+)
+def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap via
+    session_window (streaming.ops.session_agg). The oracle reproduces
+    Spark's merge rule (gap >= 30m starts a new session; session end =
+    last event + gap) with the lag()+cumulative-sum idiom."""
+    return session_agg(_events(spark, sf_dir), "30 minutes").orderBy(
+        "user_id", "session_start"
+    )

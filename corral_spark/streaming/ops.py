@@ -1,0 +1,197 @@
+"""Streaming analytics over the ``events`` table.
+
+Structured Streaming is wholly absent from the reference (SURVEY
+§2.3 — batch MapReduce only); this module is north-star extension
+surface. Every aggregation is a plain DataFrame->DataFrame builder
+that works identically on a batch frame (the correctness-gate path,
+mirrored in DuckDB SQL) and on a ``readStream`` frame (tested via the
+availableNow trigger into a memory sink) — one logic, two runners,
+so the batch oracle genuinely checks the streaming op.
+
+Watermarks bound state at scale: with ``with_watermark`` the state
+store retains only windows newer than max(event_time) - delay; late
+rows beyond that are dropped instead of growing state without bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corral_spark.functions.det import dsum
+from corral_spark.sources.tables import table_path
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _fmt(col) -> F.Column:
+    return F.date_format(col, _TS_FMT)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a streaming source (parquet file source). The nanos
+    timestamp is scanned as long (see sources.tables) and truncated to
+    micros, matching the batch loader exactly."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),  # nanos-as-long
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    # The file stream source wants a directory; select just the events
+    # file out of the shared sf_dir with pathGlobFilter.
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def with_watermark(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    return events.withWatermark("ts", delay)
+
+
+def tumbling_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Per (tumbling window, event_type): count + exact sum(value).
+    Batch mirror: GROUP BY date_trunc + event_type."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            _fmt(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Per sliding window: count + exact sum. With w=1h, s=30m each
+    event lands in exactly 2 windows; the batch oracle mirrors this by
+    exploding each row into its two window starts."""
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            _fmt(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per (user, session) with a 30-minute inactivity gap: session
+    bounds + count + exact sum. session_window merges events closer
+    than ``gap``; session end = last event + gap. The batch oracle
+    reproduces this with the classic lag()/cumulative-sum session id.
+    """
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            _fmt(F.col("w.start")).alias("session_start"),
+            _fmt(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals (event count, value sum) maintained in the
+    state store across micro-batches. This is the escape hatch for
+    operators the built-in windows can't express (the reference's
+    arbitrary-Reducer analog, but incremental and fault-tolerant).
+
+    Output per batch: one row per user seen in that batch with the
+    updated cumulative totals.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    import pandas as pd
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("total_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_events": [n], "total_value": [v]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming frame with the availableNow trigger into a
+    memory sink and return the materialized result — processes all
+    currently-available input then stops (the batch-equivalence
+    harness for streaming ops). Aggregations use ``complete``;
+    applyInPandasWithState requires ``update``."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
