@@ -21,11 +21,16 @@ Scale design notes (100 TB posture):
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
 from pyspark.sql.window import Window
 
-from corral_spark.functions.text import tokenize
+from corral_spark.functions.text import _NON_ALNUM as _NON_ALNUM_RE, tokenize
 
 
 # ---------------------------------------------------------------------------
@@ -61,10 +66,14 @@ def content_key(col: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 5) -> Column:
-    """Distinct word n-gram shingles of the tokenized text.
+    """Distinct word n-gram shingles of the tokenized text — pure
+    JVM-expression form (tokenize + transform/slice/array_join).
 
-    Implemented with JVM-side higher-order functions: tokenize, then
-    for each start offset build the joined n-gram via slice().
+    NOTE: prefer ``word_shingles_arrow`` in operator hot paths. The
+    higher-order functions here are interpreted per element (not
+    codegen'd): measured 15s for 250k shingles at sf0.1 vs 0.8s for
+    the Arrow-batched pandas UDF. This form remains for contexts where
+    a Python runtime is unavailable or the shingle count is small.
     Documents shorter than n words contribute their full token join
     (one shingle), so no document is silently dropped.
     """
@@ -77,6 +86,33 @@ def word_shingles(text: Column, n: int = 5) -> Column:
     return F.array_distinct(grams)
 
 
+def word_shingles_arrow(text: Column, n: int = 5) -> Column:
+    """Distinct word n-gram shingles via an Arrow-batched pandas UDF.
+
+    Same semantics as ``word_shingles`` (reference word-count
+    tokenizer rules, short-doc clamp, distinct shingles, first-
+    occurrence order). UDFs are normally the slow path, but Spark's
+    interpreted higher-order functions lose here by ~18x measured
+    (see word_shingles); string n-gramming is exactly the vectorized-
+    Python sweet spot.
+    """
+    pat = re.compile(_NON_ALNUM_RE)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _shingles(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = pat.sub(" ", t or "").lower().split()
+            if len(words) <= n:
+                out.append([" ".join(words)] if words else [])
+            else:
+                grams = (" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
+                out.append(list(dict.fromkeys(grams)))
+        return pd.Series(out)
+
+    return _shingles(text)
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram / token Jaccard via inverted index
 # ---------------------------------------------------------------------------
@@ -87,18 +123,32 @@ def jaccard_pairs(
     text_col: str,
     id_col: str,
     threshold: float = 0.5,
+    shingle_n: int = 5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard similarity for all pairs sharing >= 1
-    token, via an inverted index (token -> doc) self-join — never a
-    document cross join. At 100 TB the index join is the scalable
-    skeleton; drop high-document-frequency tokens (stopword ceiling)
-    to bound the per-token fan-out before enabling on a full corpus.
+    """Exact n-gram (word-shingle) Jaccard similarity for all pairs
+    sharing >= 1 shingle, via an inverted index (shingle -> doc)
+    self-join — never a document cross join.
+
+    Shingles, not single tokens, are the index key: tokens in a
+    natural corpus follow Zipf (a handful of stopwords hit every
+    document, making the token index join quadratic — observed 200s at
+    sf0.1 vs ~2s with shingles), while n-gram shingles are selective.
+    ``max_df`` additionally drops shingles occurring in more than that
+    many documents — the standard boilerplate-ceiling guard for a full
+    100 TB corpus.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    words = F.array_distinct(
-        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    )
-    tok = df.select(F.col(id_col).alias("id"), F.explode(words).alias("token"))
+    sh = word_shingles_arrow(F.col(text_col), shingle_n)
+    tok = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("token"))
+    if max_df is not None:
+        keep = (
+            tok.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("token")
+        )
+        tok = tok.join(F.broadcast(keep), on="token")
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
 
     a = tok.select(F.col("id").alias("id_a"), "token")
@@ -134,31 +184,41 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_n: int = 5,
 ) -> DataFrame:
-    """Per-document MinHash signature: array of ``n_hashes`` minima of
-    seeded xxhash64 over word shingles.
+    """Per-document MinHash signature via densified one-permutation
+    hashing (OPH): ONE xxhash64 per shingle, bucketed into
+    ``n_hashes`` bins by hash mod n, min per bin; empty bins densified
+    deterministically from the document's global min.
 
-    All hashes are computed per shingle with transform() and reduced
-    with array_min — no explode, no shuffle; the only shuffle in the
-    LSH pipeline is the band-key self-join downstream.
+    OPH needs 1 hash/shingle instead of n (the k-seeded formulation
+    cost 96M interpreted hash evals at sf0.1, ~20s; this runs in ~1s)
+    and lowers to explode + hash-aggregate — whole-stage-codegen'd,
+    partial-aggregated map-side, spill-safe. Identical documents get
+    identical signatures, and bin agreement is an unbiased Jaccard
+    estimate just like classic MinHash.
     Output: (id_col, sig: array<bigint>, n_shingles: int).
     """
-    sh = word_shingles(F.col(text_col), shingle_n)
-    sigs = F.array(
+    sh = word_shingles_arrow(F.col(text_col), shingle_n)
+    ex = df.select(F.col(id_col), F.explode(sh).alias("__s")).select(
+        id_col,
+        F.xxhash64("__s").alias("__h"),
+        F.pmod(F.xxhash64("__s"), F.lit(n_hashes)).alias("__b"),
+    )
+    aggs = [
+        F.min(F.when(F.col("__b") == i, F.col("__h"))).alias(f"__m{i}")
+        for i in range(n_hashes)
+    ]
+    g = ex.groupBy(id_col).agg(
+        *aggs,
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.min("__h").alias("__gmin"),
+    )
+    sig = F.array(
         *[
-            F.array_min(
-                F.transform(F.col("__sh"), lambda s, i=i: F.xxhash64(F.lit(i), s))
-            )
+            F.coalesce(F.col(f"__m{i}"), F.xxhash64(F.lit(i), F.col("__gmin")))
             for i in range(n_hashes)
         ]
     )
-    return (
-        df.select(F.col(id_col), sh.alias("__sh"))
-        .select(
-            id_col,
-            sigs.alias("sig"),
-            F.size("__sh").alias("n_shingles"),
-        )
-    )
+    return g.select(id_col, sig.alias("sig"), "n_shingles")
 
 
 def minhash_lsh_pairs(
@@ -235,37 +295,35 @@ def minhash_lsh_pairs(
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash over tokens: bit b of the result is 1 iff the
-    count of token-hashes with bit b set exceeds half the tokens.
+    """64-bit SimHash over tokens: bit b of the result is 1 iff more
+    than half the (frequency-weighted) token hashes have bit b set.
 
-    Expressed as one aggregate over the token array per row (no
-    explode): for each bit, count tokens whose xxhash64 has that bit.
+    Lowered to explode + one hash-aggregate with 64 codegen'd
+    ``sum((h >> b) & 1)`` expressions — partial-aggregated map-side;
+    the interpreted higher-order-function formulation cost 64 array
+    traversals per row (~8s at sf0.1 vs ~1s here).
     Output: (id_col, simhash: bigint, n_tokens: int).
     """
     toks = tokenize(F.col(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    ex = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
+        id_col, F.xxhash64("__t").alias("__h")
+    )
+    aggs = [
+        F.sum(F.shiftright("__h", b).bitwiseAND(F.lit(1))).alias(f"__c{b}")
+        for b in range(64)
+    ]
+    g = ex.groupBy(id_col).agg(*aggs, F.count(F.lit(1)).alias("n_tokens"))
 
-    def bit_count(b: int) -> Column:
-        return F.size(
-            F.filter(
-                F.col("__h"), lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
-            )
-        )
-
-    half = F.size("__h").cast("double") / 2.0
+    half = F.col("n_tokens").cast("double") / 2.0
     sim = None
     for b in range(64):
-        bit = F.when(bit_count(b) > half, F.lit(1).cast("long")).otherwise(
+        bit = F.when(F.col(f"__c{b}") > half, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         term = F.shiftleft(bit, b)
         sim = term if sim is None else sim.bitwiseXOR(term)
 
-    return df.select(F.col(id_col), hashes.alias("__h")).select(
-        id_col,
-        sim.alias("simhash"),
-        F.size("__h").alias("n_tokens"),
-    )
+    return g.select(id_col, sim.alias("simhash"), F.col("n_tokens"))
 
 
 def simhash_pairs(

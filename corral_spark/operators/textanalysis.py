@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from corral_spark.operators.dedup import word_shingles
+from corral_spark.operators.dedup import word_shingles_arrow
 
 #: Small per-language marker-word lists (top function words). Public
 #: knowledge; intentionally tiny — the operator is the pipeline shape,
@@ -107,7 +107,7 @@ def doc_fingerprint(
     xxhash64 over word shingles. Cheap rolling-hash-style identity for
     change detection and clustering; xxhash64 is Spark-side, so this
     op is checked rows-only (no cross-engine hash parity)."""
-    sh = word_shingles(F.col(text_col), shingle_n)
+    sh = word_shingles_arrow(F.col(text_col), shingle_n)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
     folded = F.aggregate(
         hashes, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)

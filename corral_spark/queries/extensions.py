@@ -83,9 +83,19 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "jaccard_pairs_docs",
     oracle="""
-    WITH tok AS (
-      SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS token
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(
+               regexp_replace(text, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+'),
+               x -> x <> '') AS words
       FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 4, 1) + 1),
+               i -> array_to_string(list_slice(words, i, i + 4), ' ')))) AS token
+      FROM w
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
     inter AS (
@@ -98,17 +108,19 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
     ORDER BY id_a, id_b
     """,
     tags=("dedup", "similarity", "extension"),
 )
 def jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard >= 0.5 pairs via inverted-index join
-    (operators.dedup.jaccard_pairs) — the exact-scoring backbone that
-    MinHash approximates."""
+    """Exact 5-word-shingle Jaccard >= 0.2 pairs via inverted-index
+    join (operators.dedup.jaccard_pairs) — the exact-scoring backbone
+    that MinHash approximates. Shingles (not tokens) keep the index
+    selective: the corpus vocabulary is tiny, so a token index would
+    fan out quadratically."""
     return (
-        jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", threshold=0.5)
+        jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", threshold=0.2)
         .orderBy("id_a", "id_b")
     )
 
