@@ -19,7 +19,11 @@ from corral_spark.operators.dedup import (
     simhash_pairs,
 )
 from corral_spark.operators.multimodal import assets_from_documents, extract_features
-from corral_spark.operators.similarity import cosine_topk, ivf_topk
+from corral_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    ivf_topk,
+)
 from corral_spark.operators.textanalysis import (
     LANG_MARKERS,
     doc_fingerprint,
@@ -214,6 +218,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivf_topk(emb, queries, ncells=16, nprobe=4, k=10).orderBy(
         "query_id", "rnk"
+    )
+
+
+@register(
+    "emb_near_dup_pairs",
+    tags=("similarity", "dedup", "extension"),  # rows-only: LSH path
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.45) via
+    sign-random-projection LSH with exact verification
+    (operators.similarity.cosine_near_dup_pairs). Rows-only gate;
+    pytest checks recall on synthetic near-dup fixtures."""
+    return cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.45).orderBy(
+        "id_a", "id_b"
     )
 
 

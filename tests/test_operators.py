@@ -148,6 +148,28 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_cosine_near_dup_recall_on_synthetic(spark):
+    """Plant 5 near-dup pairs (small perturbations, cosine ~0.99) in
+    100 random vectors; sign-LSH must recall all of them and report
+    the exact cosine."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(100, 64)
+    rows = [(i, base[i].astype(float).tolist()) for i in range(100)]
+    for j in range(5):
+        noisy = base[j] + 0.05 * rng.randn(64)
+        rows.append((1000 + j, noisy.astype(float).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    from corral_spark.operators.similarity import cosine_near_dup_pairs
+
+    pairs = cosine_near_dup_pairs(df, threshold=0.9).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert {(j, 1000 + j) for j in range(5)} <= found
+    assert all(r.cos_sim >= 0.9 for r in pairs)
+
+
 def test_multimodal_schema_and_determinism(spark, docs):
     feats = extract_features(assets_from_documents(docs))
     assert feats.schema == FEATURE_SCHEMA
