@@ -1,0 +1,70 @@
+"""Reproducible sampling operators for training-data pipelines.
+
+Random `df.sample()` is seed-stable only within one engine; these
+operators instead hash a stable row id (md5, available and identical
+in every engine) and compare against a hex threshold — the standard
+content-addressed sampling trick that makes train/test splits
+reproducible across engines, re-runs, and backfills, and lets the
+DuckDB oracle check sampling exactly.
+
+Scale: pure scan-side JVM expressions — no shuffle, no RNG state, no
+driver coordination; a 100 TB sample is one filter pushdown away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex_threshold(fraction: float) -> str:
+    """8-hex-digit threshold such that P(md5_prefix < t) == fraction."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(int(fraction * 0x100000000), "08x")
+
+
+def sample_key(id_col: Column, salt: str) -> Column:
+    """First 8 hex chars of md5(salt || id) — lowercase hex compares
+    lexicographically == numerically, in Spark and in SQL oracles."""
+    return F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by content hash of the id —
+    the same rows every run, on every engine."""
+    return df.filter(sample_key(F.col(id_col), salt + ":") < _hex_threshold(fraction))
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, train_fraction: float = 0.8, salt: str = "split"
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'test') by hashed id."""
+    is_train = sample_key(F.col(id_col), salt + ":") < _hex_threshold(train_fraction)
+    return df.withColumn(
+        "split", F.when(is_train, F.lit("train")).otherwise(F.lit("test"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample common
+    classes, keep rare ones) — ``sampleBy`` with cross-engine
+    reproducibility."""
+    key = sample_key(F.col(id_col), salt + ":")
+    cond = None
+    for value, frac in sorted(fractions.items()):
+        this = (F.col(strata_col) == value) & (key < _hex_threshold(frac))
+        cond = this if cond is None else cond | this
+    others = ~F.col(strata_col).isin(*fractions.keys()) & (
+        key < _hex_threshold(default_fraction)
+    )
+    return df.filter(cond | others if cond is not None else others)

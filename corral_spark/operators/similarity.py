@@ -147,11 +147,16 @@ def ivf_assign(
         F.col(id_col), F.col(vec_col), _as_double(F.col(vec_col)).alias("__v")
     ).crossJoin(cen)
     sim = cosine_sim(F.col("__v"), F.col("__cenv"))
-    w = Window.partitionBy(id_col).orderBy(F.desc(sim), F.asc("cell_id"))
+    # argmax via max_by on a (sim, -cell_id) struct: a partial-aggregating
+    # single pass — a row_number window here would shuffle + sort the
+    # whole corpus by vector id.
+    best = F.max_by(
+        F.col("cell_id"), F.struct(sim.alias("s"), (-F.col("cell_id")).alias("t"))
+    )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, F.col("cell_id").alias("cell"))
+        scored.groupBy(id_col)
+        .agg(F.first(vec_col).alias(vec_col), best.alias("cell"))
+        .select(id_col, vec_col, "cell")
     )
 
 

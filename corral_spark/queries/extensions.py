@@ -334,6 +334,97 @@ def doc_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Reproducible sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_docs_10pct",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "extension"),
+)
+def sample_docs_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by md5 content hash (operators.
+    sampling.deterministic_sample): same rows every run and on every
+    engine — the reproducible alternative to seeded RNG sampling.
+    (0.1 * 2^32 = 0x19999999.)"""
+    from corral_spark.operators.sampling import deterministic_sample
+
+    return (
+        deterministic_sample(_docs(spark, sf_dir), "doc_id", 0.1)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "train_test_split_counts",
+    oracle="""
+    SELECT CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                THEN 'train' ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY split, lang
+    """,
+    tags=("sampling", "extension"),
+)
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 train/test split by hashed doc id (operators.sampling.
+    train_test_split), reported per language — the reproducible-split
+    primitive every training pipeline needs. (0.8 * 2^32 = 0xcccccccc.)"""
+    from corral_spark.operators.sampling import train_test_split
+
+    return (
+        train_test_split(_docs(spark, sf_dir), "doc_id", 0.8)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "stratified_sample_orders",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_sampled
+    FROM orders
+    WHERE (o_orderstatus = 'F' AND substring(md5('strata:' || CAST(o_orderkey AS VARCHAR)), 1, 8) < '33333333')
+       OR (o_orderstatus = 'O' AND substring(md5('strata:' || CAST(o_orderkey AS VARCHAR)), 1, 8) < '19999999')
+       OR (o_orderstatus = 'P' AND substring(md5('strata:' || CAST(o_orderkey AS VARCHAR)), 1, 8) < '80000000')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("sampling", "extension"),
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (operators.sampling.
+    stratified_sample): downsample common order statuses, keep more of
+    the rare 'P' class — class rebalancing with exact reproducibility.
+    (F: 20%, O: 10%, P: 50%.)"""
+    from corral_spark.operators.sampling import stratified_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    sampled = stratified_sample(
+        orders, "o_orderstatus", "o_orderkey", {"F": 0.2, "O": 0.1, "P": 0.5}
+    )
+    return (
+        sampled.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 

@@ -236,6 +236,63 @@ def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_percentiles",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           ntile(4) OVER w AS quartile
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WINDOW w AS (PARTITION BY c_custkey ORDER BY o_totalprice, o_orderkey)
+    ORDER BY c_custkey, o_orderkey
+    """,
+    tags=("window", "stats"),
+)
+def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic ranking functions (percent_rank/cume_dist/ntile) per
+    customer — pure integer-derived ratios, bit-stable across engines
+    (quantized at 6dp for safety)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    tags=("agg", "approx"),  # rows-only: HLL sketches differ per engine
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per return flag — the
+    constant-memory distinct estimator for 100 TB cardinalities.
+    Rows-only gate (sketch values are engine-specific); pytest bounds
+    the estimation error against the exact count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "asof_signup_before_purchase",
     oracle="""
     SELECT p.event_id,

@@ -183,3 +183,32 @@ def test_multimodal_schema_and_determinism(spark, docs):
 def test_multimodal_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_real(b"bytes", "image/png")
+
+
+def test_approx_distinct_within_error_bound(spark):
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    from pyspark.sql import functions as F
+
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r.approx - r.exact) / r.exact < 0.1, (r.l_returnflag, r.approx, r.exact)
+
+
+def test_deterministic_sample_stable_and_sized(spark, docs):
+    from corral_spark.operators.sampling import deterministic_sample
+
+    a = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.3).collect()}
+    b = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.3).collect()}
+    assert a == b
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # ~binomial around 0.3
+    # Nested property: a smaller fraction is a subset of a larger one.
+    c = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
+    assert c <= a
