@@ -114,6 +114,47 @@ def word_shingles_arrow(text: Column, n: int = 5) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Bucket-pair generation (shared by every LSH/banding operator)
+# ---------------------------------------------------------------------------
+
+
+def bucket_pairs(keyed: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """All unordered distinct pairs of rows sharing a bucket key.
+
+    ``keyed`` must have (key_col, id_col, payload...). The upstream
+    lineage (often an expensive UDF/explode pipeline) is materialized
+    ONCE via localCheckpoint, then candidates come from a codegen'd
+    self equi-join on the bucket key. Two formulations were measured
+    at sf0.1: collect_list + in-array pair enumeration loses badly
+    (60-120s vs 6s) once buckets grow past a few dozen members —
+    interpreted per-element pair construction — while the hash join
+    handles large buckets natively; the checkpoint removes the join's
+    double-evaluation of the upstream.
+    Output: (a: struct, b: struct) with a[id_col] < b[id_col],
+    deduplicated across buckets.
+    """
+    payload = F.struct(*[F.col(c) for c in keyed.columns if c != key_col])
+    slim = keyed.select(
+        F.col(key_col).alias("__k"), payload.alias("__p")
+    ).localCheckpoint(eager=True)
+
+    left = slim.select(F.col("__k"), F.col("__p").alias("a"))
+    right = slim.select(F.col("__k"), F.col("__p").alias("b"))
+    return (
+        left.join(right, on="__k")
+        .filter(F.col("a")[id_col] < F.col("b")[id_col])
+        .select(
+            "a",
+            "b",
+            F.col("a")[id_col].alias("__ida"),
+            F.col("b")[id_col].alias("__idb"),
+        )
+        .dropDuplicates(["__ida", "__idb"])
+        .select("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram / token Jaccard via inverted index
 # ---------------------------------------------------------------------------
 
@@ -263,28 +304,20 @@ def minhash_lsh_pairs(
     )
     banded = sig_df.select(F.col(id_col).alias("id"), F.col("sig"), band_key.alias("bk"))
 
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "bk"
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "bk"
-    )
-    cand = (
-        left.join(right, on="bk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-
+    cand = bucket_pairs(banded, "bk", "id")
     agree = F.size(
         F.filter(
-            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
             lambda x: x,
         )
     )
-    est = agree.cast("double") / F.size("sig_a").cast("double")
+    est = agree.cast("double") / F.size(F.col("a.sig")).cast("double")
     return (
-        cand.select("id_a", "id_b", est.alias("est_jaccard"))
+        cand.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
     )
 
@@ -354,16 +387,13 @@ def simhash_pairs(
     banded = sim_df.select(
         F.col(id_col).alias("id"), F.col("simhash"), band_key.alias("bk")
     )
-    left = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "bk")
-    right = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "bk")
-    cand = (
-        left.join(right, on="bk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    cand = bucket_pairs(banded, "bk", "id")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        cand.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
     )

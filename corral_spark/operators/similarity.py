@@ -34,8 +34,8 @@ def _as_double(col):
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.45,
-    bands: int = 16,
-    bits: int = 4,
+    bands: int = 24,
+    bits: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -46,12 +46,15 @@ def cosine_near_dup_pairs(
     candidates are verified with the exact cosine and filtered at
     ``threshold``.
 
-    Collision probability per band is (1 - theta/pi)^bits, so with
-    16 bands x 4 bits a cosine-0.5 pair is recalled with ~97%
-    probability while the corpus never cross-joins. Hyperplanes are
-    a fixed seeded Gaussian matrix, computed in one vectorized numpy
-    matmul per Arrow batch (measured: interpreted per-element HOFs are
-    ~18x slower than the Arrow path for this shape).
+    Parameter discipline matters more than the idea: per-band
+    collision for an UNRELATED pair is 2^-bits, so small keys swamp
+    the verifier (4-bit bands collided on ~64% of all pairs at sf0.1 —
+    effectively a cross join, ~100s; 12-bit bands collide on 0.6%).
+    With 24x12, a cosine-0.9 pair is recalled with ~98% probability
+    (p_band = (1 - theta/pi)^12). Vectors are unit-normalized inside
+    the band UDF's numpy matmul and before verification, so the exact
+    check is a plain dot product. Hyperplanes are a fixed seeded
+    Gaussian matrix.
     Output: (id_a, id_b, cos_sim) with id_a < id_b.
     """
     import numpy as np
@@ -68,25 +71,20 @@ def cosine_near_dup_pairs(
         keys = keys + (np.arange(bands, dtype=np.int64) << 32)
         return pd.Series(list(keys))
 
+    from corral_spark.operators.dedup import bucket_pairs
+
     keyed = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("__v"),
         F.explode(band_keys(F.col(vec_col))).alias("bk"),
     )
-    left = keyed.select(F.col("id").alias("id_a"), F.col("__v").alias("v_a"), "bk")
-    right = keyed.select(F.col("id").alias("id_b"), F.col("__v").alias("v_b"), "bk")
-    cand = (
-        left.join(right, on="bk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "v_a", "v_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = bucket_pairs(keyed, "bk", "id")
     sim = F.round(
-        cosine_sim(_as_double(F.col("v_a")), _as_double(F.col("v_b"))), 6
+        cosine_sim(_as_double(F.col("a.__v")), _as_double(F.col("b.__v"))), 6
     )
-    return cand.select("id_a", "id_b", sim.alias("cos_sim")).filter(
-        F.col("cos_sim") >= threshold
-    )
+    return cand.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
 
 
 def cosine_topk(
