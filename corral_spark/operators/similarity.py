@@ -51,10 +51,10 @@ def cosine_near_dup_pairs(
     the verifier (4-bit bands collided on ~64% of all pairs at sf0.1 —
     effectively a cross join, ~100s; 12-bit bands collide on 0.6%).
     With 24x12, a cosine-0.9 pair is recalled with ~98% probability
-    (p_band = (1 - theta/pi)^12). Vectors are unit-normalized inside
-    the band UDF's numpy matmul and before verification, so the exact
-    check is a plain dot product. Hyperplanes are a fixed seeded
-    Gaussian matrix.
+    (p_band = (1 - theta/pi)^12). Sign projections are scale-
+    invariant, so no pre-normalization pass is needed; the exact
+    verifier computes the full cosine. Hyperplanes are a fixed seeded
+    Gaussian matrix applied as one numpy matmul per Arrow batch.
     Output: (id_a, id_b, cos_sim) with id_a < id_b.
     """
     import numpy as np
