@@ -18,10 +18,18 @@ from pyspark.sql import functions as F
 
 
 def _hex_threshold(fraction: float) -> str:
-    """8-hex-digit threshold such that P(md5_prefix < t) == fraction."""
+    """Threshold such that P(md5_8hex_prefix < t) == fraction.
+
+    fraction >= 1.0 returns "g", which every 8-char hex string sorts
+    below — naive format() would yield the 9-char "100000000", which
+    sorts BELOW most 8-char prefixes and silently sampled ~6% instead
+    of 100% (caught by a hypothesis monotonicity property)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return format(int(fraction * 0x100000000), "08x")
+    scaled = int(fraction * 0x100000000)
+    if scaled >= 0x100000000:
+        return "g"
+    return format(scaled, "08x")
 
 
 def sample_key(id_col: Column, salt: str) -> Column:

@@ -130,6 +130,69 @@ def jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters_docs",
+    oracle="""
+    WITH RECURSIVE
+    w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(
+               regexp_replace(text, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+'),
+               x -> x <> '') AS words
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 4, 1) + 1),
+               i -> array_to_string(list_slice(words, i, i + 4), ' ')))) AS token
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION
+      SELECT id_b AS u, id_a AS v FROM edges
+    ),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.v, r.root FROM reach r JOIN sym s ON s.u = r.node
+    )
+    SELECT node AS doc_id,
+           MIN(root) AS cluster_rep,
+           (MIN(root) = node) AS is_rep
+    FROM reach
+    GROUP BY node
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "graph", "extension"),
+)
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: exact-Jaccard>=0.2 pairs become
+    dedup GROUPS via iterative hash-min connected components
+    (operators.graph); every doc gets its component's min doc_id as
+    canonical representative. The oracle reproduces the fixpoint with
+    a recursive CTE — one of the few iterative algorithms with an
+    exact SQL twin."""
+    from corral_spark.operators.graph import dedup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, "text", "doc_id", threshold=0.2)
+    return dedup_clusters(docs, pairs, "doc_id").orderBy("doc_id")
+
+
+@register(
     "minhash_pairs_docs",
     headline=True,
     tags=("dedup", "lsh", "extension"),  # rows-only: xxhash64 is Spark-side

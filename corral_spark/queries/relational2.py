@@ -236,6 +236,48 @@ def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_nation_revenue",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("join", "skew", "agg"),
+)
+def salted_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation through an explicitly SALTED join
+    (operators.skew.salted_join): the customer->nation key is
+    low-cardinality (25 nations), the canonical hot-key shape. The
+    oracle is the plain join — salting must be invisible in results."""
+    from corral_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    oc = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_nationkey"
+    )
+    joined = salted_join(
+        oc, nation, key="c_nationkey", salt_source="o_orderkey", buckets=8
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
     "order_percentiles",
     oracle="""
     SELECT c_custkey, o_orderkey,

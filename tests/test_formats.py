@@ -1,0 +1,44 @@
+"""File-format coverage (SURVEY §2.3: the reference supports only
+text/TSV/JSON-lines; the engine handles parquet/csv/json/text/orc) —
+write/read round-trips preserving schema and values."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from corral_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip_preserves_rows(spark, tmp_path, fmt):
+    src = load_table(spark, SF, "nation")
+    out = str(tmp_path / f"nation_{fmt}")
+    writer = src.write.mode("overwrite")
+    reader = spark.read
+    if fmt == "csv":
+        writer = writer.option("header", True)
+        reader = reader.option("header", True).option("inferSchema", True)
+    getattr(writer.format(fmt), "save")(out)
+    back = reader.format(fmt).load(out)
+    assert sorted(back.columns) == sorted(src.columns)
+    a = sorted(tuple(r) for r in src.select(*sorted(src.columns)).collect())
+    b = sorted(tuple(r) for r in back.select(*sorted(src.columns)).collect())
+    assert a == b
+
+
+def test_partitioned_parquet_write_prunes(spark, tmp_path):
+    """Hive-partitioned layout: partition column pruning must reach the
+    file listing (the 100 TB layout strategy in docs/SCALE.md)."""
+    orders = load_table(spark, SF, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    orders.write.mode("overwrite").partitionBy("order_year").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("order_year") == 1997)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(order_year" in plan
+    assert back.count() == orders.filter(F.col("order_year") == 1997).count()

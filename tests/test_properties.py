@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the pure-Python pieces and
+engine invariants — a strengthening of the reference's table-driven
+unit-test style (SURVEY §5: the reference has no property tests)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from corral_spark.mapreduce.api import _parse_kv_line, fnv64, fnv64a_partition
+from corral_spark.operators.sampling import _hex_threshold
+
+
+@given(st.text())
+def test_parse_kv_total_and_lossless(line):
+    # Parsing never fails, and (key, value) always reconstruct the line
+    # when a key exists (exactly-one-tab rule, reference job.go:52-63).
+    key, value = _parse_kv_line(line)
+    if key != "" or line.count("\t") == 1:
+        if line.count("\t") == 1:
+            assert f"{key}\t{value}" == line
+    else:
+        assert value == line
+
+
+@given(st.text(), st.integers(min_value=1, max_value=10_000))
+def test_partitioner_in_range(key, bins):
+    assert 0 <= fnv64a_partition(key, bins) < bins
+
+
+@given(st.text())
+def test_fnv64_is_stable_and_64bit(data):
+    h1, h2 = fnv64(data), fnv64(data)
+    assert h1 == h2 and 0 <= h1 < 2**64
+
+
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+def test_hex_threshold_monotone(f):
+    t = _hex_threshold(f)
+    # 8 hex chars, or the "g" sentinel (sorts above every hex prefix)
+    # for fraction 1.0 — found by this property: format() alone gave a
+    # 9-char string that sorted BELOW most prefixes.
+    assert len(t) == 8 or t == "g"
+    assert t <= _hex_threshold(1.0)
+    assert _hex_threshold(0.0) <= t
+
+
+@given(
+    st.lists(st.floats(min_value=0.0, max_value=1.0, allow_nan=False), min_size=2, max_size=2)
+)
+@settings(max_examples=30)
+def test_hex_threshold_order_matches_fraction_order(fs):
+    a, b = sorted(fs)
+    assert _hex_threshold(a) <= _hex_threshold(b)
+
+
+def test_decimal_sum_matches_python_exact(spark):
+    """Engine invariant behind det.py: decimal SUM == exact Python sum
+    over the same 2dp values."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    vals = [round(i * 0.07 + 0.01, 2) for i in range(1, 5000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = df.agg(F.sum(F.col("x").cast("decimal(12,2)")).alias("s")).collect()[0].s
+    expect = sum(Decimal(str(v)) for v in vals)
+    assert got == expect
