@@ -9,6 +9,7 @@ from corral_spark.queries.registry import REGISTRY, Query, register
 # Import for side effect: each module registers its queries.
 from corral_spark.queries import relational as _relational  # noqa: E402,F401
 from corral_spark.queries import relational2 as _relational2  # noqa: E402,F401
+from corral_spark.queries import relational3 as _relational3  # noqa: E402,F401
 from corral_spark.queries import extensions as _extensions  # noqa: E402,F401
 from corral_spark.queries import streaming_q as _streaming  # noqa: E402,F401
 

@@ -23,13 +23,19 @@ def spark():
     os.environ["PYTHONPATH"] = (
         f"{REPO_ROOT}:{REPO_ROOT / 'tests'}:" + os.environ.get("PYTHONPATH", "")
     )
+    import tempfile
+
     from corral_spark.session import build_session
 
+    warehouse = tempfile.mkdtemp(prefix="corral-warehouse-")
     spark = build_session(
         "corral_spark-tests",
         master="local[8]",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.warehouse.dir": warehouse,
+        },
     )
     yield spark
     spark.stop()
