@@ -61,6 +61,20 @@ def test_json_kv_matches_reference_shuffle_format(spark, tmp_path):
     assert [json.loads(line) for line in lines] == [{"key": "k1", "value": "v1"}]
 
 
+def test_observed_metrics_single_pass(spark):
+    """F17 analog: counters computed during the action, no extra scan
+    (functions/metrics.py)."""
+    from corral_spark.functions.metrics import observed_rows_and_nulls
+    from corral_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    df, obs = observed_rows_and_nulls(docs, ["text", "lang"])
+    n = df.count()
+    got = obs.get
+    assert got["rows"] == n == 500
+    assert got["nulls_text"] == 0 and got["nulls_lang"] == 0
+
+
 def test_amplab_csv_native_path(spark, tmp_path):
     """The reference's rankings CSV (pageURL,pageRank,avgDuration —
     amplab1.go:16-26) read with schema + malformed-row skip
