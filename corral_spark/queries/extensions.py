@@ -397,6 +397,130 @@ def doc_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Data quality & text hygiene
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_report",
+    oracle="""
+    SELECT 'lineitem_orphans' AS check_name,
+           (SELECT COUNT(*) FROM lineitem
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_bad
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'duplicate_orderkeys',
+           (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                                  GROUP BY o_orderkey HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'customer_orphans',
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+    ORDER BY check_name
+    """,
+    tags=("quality", "extension"),
+)
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint report across tables: referential integrity (orphan
+    lineitems/orders), null keys, duplicate primary keys — one row per
+    check (operators.quality). The ingestion gate every 100 TB
+    pipeline runs before training."""
+    from corral_spark.operators.quality import duplicate_key_report, orphan_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    checks = [
+        ("lineitem_orphans", orphan_report(li, orders, "l_orderkey", "o_orderkey")),
+        ("orders_null_custkey", orders.filter(F.col("o_custkey").isNull())),
+        ("duplicate_orderkeys", duplicate_key_report(orders, ["o_orderkey"])),
+        ("customer_orphans", orphan_report(orders, customer, "o_custkey", "c_custkey")),
+    ]
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+        for name, df in checks
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("check_name")
+
+
+@register(
+    "normalized_redacted_docs",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g')) AS clean_text,
+           length(text) AS raw_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("quality", "text", "extension"),
+)
+def normalized_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text hygiene: normalize (lowercase, whitespace collapse, trim)
+    then redact PII patterns (operators.quality.redact_pii) — the
+    standard pre-training scrub, at scan speed."""
+    from corral_spark.operators.quality import normalize_text, redact_pii
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        redact_pii(normalize_text(F.col("text"))).alias("clean_text"),
+        F.length("text").alias("raw_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "incremental_dedup_new_docs",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') AS k
+      FROM documents
+    ),
+    existing AS (SELECT * FROM keyed WHERE doc_id < 250),
+    incoming AS (SELECT * FROM keyed WHERE doc_id >= 250)
+    SELECT i.doc_id, (e.k IS NOT NULL) AS dup_of_corpus
+    FROM incoming i
+    LEFT JOIN (SELECT DISTINCT k FROM existing) e ON i.k = e.k
+    ORDER BY i.doc_id
+    """,
+    tags=("dedup", "incremental", "extension"),
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (production) dedup: incoming batch checked against
+    the existing corpus by content key — at 100 TB the corpus side is
+    a bucketed key table and this is one co-located join, never a full
+    re-dedup. Here: docs >= 250 are 'incoming', < 250 are 'corpus'."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "k", F.array_join(F.slice(F.split("text", " "), 1, 10), " ")
+    )
+    existing = docs.filter(F.col("doc_id") < 250).select("k").distinct()
+    incoming = docs.filter(F.col("doc_id") >= 250)
+    return (
+        incoming.join(
+            existing.withColumn("__hit", F.lit(1)), on="k", how="left"
+        )
+        .select(
+            "doc_id", F.col("__hit").isNotNull().alias("dup_of_corpus")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Reproducible sampling
 # ---------------------------------------------------------------------------
 

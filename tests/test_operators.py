@@ -185,6 +185,33 @@ def test_multimodal_real_decode_is_stubbed():
         decode_real(b"bytes", "image/png")
 
 
+def test_redact_pii_on_synthetic(spark):
+    """The corpus has no PII; prove the patterns fire on planted data."""
+    from pyspark.sql import functions as F
+
+    from corral_spark.operators.quality import normalize_text, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "Contact  A.User@Example.COM  now"),
+            (2, "server at 192.168.1.100 down"),
+            (3, "call 555-123-4567 today"),
+            (4, "nothing sensitive here"),
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r.id: r.clean
+        for r in df.select(
+            "id", redact_pii(normalize_text(F.col("text"))).alias("clean")
+        ).collect()
+    }
+    assert out[1] == "contact <EMAIL> now"
+    assert out[2] == "server at <IP> down"
+    assert out[3] == "call <PHONE> today"
+    assert out[4] == "nothing sensitive here"
+
+
 def test_approx_distinct_within_error_bound(spark):
     li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
     from pyspark.sql import functions as F
