@@ -181,7 +181,10 @@ def jaccard_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     sh = word_shingles_arrow(F.col(text_col), shingle_n)
+    # The shingle UDF lineage is referenced three times below (sizes +
+    # both self-join sides); checkpoint so it evaluates once.
     tok = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("token"))
+    tok = tok.localCheckpoint(eager=True)
     if max_df is not None:
         keep = (
             tok.groupBy("token")

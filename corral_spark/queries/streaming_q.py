@@ -75,6 +75,43 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_props_map",
+    oracle="""
+    SELECT k AS prop_key,
+           COUNT(*) AS n,
+           SUM(CAST(v AS BIGINT)) AS sum_v
+    FROM (
+      SELECT unnest(json_keys(props)) AS k,
+             json_extract_string(props, '$.' || unnest(json_keys(props))) AS v
+      FROM events
+    )
+    GROUP BY k
+    ORDER BY prop_key
+    """,
+    tags=("json", "map", "extension"),
+)
+def event_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props JSON decoded to a real map<string,string> column and
+    exploded — the typed-map form of what the reference does by
+    JSON-in-string-values (reference amplab3.go:70-73). At scale the
+    map parse happens once per row in the scan projection."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType, StringType
+
+    events = _events(spark, sf_dir)
+    m = F.from_json("props", MapType(StringType(), StringType()))
+    return (
+        events.select(F.explode(m).alias("prop_key", "v"))
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("bigint")).alias("sum_v"),
+        )
+        .orderBy("prop_key")
+    )
+
+
+@register(
     "events_session_30m",
     oracle=f"""
     WITH seq AS (

@@ -29,6 +29,26 @@ def test_roundtrip_preserves_rows(spark, tmp_path, fmt):
     assert a == b
 
 
+def test_write_compacted_bounds_file_count(spark, tmp_path):
+    import os
+
+    from corral_spark.sources.layout import plan_target_files, write_compacted
+
+    li = load_table(spark, SF, "lineitem")  # 6000 rows
+    n = li.count()
+    out = str(tmp_path / "compact")
+    write_compacted(
+        li,
+        out,
+        max_records_per_file=1000,
+        target_files=plan_target_files(n, 1000),
+    )
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    # 6000 rows / 1000 per file -> 6 files from coalesce(6)
+    assert len(files) == 6
+    assert spark.read.parquet(out).count() == n
+
+
 def test_partitioned_parquet_write_prunes(spark, tmp_path):
     """Hive-partitioned layout: partition column pruning must reach the
     file listing (the 100 TB layout strategy in docs/SCALE.md)."""
