@@ -1,0 +1,84 @@
+"""End-to-end pretraining corpus preparation — the capstone pipeline
+composing the engine's operator families (SURVEY §2.4) the way a real
+100 TB data-prep job does:
+
+    normalize + redact -> quality filter -> exact dedup
+    -> near-dedup (MinHash LSH -> connected components, keep reps)
+    -> reproducible train/test split
+
+Every stage is DataFrame-in/DataFrame-out, so Catalyst fuses the
+scan-side stages (normalize/redact/quality filter run in ONE pass over
+the input) and the only shuffles are the dedup key shuffle, the LSH
+band join, and the tiny component propagation. Stage row counts are
+collected from lightweight aggregates for the run report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from corral_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+from corral_spark.operators.graph import connected_components
+from corral_spark.operators.quality import normalize_text, redact_pii
+from corral_spark.operators.sampling import train_test_split
+
+
+def prepare_pretraining_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    min_distinct_ratio: float = 0.3,
+    near_dup_threshold: float = 0.5,
+    train_fraction: float = 0.9,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Returns (corpus, report): the cleaned/deduped/split corpus with
+    columns (id_col, clean_text, n_words, split), plus per-stage
+    surviving-row counts."""
+    report: dict[str, int] = {"input": docs.count()}
+
+    # 1. Scan-side hygiene: normalize, redact, quality-score — fused
+    #    into one projection+filter over the source scan.
+    clean = docs.select(
+        F.col(id_col),
+        redact_pii(normalize_text(F.col(text_col))).alias("clean_text"),
+    )
+    words = F.filter(F.split("clean_text", " "), lambda w: w != "")
+    scored = clean.select(
+        id_col,
+        "clean_text",
+        F.size(words).alias("n_words"),
+        (F.size(F.array_distinct(words)) / F.size(words)).alias("distinct_ratio"),
+    )
+    filtered = scored.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+    ).drop("distinct_ratio")
+    report["after_quality_filter"] = filtered.count()
+
+    # 2. Exact dedup on the normalized content (deterministic min-id
+    #    winner; the shuffle key is the text hash, not the text).
+    exact = dedup_exact(filtered, ["clean_text"], id_col)
+    report["after_exact_dedup"] = exact.count()
+
+    # 3. Near-dedup: MinHash signatures -> LSH candidate pairs ->
+    #    connected components -> keep each component's min id.
+    sigs = minhash_signatures(exact, "clean_text", id_col)
+    pairs = minhash_lsh_pairs(sigs, id_col, threshold=near_dup_threshold)
+    comp = connected_components(pairs, "id_a", "id_b")
+    non_reps = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    deduped = exact.join(non_reps, on=id_col, how="left_anti")
+    report["after_near_dedup"] = deduped.count()
+
+    # 4. Reproducible split (cross-engine-stable md5 bucketing).
+    corpus = train_test_split(deduped, id_col, train_fraction)
+    report["train"] = corpus.filter(F.col("split") == "train").count()
+    report["test"] = corpus.filter(F.col("split") == "test").count()
+    return corpus, report

@@ -617,6 +617,23 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pretrain_corpus",
+    headline=True,
+    tags=("pipeline", "dedup", "quality", "sampling", "extension"),  # rows-only
+)
+def pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the composed pretraining corpus-prep pipeline
+    (corral_spark.pipelines.prepare_pretraining_corpus): normalize +
+    redact -> quality filter -> exact dedup -> MinHash/CC near-dedup
+    -> reproducible split. Rows-only gate (the near-dedup stage is
+    hash-based); pytest pins funnel monotonicity and determinism."""
+    from corral_spark.pipelines import prepare_pretraining_corpus
+
+    corpus, _report = prepare_pretraining_corpus(_docs(spark, sf_dir))
+    return corpus.orderBy("doc_id")
+
+
+@register(
     "multimodal_features",
     tags=("multimodal", "extension"),  # rows-only: mapInPandas pipeline
 )
