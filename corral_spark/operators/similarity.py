@@ -165,12 +165,56 @@ def deterministic_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """First ``ncells`` vectors by id as coarse centroids (reproducible
-    stand-in for k-means; the IVF plumbing is identical either way)."""
+    k-means init; the IVF plumbing is identical either way)."""
     return (
         corpus.orderBy(F.asc(id_col))
         .limit(ncells)
         .select(F.col(id_col).alias("cell_id"), F.col(vec_col))
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    ncells: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined coarse centroids: deterministic init (first
+    ``ncells`` by id), then ``iters`` assign+mean rounds, all in
+    DataFrame ops — assignment broadcasts the centroids, the mean is
+    one hash aggregate over zip_with-summed vectors. Deterministic:
+    no RNG, fixed iteration count, quantized means. At real scale run
+    this on a sample (centroid quality needs only ~100x ncells points).
+
+    Measured caveat: on the driver's STRUCTURE-LESS uniform embeddings
+    refinement does not help (recall 0.92 -> 0.84 at sf0.01, 16 cells
+    / probe 4) — Lloyd rounds only pay when the corpus genuinely
+    clusters (verified on synthetic clustered data in
+    tests/test_operators.py); hence ``kmeans_iters=0`` is the default
+    in ivf_topk."""
+    cen = deterministic_centroids(corpus, ncells, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cen, id_col, vec_col)
+        # Per-dimension means via posexplode + hash agg (spill-safe;
+        # a collect_list of full vectors per cell would not be).
+        dims = (
+            assigned.select(
+                "cell", F.posexplode(_as_double(F.col(vec_col))).alias("d", "x")
+            )
+            .groupBy("cell", "d")
+            # Quantize: avg() accumulation order varies run to run;
+            # 6dp makes the refined centroids (and thus IVF results)
+            # reproducible.
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+        )
+        cen = dims.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))),
+                lambda s: s.getField("m"),
+            ).alias(vec_col)
+        ).select(F.col("cell").alias("cell_id"), vec_col)
+    return cen
 
 
 def ivf_topk(
@@ -182,10 +226,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_sim: int | None = 4,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k: search only the ``nprobe`` cells nearest to
-    each query. Output: (query_id, vec_id, sim, rnk)."""
-    centroids = deterministic_centroids(corpus, ncells, id_col, vec_col)
+    each query. ``kmeans_iters`` > 0 refines the coarse centroids with
+    that many Lloyd rounds (better-balanced cells -> better recall at
+    the same nprobe). Output: (query_id, vec_id, sim, rnk)."""
+    if kmeans_iters > 0:
+        centroids = kmeans_centroids(corpus, ncells, kmeans_iters, id_col, vec_col)
+    else:
+        centroids = deterministic_centroids(corpus, ncells, id_col, vec_col)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
 
     # Which cells does each query probe?

@@ -36,11 +36,18 @@ def prepare_pretraining_corpus(
     min_distinct_ratio: float = 0.3,
     near_dup_threshold: float = 0.5,
     train_fraction: float = 0.9,
+    with_report: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Returns (corpus, report): the cleaned/deduped/split corpus with
     columns (id_col, clean_text, n_words, split), plus per-stage
-    surviving-row counts."""
-    report: dict[str, int] = {"input": docs.count()}
+    surviving-row counts. ``with_report=False`` skips the per-stage
+    count() actions (6 extra jobs) when only the final frame matters —
+    the mode the declared query/bench path uses."""
+
+    def _count(df: DataFrame) -> int:
+        return df.count() if with_report else -1
+
+    report: dict[str, int] = {"input": _count(docs)}
 
     # 1. Scan-side hygiene: normalize, redact, quality-score — fused
     #    into one projection+filter over the source scan.
@@ -59,12 +66,12 @@ def prepare_pretraining_corpus(
         (F.col("n_words") >= min_words)
         & (F.col("distinct_ratio") >= min_distinct_ratio)
     ).drop("distinct_ratio")
-    report["after_quality_filter"] = filtered.count()
+    report["after_quality_filter"] = _count(filtered)
 
     # 2. Exact dedup on the normalized content (deterministic min-id
     #    winner; the shuffle key is the text hash, not the text).
     exact = dedup_exact(filtered, ["clean_text"], id_col)
-    report["after_exact_dedup"] = exact.count()
+    report["after_exact_dedup"] = _count(exact)
 
     # 3. Near-dedup: MinHash signatures -> LSH candidate pairs ->
     #    connected components -> keep each component's min id.
@@ -75,10 +82,11 @@ def prepare_pretraining_corpus(
         F.col("node").alias(id_col)
     )
     deduped = exact.join(non_reps, on=id_col, how="left_anti")
-    report["after_near_dedup"] = deduped.count()
+    report["after_near_dedup"] = _count(deduped)
 
     # 4. Reproducible split (cross-engine-stable md5 bucketing).
     corpus = train_test_split(deduped, id_col, train_fraction)
-    report["train"] = corpus.filter(F.col("split") == "train").count()
-    report["test"] = corpus.filter(F.col("split") == "test").count()
+    if with_report:
+        report["train"] = corpus.filter(F.col("split") == "train").count()
+        report["test"] = corpus.filter(F.col("split") == "test").count()
     return corpus, report

@@ -629,7 +629,9 @@ def pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-based); pytest pins funnel monotonicity and determinism."""
     from corral_spark.pipelines import prepare_pretraining_corpus
 
-    corpus, _report = prepare_pretraining_corpus(_docs(spark, sf_dir))
+    corpus, _report = prepare_pretraining_corpus(
+        _docs(spark, sf_dir), with_report=False
+    )
     return corpus.orderBy("doc_id")
 
 
