@@ -236,6 +236,79 @@ def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_latency",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE) / COUNT(*) AS avg_ship_days,
+           MAX(date_diff('day', o_orderdate, l_shipdate)) AS max_ship_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("datetime", "join", "agg"),
+)
+def order_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp arithmetic: order-to-ship latency in days per
+    priority (datediff + integer-exact average)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(days).cast("double") / F.count(F.lit(1))).alias("avg_ship_days"),
+            F.max(days).alias("max_ship_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "null_semantics",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(n_recent, 0) AS n_recent,
+           (n_recent IS NULL) AS never_recent,
+           CASE WHEN coalesce(n_recent, 0) = 0 THEN 'inactive' ELSE 'active' END AS status
+    FROM customer
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_recent
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+      GROUP BY o_custkey
+    ) r ON c_custkey = o_custkey
+    ORDER BY c_custkey
+    """,
+    tags=("null", "join"),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling coverage: outer join introduces NULLs, handled
+    with coalesce / IS NULL / CASE — three-valued logic the reference
+    sidesteps entirely (strings everywhere, SURVEY §1.1)."""
+    customer = _t(spark, sf_dir, "customer")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_recent"))
+    )
+    return (
+        customer.join(recent, customer.c_custkey == recent.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_recent", F.lit(0)).alias("n_recent"),
+            F.col("n_recent").isNull().alias("never_recent"),
+            F.when(F.coalesce("n_recent", F.lit(0)) == 0, "inactive")
+            .otherwise("active")
+            .alias("status"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
     "salted_nation_revenue",
     oracle="""
     SELECT n_name,
