@@ -25,13 +25,53 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    collect_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Label each node with the minimum node id reachable from it.
 
     ``edges`` is undirected input (one row per pair, either order).
     Returns (node, component) where component = min node id in the
     connected component. Deterministic.
+
+    Near-dup graphs are tiny relative to the corpus (LSH pairs, not
+    all rows), so below ``collect_threshold`` edges the component
+    computation runs as driver-side union-find — one collect instead
+    of diameter-many distributed iterations (measured: 14s -> ~2s on
+    the capstone pipeline). Larger graphs take the distributed
+    label-propagation path below.
     """
+    n_edges = edges.count()
+    if n_edges <= collect_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # Union by min id keeps the min-root invariant simple.
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+
+        for row in edges.select(src, dst).toLocalIterator():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            union(a, b)
+        # Two passes: path-compress, then min-root per component.
+        roots = {x: find(x) for x in parent}
+        comp_min: dict = {}
+        for x, r in roots.items():
+            comp_min[r] = min(comp_min.get(r, x), x)
+        rows = [(x, comp_min[roots[x]]) for x in sorted(roots)]
+        spark = edges.sparkSession
+        return spark.createDataFrame(rows, ["node", "component"])
+
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

@@ -70,7 +70,12 @@ def prepare_pretraining_corpus(
 
     # 2. Exact dedup on the normalized content (deterministic min-id
     #    winner; the shuffle key is the text hash, not the text).
-    exact = dedup_exact(filtered, ["clean_text"], id_col)
+    #    Checkpointed: three downstream consumers (signature build,
+    #    survivor anti-join, report) would otherwise re-run the whole
+    #    normalize+filter+window lineage each.
+    exact = dedup_exact(filtered, ["clean_text"], id_col).localCheckpoint(
+        eager=False
+    )
     report["after_exact_dedup"] = _count(exact)
 
     # 3. Near-dedup: MinHash signatures -> LSH candidate pairs ->

@@ -1,0 +1,49 @@
+"""Simulate the driver: vanilla SparkSession, entry() smoke, then each
+queries()[name] vs oracle_sql()[name] via duckdb at sf0.01."""
+import sys
+import pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false")
+         .appName("driver-sim").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e
+rows = e.entry(spark).collect()
+print("ENTRY OK rows=", len(rows), "schema=", [f.name for f in e.entry(spark).schema.fields])
+
+import duckdb
+from corral_spark.sources.tables import TABLES, table_path
+sf = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf, t)}')")
+
+qs, os_ = e.queries(), e.oracle_sql()
+import math
+fails = []
+for name, fn in sorted(qs.items()):
+    sdf = fn(spark, sf).toPandas()
+    if name not in os_:
+        print(f"{name}: rows-only, {len(sdf)} rows"); continue
+    odf = con.execute(os_[name]).fetchdf()
+    ok_rows = len(sdf) == len(odf)
+    ok_cols = sorted(sdf.columns) == sorted(odf.columns)
+    ok_vals = True
+    if ok_rows and ok_cols:
+        s = sdf[sorted(sdf.columns)].sort_values(by=sorted(sdf.columns)).reset_index(drop=True)
+        o = odf[sorted(odf.columns)].sort_values(by=sorted(odf.columns)).reset_index(drop=True)
+        for c in s.columns:
+            for a, b in zip(s[c].tolist(), o[c].tolist()):
+                if isinstance(a, float) and isinstance(b, float):
+                    if not (a == b or (math.isnan(a) and math.isnan(b))):
+                        ok_vals = False; break
+                elif a != b:
+                    ok_vals = False; break
+    status = "MATCH" if (ok_rows and ok_cols and ok_vals) else f"MISMATCH rows={ok_rows} cols={ok_cols} vals={ok_vals}"
+    print(f"{name}: {status} ({len(sdf)} rows)")
+    if "MISMATCH" in status: fails.append(name)
+print("FAILS:", fails or "none")
+spark.stop()
