@@ -386,6 +386,54 @@ def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_fingerprint_md5",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(
+               regexp_replace(text, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+'),
+               x -> x <> '') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 4, 1) + 1),
+               i -> array_to_string(list_slice(words, i, i + 4), ' ')))) AS s
+      FROM w
+    )
+    SELECT doc_id,
+           MIN(md5(s)) AS fp_min,
+           MAX(md5(s)) AS fp_max,
+           COUNT(*) AS n_shingles
+    FROM sh
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "fingerprint", "extension"),
+)
+def doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-checkable content fingerprint: min/max md5 over
+    5-word shingles (md5 exists identically in every engine, so this
+    variant is oracle-gated exactly; the xxhash64 variant below stays
+    for speed in production paths)."""
+    from corral_spark.operators.dedup import word_shingles_arrow
+
+    docs = _docs(spark, sf_dir)
+    sh = word_shingles_arrow(F.col("text"), 5)
+    ex = docs.select("doc_id", F.explode(sh).alias("s"))
+    return (
+        ex.groupBy("doc_id")
+        .agg(
+            F.min(F.md5("s")).alias("fp_min"),
+            F.max(F.md5("s")).alias("fp_max"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "doc_fingerprint_docs",
     tags=("text", "extension"),  # rows-only: xxhash64 fingerprints
 )

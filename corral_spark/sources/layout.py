@@ -42,3 +42,24 @@ def write_compacted(
 
 def plan_target_files(n_rows: int, rows_per_file: int) -> int:
     return max(1, math.ceil(n_rows / rows_per_file))
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int,
+    fmt: str = "parquet",
+) -> None:
+    """Range-partition by ``cluster_cols`` and sort within partitions
+    before writing — each output file then covers a disjoint key
+    range, so parquet min/max stats let later scans skip whole files
+    for selective predicates (the single-dimension form of data
+    clustering / Z-ordering). One range-exchange shuffle."""
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

@@ -49,6 +49,36 @@ def test_write_compacted_bounds_file_count(spark, tmp_path):
     assert spark.read.parquet(out).count() == n
 
 
+def test_range_clustered_write_enables_file_skipping(spark, tmp_path):
+    """Each range-clustered file must cover a disjoint o_orderkey
+    range (parquet min/max stats then skip whole files for selective
+    key predicates)."""
+    import os
+
+    from corral_spark.sources.layout import write_range_clustered
+
+    orders = load_table(spark, SF, "orders")
+    out = str(tmp_path / "clustered")
+    write_range_clustered(orders, out, ["o_orderkey"], n_files=4)
+
+    files = sorted(
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        mm = (
+            spark.read.parquet(os.path.join(out, f))
+            .agg(F.min("o_orderkey"), F.max("o_orderkey"))
+            .collect()[0]
+        )
+        ranges.append((mm[0], mm[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: {ranges}"
+    assert spark.read.parquet(out).count() == orders.count()
+
+
 def test_partitioned_parquet_write_prunes(spark, tmp_path):
     """Hive-partitioned layout: partition column pruning must reach the
     file listing (the 100 TB layout strategy in docs/SCALE.md)."""
