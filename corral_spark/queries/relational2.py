@@ -236,6 +236,66 @@ def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_item_arrays",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_partkey)), ',') AS part_keys,
+           len(list(l_partkey)) AS n_parts
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    tags=("array", "agg"),
+)
+def order_item_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped array construction (collect_list -> sort_array),
+    surfaced as a joined string so the value compare is type-stable.
+    Array/nested types are wholly absent from the reference
+    (SURVEY §1.1: strings only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") <= 100)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("l_partkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("part_keys"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
+    "customer_id_parse",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS parsed_id,
+           (CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) = c_custkey) AS id_consistent
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("scalar-fn", "regex"),
+)
+def customer_id_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture-group extraction + cast + consistency predicate —
+    the typed form of the reference's hand-rolled string parsing
+    (amplab1.go:23 strconv.Atoi)."""
+    c = _t(spark, sf_dir, "customer")
+    parsed = F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("bigint")
+    return c.select(
+        "c_custkey",
+        parsed.alias("parsed_id"),
+        (parsed == F.col("c_custkey")).alias("id_consistent"),
+    ).orderBy("c_custkey")
+
+
+@register(
     "order_latency",
     oracle="""
     SELECT o_orderpriority,
