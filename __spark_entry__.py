@@ -28,13 +28,44 @@ from corral_spark.queries import REGISTRY  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _ship_package_to_workers(spark: SparkSession) -> None:
+    """Make ``corral_spark`` importable on executor Python workers.
+
+    Arrow/pandas UDFs pickle references to this package; workers
+    resolve them by import. When the driver process runs from a cwd
+    other than the repo (and without PYTHONPATH), that import fails —
+    so ship the package as a zip via addPyFile, once per session.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_corral_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = Path(__file__).resolve().parent / "corral_spark"
+    zpath = Path(tempfile.gettempdir()) / "corral_spark_pkg.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for py in sorted(pkg_root.rglob("*.py")):
+            zf.write(py, py.relative_to(pkg_root.parent))
+    sc.addPyFile(str(zpath))
+    sc._corral_pkg_shipped = True
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package_to_workers(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q3-style join+agg+topk) on sf0.001."""
-    return REGISTRY["shipping_priority"].spark(spark, SMOKE_SF_DIR)
+    return _wrap(REGISTRY["shipping_priority"].spark)(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.spark for name, q in REGISTRY.items()}
+    return {name: _wrap(q.spark) for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

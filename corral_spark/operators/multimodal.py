@@ -69,6 +69,25 @@ def decode_fake(payload: bytes) -> tuple[int, int]:
     return width, height
 
 
+def resize_fake(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Deterministic stand-in for image resize: where PIL's
+    ``Image.resize`` would run, produce a digest-derived byte string
+    of length proportional to the target area, so downstream size
+    accounting and schema plumbing behave like the real op."""
+    digest = hashlib.sha256(payload + f"{target_w}x{target_h}".encode()).digest()
+    n = max(1, (target_w * target_h) // 64)
+    return (digest * (n // len(digest) + 1))[:n]
+
+
+def frame_sample_fake(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic stand-in for video frame sampling (pyav/ffmpeg
+    territory): n digest-derived 'frames' per payload. Real plumbing
+    shape: one binary in, array<binary> out."""
+    return [
+        hashlib.sha256(payload + bytes([i])).digest() for i in range(n_frames)
+    ]
+
+
 def assets_from_documents(docs: DataFrame) -> DataFrame:
     """Manufacture a binary asset table from the documents corpus
     (text bytes as payload) — the container has no real media files;
@@ -108,3 +127,60 @@ def extract_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def resize_assets(assets: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize pipeline stage: binary in, binary out, Arrow-batched.
+    Output keeps asset identity plus the resized payload and its size.
+    """
+    from pyspark.sql.types import StructType, StructField
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("n_bytes", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["payload"].map(
+                lambda b: resize_fake(bytes(b), target_w, target_h)
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": resized,
+                    "n_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=schema)
+
+
+def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage: one binary 'video' in, one row per
+    sampled frame out (asset_id, frame_idx, frame) — the explode-
+    after-Python shape a real pyav sampler would use."""
+    from pyspark.sql.types import IntegerType, StructType, StructField
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"asset_id": [], "frame_idx": [], "frame": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for i, fr in enumerate(frame_sample_fake(bytes(payload), n_frames)):
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(fr)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=schema)

@@ -223,6 +223,24 @@ def test_multimodal_real_decode_is_stubbed():
         decode_real(b"bytes", "image/png")
 
 
+def test_multimodal_resize_and_frame_sample(spark, docs):
+    from corral_spark.operators.multimodal import resize_assets, sample_frames
+
+    assets = assets_from_documents(docs.limit(20))
+    resized = resize_assets(assets, 128, 96)
+    rows = resized.collect()
+    assert len(rows) == 20
+    expected_len = (128 * 96) // 64
+    assert all(r.n_bytes == expected_len == len(bytes(r.payload)) for r in rows)
+
+    frames = sample_frames(assets, n_frames=3)
+    per_asset = frames.groupBy("asset_id").count().collect()
+    assert all(r["count"] == 3 for r in per_asset) and len(per_asset) == 20
+    one = frames.filter("asset_id = 0").orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in one] == [0, 1, 2]
+    assert len({bytes(r.frame) for r in one}) == 3  # distinct frames
+
+
 def test_redact_pii_on_synthetic(spark):
     """The corpus has no PII; prove the patterns fire on planted data."""
     from pyspark.sql import functions as F
