@@ -127,18 +127,47 @@ def _parse_kv_line(line: str) -> tuple[str, str]:
     return "", line
 
 
+def _strip_file_scheme(path: str) -> str:
+    """file:///x -> /x (the facade's os-level rename/move work on the
+    local filesystem). Other schemes pass through unchanged."""
+    if path.startswith("file://"):
+        return path[len("file://") :]
+    return path
+
+
 class Driver:
     """Runs a job over text inputs, writing reference-format TSV output
-    (``output-part-<P>``) under ``working_location``."""
+    (``output-part-<P>``) under ``working_location``.
+
+    ``working_location`` accepts a plain local path or a ``file://``
+    URI. Remote schemes (s3a://, hdfs://) are rejected up front: the
+    reference-format renames below are os-level, so a remote location
+    would write successfully and then crash renaming. (The DataFrame
+    sinks in ``corral_spark.sources.sinks`` go through Hadoop
+    FileSystem and do support remote URIs.)"""
 
     def __init__(
         self,
         job: Job,
         inputs: list[str],
-        working_location: str,
+        working_location: str | None = None,
         num_bins: int | None = None,
         spark: SparkSession | None = None,
     ) -> None:
+        from corral_spark.mapreduce.config import load_config
+
+        # Reference precedence chain (config.go:7-45): defaults <
+        # corralrc.json < CORRAL_* env < explicit constructor arg.
+        self.config = load_config(
+            overrides={"workingLocation": working_location}
+        )
+        working_location = _strip_file_scheme(self.config["workingLocation"])
+        if "://" in working_location:
+            raise ValueError(
+                "Driver working_location must be a local path or file:// URI, "
+                f"got {working_location!r}: reference-format output renaming "
+                "(output-part-<P>) is os-level"
+            )
         self.jobs = [job]
         self.inputs = inputs
         self.working_location = working_location
@@ -161,12 +190,31 @@ class Driver:
         # Graceful no-op on nonexistent inputs, like the reference
         # (driver_test.go:155-164): glob-expand local paths first and
         # skip the stage when nothing matches.
-        local = [p for p in inputs if "://" not in p]
+        if not inputs:
+            return False
+        local = [
+            _strip_file_scheme(p)
+            for p in inputs
+            if "://" not in p or p.startswith("file://")
+        ]
         if local and not any(_glob.glob(p) for p in local):
             return False
 
         paths = ",".join(inputs)
-        lines = sc.textFile(paths)
+        # splitSize (reference config.go:28, default 100 MB): size the
+        # read so each split covers ~splitSize input bytes.
+        min_parts = None
+        split_size = int(self.config.get("splitSize") or 0)
+        if split_size > 0:
+            total = sum(
+                os.path.getsize(f)
+                for p in local
+                for f in _glob.glob(p)
+                if os.path.isfile(f)
+            )
+            if total > 0:
+                min_parts = max(1, -(-total // split_size))
+        lines = sc.textFile(paths, min_parts) if min_parts else sc.textFile(paths)
         num_bins = self.num_bins or max(lines.getNumPartitions(), 1)
 
         mapper, reducer = job.mapper, job.reducer
@@ -174,11 +222,17 @@ class Driver:
         def run_map(part: Iterator[str]) -> Iterator[tuple[str, str]]:
             # One mapper instance per partition => stateful mappers work
             # like the reference's per-task mapper (job.go:34-50).
+            # Emissions are drained per input line so Spark can stream/
+            # spill map output instead of materializing the whole
+            # partition's output in one Python list (the reference
+            # emitter also writes incrementally, emitter.go:106-119).
             em = Emitter()
             for line in part:
                 key, value = _parse_kv_line(line)
                 mapper.map(key, value, em)
-            return iter(em.pairs)
+                if em.pairs:
+                    yield from em.pairs
+                    em.pairs = []
 
         def run_reduce(part: Iterator[tuple[str, Iterable[str]]]) -> Iterator[str]:
             for key, values in part:
@@ -202,6 +256,10 @@ class Driver:
         return True
 
     def run(self) -> None:
+        if self.config.get("verbose"):
+            # reference Main() raises the log level on -v
+            # (driver.go:227-229).
+            self._session().sparkContext.setLogLevel("INFO")
         n = len(self.jobs)
         inputs = self.inputs
         for i, job in enumerate(self.jobs):
@@ -221,7 +279,42 @@ class Driver:
                 _move_up(stage_out, out)
             inputs = [os.path.join(out, "output-part-*")]
 
-    main = run  # reference calls it Main() (driver.go:226)
+    def main(self, argv: list[str] | None = None) -> None:
+        """Reference ``Main()`` CLI surface (driver.go:219-247):
+        ``--out``/``-o`` overrides the working location, ``--verbose``/
+        ``-v`` raises the log level, positional args are appended to
+        the job inputs; the execution time is printed at the end.
+        ``--lambda``/``--undeploy``/``--memprofile`` are deployment
+        infra, out of scope per SURVEY §2.1 F15/F19.
+
+        ``argv=None`` means "no flags" (library use — the common case
+        in tests); CLI scripts pass ``sys.argv[1:]`` explicitly so the
+        facade never fights the host process's own argument parsing.
+        """
+        import argparse
+        import time
+
+        parser = argparse.ArgumentParser(prog="corral", add_help=True)
+        parser.add_argument("--out", "-o", default=None, help="Output directory")
+        parser.add_argument(
+            "--verbose", "-v", action="store_true", default=False
+        )
+        parser.add_argument("inputs", nargs="*", default=[])
+        ns = parser.parse_args(argv if argv is not None else [])
+        if ns.out:
+            wl = _strip_file_scheme(ns.out)
+            if "://" in wl:
+                raise ValueError(
+                    f"--out must be a local path or file:// URI, got {ns.out!r}"
+                )
+            self.working_location = wl
+        if ns.verbose:
+            self.config["verbose"] = True
+        self.inputs = list(self.inputs) + list(ns.inputs)
+        start = time.time()
+        self.run()
+        # reference driver.go:245: "Job Execution Time: ..."
+        print(f"Job Execution Time: {time.time() - start:.3f}s")
 
 
 class MultiStageDriver(Driver):

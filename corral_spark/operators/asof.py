@@ -58,10 +58,17 @@ def asof_join(
     )
 
     # Right rows sort before left rows at equal timestamps, so an
-    # exactly-simultaneous right row matches (<= semantics).
+    # exactly-simultaneous right row matches (<= semantics). The
+    # xxhash64 tiebreaker makes the pick among right rows that share
+    # (by, ts) deterministic run-to-run (struct ordering would also
+    # work but requires every payload type to be orderable).
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__is_left").asc(),
+            F.xxhash64(F.col("__rrow")).asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

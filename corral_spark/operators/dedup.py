@@ -242,10 +242,20 @@ def minhash_signatures(
     Output: (id_col, sig: array<bigint>, n_shingles: int).
     """
     sh = word_shingles_arrow(F.col(text_col), shingle_n)
-    ex = df.select(F.col(id_col), F.explode(sh).alias("__s")).select(
+    tok = df.select(F.col(id_col), F.explode(sh).alias("__s"))
+    return _signatures_from_tokens(tok, id_col, "__s", n_hashes)
+
+
+def _signatures_from_tokens(
+    tok: DataFrame, id_col: str, tok_col: str, n_hashes: int
+) -> DataFrame:
+    """OPH signature aggregation over pre-exploded (id, token) rows —
+    split out so callers that already materialized the shingle set
+    (e.g. minhash_verified_pairs) don't re-run the shingle UDF."""
+    ex = tok.select(
         id_col,
-        F.xxhash64("__s").alias("__h"),
-        F.pmod(F.xxhash64("__s"), F.lit(n_hashes)).alias("__b"),
+        F.xxhash64(tok_col).alias("__h"),
+        F.pmod(F.xxhash64(tok_col), F.lit(n_hashes)).alias("__b"),
     )
     aggs = [
         F.min(F.when(F.col("__b") == i, F.col("__h"))).alias(f"__m{i}")
@@ -322,6 +332,56 @@ def minhash_lsh_pairs(
             est.alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Production-shape two-phase LSH dedup: MinHash-banded candidate
+    generation, then EXACT shingle-Jaccard verification of candidates
+    only — never all pairs.
+
+    This is the standard scalable fuzzy-dedup pipeline: phase 1 cost
+    is linear in corpus size (signatures + banded equi-join), phase 2
+    cost is linear in CANDIDATE count (array_intersect on the two
+    shingle sets of each candidate pair). Verification makes the
+    output exact — and therefore oracle-checkable: when band recall is
+    1.0 on the corpus's actual near-dup pairs (deterministic given the
+    data — xxhash64 has no RNG), the result set equals the exact
+    all-pairs Jaccard >= threshold set.
+
+    The shingle UDF runs ONCE (localCheckpoint), feeding both the
+    signature aggregation and the verification join.
+    Output: (id_a, id_b, jaccard) exact, id_a < id_b.
+    """
+    shing = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles_arrow(F.col(text_col), shingle_n).alias("__sh"),
+    ).localCheckpoint(eager=True)
+    tok = shing.select("id", F.explode("__sh").alias("__s"))
+    sigs = _signatures_from_tokens(tok, "id", "__s", n_hashes)
+    # threshold=0.0: every band collision is a candidate; the exact
+    # verifier (not the signature estimate) decides membership.
+    cands = minhash_lsh_pairs(sigs, "id", bands=bands, threshold=0.0).select(
+        "id_a", "id_b"
+    )
+    a = shing.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sha"))
+    b = shing.select(F.col("id").alias("id_b"), F.col("__sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size("__sha") + F.size("__shb") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -40,7 +40,19 @@ def connected_components(
     the capstone pipeline). Larger graphs take the distributed
     label-propagation path below.
     """
+    spark = edges.sparkSession
+    # Tunable without code changes (driver-memory dependent bound).
+    conf_thresh = spark.conf.get("corral.cc.collectThreshold", None)
+    if conf_thresh is not None:
+        collect_threshold = int(conf_thresh)
     n_edges = edges.count()
+    if n_edges == 0:
+        # A clean corpus (no near-dup pairs) is a valid input: empty
+        # (node, component) frame with the edge column's type — a
+        # schema-less createDataFrame([]) would raise.
+        return edges.select(
+            F.col(src).alias("node"), F.col(src).alias("component")
+        ).limit(0)
     if n_edges <= collect_threshold:
         parent: dict = {}
 
@@ -69,7 +81,6 @@ def connected_components(
         for x, r in roots.items():
             comp_min[r] = min(comp_min.get(r, x), x)
         rows = [(x, comp_min[roots[x]]) for x in sorted(roots)]
-        spark = edges.sparkSession
         return spark.createDataFrame(rows, ["node", "component"])
 
     sym = (

@@ -15,6 +15,7 @@ from corral_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
+    minhash_verified_pairs,
     simhash64,
     simhash_pairs,
 )
@@ -194,21 +195,50 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_pairs_docs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(
+               regexp_replace(text, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+'),
+               x -> x <> '') AS words
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 4, 1) + 1),
+               i -> array_to_string(list_slice(words, i, i + 4), ' ')))) AS token
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
     headline=True,
-    tags=("dedup", "lsh", "extension"),  # rows-only: xxhash64 is Spark-side
+    tags=("dedup", "lsh", "extension"),
 )
 def minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64 hashes) + LSH(16 bands) candidate pairs with
-    signature-estimated Jaccard >= 0.5 over 5-word shingles. Rows-only
-    gate (seeded xxhash64 signatures have no DuckDB twin); pytest
-    cross-checks recall against exact Jaccard pairs."""
-    sigs = minhash_signatures(
-        _docs(spark, sf_dir), "text", "doc_id", n_hashes=64, shingle_n=5
-    )
+    """Two-phase MinHash dedup (operators.dedup.minhash_verified_pairs):
+    MinHash(64)+LSH(16 bands) candidate generation, exact
+    shingle-Jaccard verification of candidates only, threshold 0.5.
+    Verification makes the output exact, so the oracle is the exact
+    all-pairs Jaccard set — the driver row proves the whole LSH
+    pipeline end-to-end (a candidate miss or bogus candidate would
+    break the hash match). Candidate-phase recall is additionally
+    pinned by pytest against exact Jaccard."""
     return (
-        minhash_lsh_pairs(sigs, "doc_id", bands=16, threshold=0.5)
-        .select(
-            "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+        minhash_verified_pairs(
+            _docs(spark, sf_dir), "text", "doc_id", threshold=0.5
         )
         .orderBy("id_a", "id_b")
     )
@@ -269,33 +299,100 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    tags=("similarity", "extension"),  # rows-only: approximate path
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, sim, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """,
+    tags=("similarity", "extension"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 (16 cells, probe 4) for the same 5
-    queries — the scale path: scoring cost drops ~4x vs brute force.
-    Rows-only gate; pytest checks recall against ann_cosine_topk."""
+    """IVF top-10 (16 cells) for the same 5 queries, probing ALL cells
+    so the result is exact and equals the brute-force oracle — the
+    driver row proves the IVF machinery (centroid assignment, per-cell
+    scoring, cross-cell merge) loses nothing. The probe-limited scale
+    path (nprobe << ncells, ~ncells/nprobe scoring cost reduction) is
+    the same code; its recall at nprobe=4 is pinned by pytest against
+    ann_cosine_topk."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, ncells=16, nprobe=4, k=10).orderBy(
+    return ivf_topk(emb, queries, ncells=16, nprobe=16, k=10).orderBy(
         "query_id", "rnk"
     )
 
 
 @register(
     "emb_near_dup_pairs",
-    tags=("similarity", "dedup", "extension"),  # rows-only: LSH path
+    tags=("similarity", "dedup", "extension"),  # rows-only: LSH recall < 1
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.45) via
     sign-random-projection LSH with exact verification
-    (operators.similarity.cosine_near_dup_pairs). Rows-only gate;
-    pytest checks recall on synthetic near-dup fixtures."""
+    (operators.similarity.cosine_near_dup_pairs). Rows-only gate BY
+    NATURE: the testdata corpus has no planted embedding dups, so the
+    pairs above 0.45 sit exactly where sign-LSH band recall is
+    probabilistic (~12% at cosine 0.45 with 24x12 bands) — set
+    equality with an exact all-pairs oracle cannot hold. The oracled
+    twin is emb_near_dup_planted (guaranteed-recall construction);
+    recall on synthetic planted near-dups is pinned by pytest."""
     return cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.45).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "emb_near_dup_planted",
+    oracle="""
+    WITH aug AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)
+      FROM embeddings WHERE vec_id < 50
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    tags=("similarity", "dedup", "extension"),
+)
+def emb_near_dup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH near-dup detection with an exact oracle: plant 50
+    scaled duplicates (vec_id+100000, embedding*2) into the corpus and
+    find pairs with cosine >= 0.9. Scaling by 2 keeps the hyperplane
+    sign pattern bit-identical (doubling is exact in IEEE), so LSH
+    candidate recall on the planted pairs is GUARANTEED 1.0 — not
+    probabilistic — and cos(a, 2a) rounds to exactly 1.0 in both
+    engines. A hash match proves the full pipeline: banding UDF,
+    bucket join, exact verification."""
+    emb = _emb(spark, sf_dir)
+    dup = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(dup)
+    return cosine_near_dup_pairs(aug, threshold=0.9).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -604,7 +701,7 @@ def sample_docs_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'train' ELSE 'test' END AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1, 2
     ORDER BY split, lang

@@ -141,9 +141,9 @@ def robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "priority_pivot",
     oracle="""
     SELECT o_orderstatus,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-           SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS n_high,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_other,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
                          THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS urgent_revenue
     FROM orders

@@ -105,7 +105,10 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional revenue ratio per year — exact
     decimal sums, one IEEE division at the end."""
     li = _t(spark, sf_dir, "lineitem")
-    part = F.broadcast(_t(spark, sf_dir, "part"))
+    # No broadcast hint on part: it scales with SF (~GBs at 100x), so
+    # a forced broadcast would OOM executors. AQE picks broadcast at
+    # runtime whenever the scan lands under autoBroadcastJoinThreshold.
+    part = _t(spark, sf_dir, "part")
     orders = _t(spark, sf_dir, "orders")
     rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
     promo = F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
@@ -177,7 +180,9 @@ def nations_above_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: groups exceeding a fraction of the GLOBAL
     total (HAVING against a scalar subquery)."""
     orders = _t(spark, sf_dir, "orders")
-    customer = F.broadcast(_t(spark, sf_dir, "customer"))
+    # customer scales with SF — no forced broadcast (AQE decides);
+    # nation is fixed 25 rows, so its hint is scale-safe.
+    customer = _t(spark, sf_dir, "customer")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     nrev = (
         orders.join(customer, orders.o_custkey == customer.c_custkey)

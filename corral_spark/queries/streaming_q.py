@@ -79,7 +79,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT k AS prop_key,
            COUNT(*) AS n,
-           SUM(CAST(v AS BIGINT)) AS sum_v
+           CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS sum_v
     FROM (
       SELECT unnest(json_keys(props)) AS k,
              json_extract_string(props, '$.' || unnest(json_keys(props))) AS v

@@ -28,8 +28,12 @@ TABLES = (
     "embeddings",
 )
 
-#: Small dimension tables: always broadcast-join these against facts.
-DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+#: Fixed-cardinality dimension tables (5 and 25 rows at every SF):
+#: the only tables it is scale-safe to unconditionally broadcast.
+#: customer/supplier/part grow linearly with SF — broadcasting those
+#: is a runtime size decision (autoBroadcastJoinThreshold + AQE), not
+#: a static declaration.
+DIM_TABLES = frozenset({"region", "nation"})
 
 
 def table_path(sf_dir: str, name: str) -> str:

@@ -139,6 +139,54 @@ class RouteAllToZero(Mapper, Reducer):
             emitter.emit(key, v)
 
 
+def test_file_uri_inputs_and_working_location(spark, tmp_path):
+    # The reference's corfs resolves multiple URI schemes
+    # (corfs/filesys.go:31-46); the facade accepts file:// for both
+    # inputs and working_location, normalizing for the os-level
+    # output-part renames.
+    (tmp_path / "in.txt").write_text("a a b\n")
+    job = Job(WCMapper(), WCReducer())
+    Driver(
+        job,
+        [f"file://{tmp_path}/in.txt"],
+        f"file://{tmp_path}",
+        spark=spark,
+    ).main()
+    assert read_output(str(tmp_path)) == {("a", "2"), ("b", "1")}
+
+
+def test_remote_working_location_rejected_early(spark, tmp_path):
+    # s3a:// output would write fine and then crash in the os-level
+    # rename — fail fast at construction instead.
+    job = Job(WCMapper(), WCReducer())
+    with pytest.raises(ValueError, match="local path or file://"):
+        Driver(job, [str(tmp_path / "in.txt")], "s3a://bucket/out", spark=spark)
+
+
+def test_missing_file_uri_input_graceful_noop(spark, tmp_path):
+    # file:// inputs take part in the same no-op-on-missing check as
+    # plain local paths (reference driver_test.go:155-164).
+    job = Job(WCMapper(), WCReducer())
+    Driver(job, [f"file://{tmp_path}/nope.txt"], str(tmp_path), spark=spark).main()
+    assert read_output(str(tmp_path)) == set()
+
+
+class BigFanoutMapper(Mapper):
+    # Each input line fans out to many emissions: exercises the
+    # per-line drain in run_map (emissions must not accumulate across
+    # the partition).
+    def map(self, key, value, emitter):
+        for i in range(int(value)):
+            emitter.emit(f"k{i % 7}", "1")
+
+
+def test_map_fanout_streams_per_line(spark, tmp_path):
+    (tmp_path / "in.txt").write_text("70\n70\n")
+    job = Job(BigFanoutMapper(), WCReducer())
+    Driver(job, [str(tmp_path / "in.txt")], str(tmp_path), spark=spark).main()
+    assert read_output(str(tmp_path)) == {(f"k{i}", "20") for i in range(7)}
+
+
 def test_custom_partition_func(spark, tmp_path):
     # reference emitter_test.go:129-155: custom routing controls file
     # layout, never semantics.
