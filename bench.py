@@ -33,6 +33,16 @@ def main() -> None:
     # Warm up the JVM/scan path once so timings measure the engine, not
     # first-touch class loading.
     next(iter(bench_queries.values())).spark(spark, sf_dir).count()
+    # Also spin up the Arrow Python-worker fleet (one per core, each
+    # importing pandas+pyarrow — ~15s of pure startup at local[32])
+    # so the first pandas-UDF query times the operator, not the fleet.
+    from pyspark.sql import functions as F
+
+    from corral_spark.operators.dedup import word_shingles_arrow
+
+    spark.range(256).select(
+        word_shingles_arrow(F.lit("warm up the python workers"), 2)
+    ).count()
 
     # min-of-2: a local[32] single-JVM host sees scheduler/JIT noise;
     # the best of two runs is the engine's actual cost.

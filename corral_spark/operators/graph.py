@@ -45,6 +45,13 @@ def connected_components(
     conf_thresh = spark.conf.get("corral.cc.collectThreshold", None)
     if conf_thresh is not None:
         collect_threshold = int(conf_thresh)
+    # The edge list is consumed 2-3 times below (count + either the
+    # driver iterator or the sym-union build). Callers' edge lineage is
+    # typically the expensive part of a dedup pipeline (MinHash/Jaccard
+    # candidate generation), so truncate it once up front instead of
+    # recomputing per consumer (measured: capstone pretrain pipeline
+    # ~12s -> ~8s at sf0.1 warm).
+    edges = edges.localCheckpoint(eager=True)
     n_edges = edges.count()
     if n_edges == 0:
         # A clean corpus (no near-dup pairs) is a valid input: empty
@@ -70,8 +77,13 @@ def connected_components(
                     ra, rb = rb, ra
                 parent[rb] = ra
 
-        for row in edges.select(src, dst).toLocalIterator():
-            a, b = row[0], row[1]
+        # ONE Arrow-batched job, not toLocalIterator: the iterator runs
+        # one sequential job per partition (32 scheduling round-trips
+        # for a tiny frame — measured ~4s of pure latency at sf0.1),
+        # and Arrow columns are ~50x smaller than pickled Rows
+        # (2M edges of 2 int64s = 32 MB, fine under the threshold).
+        pdf = edges.select(src, dst).toPandas()
+        for a, b in zip(pdf[src].tolist(), pdf[dst].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             union(a, b)
