@@ -67,16 +67,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # The r1 correctness gate recorded rows for exactly the first 50 of 61
 # registry entries (dict order) — a prefix cap. Order queries() so the
 # cap lands where it costs least: oracled queries first, then _DEMOTED
-# (oracled queries whose semantics are redundantly covered by other
-# green oracled rows AND by the local pytest oracle gate, which runs
-# ALL registry oracles at sf0.01), then rows-only checks last.
+# (oracled queries that were hash-green in CORRECTNESS_r01 AND whose
+# semantics are redundantly covered by other in-head oracled rows AND
+# by the local pytest oracle gate, which runs ALL registry oracles at
+# sf0.01), then rows-only checks last. Priority inside the head goes
+# to queries that have never had a driver row (the r1-missing set plus
+# this round's additions).
 _DEMOTED = (
     "customer_id_parse",  # casts: covered by customer_name_features/order_date_parts
     "union_all_parties",  # set ops: covered by nation_set_ops
     "cube_sales",  # grouping sets: covered by rollup_sales
-    "orders_by_month",  # datetime agg: covered by order_date_parts/order_latency
+    "orders_by_month",  # datetime agg: covered by order_date_parts/daily_revenue_gapfill
     "big_orders_in_subquery",  # IN-subquery: covered by parts_never_shipped (anti) + exists
     "orders_above_customer_avg",  # correlated agg: covered by nations_above_global_share
+    "order_percentiles",  # percentile windows: covered by robust_stats + running_totals
+    "high_value_order_exists",  # semi join: covered by customers_without_orders (anti dual)
+    "null_semantics",  # null handling: exercised by customer_name_features + merge upsert
+    "top_revenue_supplier",  # scalar subquery: covered by nations_above_global_share
+    "order_latency",  # datetime diff: covered by click_purchase_within_1h deltas
+    "order_item_arrays",  # array agg: covered by tfidf/tokenize explode paths
+    "window_top_orders",  # ranked window: covered by top_orders + customer_running_totals
 )
 
 

@@ -1,0 +1,84 @@
+"""Fuzzy (edit-distance) joins via symmetric-delete blocking.
+
+All-pairs Levenshtein is O(n^2) string comparisons — a cross join that
+no cluster survives at corpus scale. The symmetric-delete scheme
+(publicly known from the SymSpell spell-checker) blocks provably
+completely for distance <= 1: if lev(a, b) <= 1 then the deletion
+neighborhoods D(a) ∪ {a} and D(b) ∪ {b} intersect, where D(x) is the
+set of strings obtained by deleting exactly one character of x —
+  * substitution at position i: both share a[..i)+a[i+1..] = deletion
+    of position i on each side;
+  * insertion/deletion: the shorter string IS a member of the longer
+    string's deletion neighborhood;
+  * equality: x intersects trivially.
+So exploding each row into len+1 variant keys and equi-joining on the
+variant yields a candidate superset, refined by one exact levenshtein
+per candidate. Cost: O(n x avg_len) index rows + candidates — linear,
+shuffle on variant key, no cross join anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _deletion_variants(col: Column) -> Column:
+    """Array of the string itself plus every one-character deletion."""
+    n = F.length(col)
+    deletions = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            col.substr(F.lit(1), i - 1),
+            col.substr(i + 1, n),
+        ),
+    )
+    return F.array_union(F.array(col), deletions)
+
+
+def fuzzy_join_lev1(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_block: int | None = None,
+) -> DataFrame:
+    """All pairs of rows whose ``text_col`` values are within
+    Levenshtein distance 1 (including exact equals), id_a < id_b.
+
+    ``max_block`` optionally drops variant keys shared by more than
+    that many rows — the boilerplate-ceiling guard for degenerate
+    corpora (e.g. millions of identical strings), trading completeness
+    on those keys for bounded fan-out.
+
+    Output: (id_a, id_b, text_a, text_b, lev).
+    """
+    slim = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    )
+    ex = slim.select(
+        "id", "txt", F.explode(_deletion_variants(F.col("txt"))).alias("__v")
+    )
+    if max_block is not None:
+        keep = (
+            ex.groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") <= max_block)
+            .select("__v")
+        )
+        ex = ex.join(keep, on="__v")
+    a = ex.select(
+        F.col("id").alias("id_a"), F.col("txt").alias("text_a"), "__v"
+    )
+    b = ex.select(
+        F.col("id").alias("id_b"), F.col("txt").alias("text_b"), "__v"
+    )
+    cands = (
+        a.join(b, on="__v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    lev = F.levenshtein("text_a", "text_b")
+    return cands.select(
+        "id_a", "id_b", "text_a", "text_b", lev.alias("lev")
+    ).filter(F.col("lev") <= 1)

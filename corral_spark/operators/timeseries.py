@@ -1,0 +1,79 @@
+"""Time-series bucketing, gap filling, and carry-forward interpolation
+(hypertable-rollup-style operators; gap coverage per SURVEY §2.3 — the
+reference's only time handling is string-prefix grouping in
+examples amplab3.go:46-52).
+
+Scale notes: ``time_bucket`` is a pure projection (codegen'd, no
+shuffle). ``gapfill_locf`` shuffles once on the series key to build
+the dense bucket spine (sequence+explode — spine size is
+keys x buckets, generated, never read), then one window per key
+ordered by bucket for the carry-forward; both stages partition by the
+series key, so the shuffle is reused and skew follows the key
+distribution, not the data volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(col: Column | str, width_seconds: int) -> Column:
+    """Truncate an epoch-seconds column to its bucket start."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("bigint") / width_seconds).cast("bigint") * width_seconds
+
+
+def gapfill_locf(
+    observed: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_cols: list[str],
+    bucket_width: int,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> DataFrame:
+    """Densify a per-key bucket series and fill missing buckets with
+    the last observed value (LOCF).
+
+    ``observed`` has one row per (key, bucket) with ``value_cols``
+    measured; buckets are epoch-seconds bucket starts. The spine spans
+    [lo, hi] (defaults: global min/max of ``bucket_col``) for EVERY
+    key, so downstream consumers see aligned dense series. Buckets
+    before a key's first observation stay NULL (nothing to carry).
+
+    Output: (key, bucket, *value_cols) dense, one row per key x bucket.
+    """
+    if lo is None or hi is None:
+        bounds = observed.agg(
+            F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            # No observations at all: an empty dense series (there is
+            # no spine to generate), with the input's schema projected.
+            return observed.select(key_col, bucket_col, *value_cols).limit(0)
+        lo = int(bounds["lo"]) if lo is None else lo
+        hi = int(bounds["hi"]) if hi is None else hi
+
+    keys = observed.select(key_col).distinct()
+    spine = keys.select(
+        key_col,
+        F.explode(
+            F.sequence(F.lit(lo), F.lit(hi), F.lit(bucket_width))
+        ).alias(bucket_col),
+    )
+    dense = spine.join(observed, on=[key_col, bucket_col], how="left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = dense.select(
+        key_col,
+        bucket_col,
+        *[
+            F.last(F.col(v), ignorenulls=True).over(w).alias(v)
+            for v in value_cols
+        ],
+    )
+    return filled

@@ -1,0 +1,177 @@
+"""Second extension wave: fuzzy entity matching, TF-IDF term scoring,
+and event interval self-joins — LLM-pipeline adjacents on top of the
+round-1 dedup/quality family (SURVEY §2.4; no reference analog — its
+text handling is the word_count tokenizer, examples
+word_count.go:14-27).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from corral_spark.functions.text import tokenize
+from corral_spark.operators.fuzzy import fuzzy_join_lev1
+from corral_spark.queries.registry import register
+from corral_spark.sources.tables import load_table
+
+#: DuckDB mirror of functions.text.tokenize (same as the dedup oracle
+#: shingle pipelines): sanitize -> lower -> split -> drop empties.
+_TOK_SQL = (
+    "list_filter(string_split_regex(trim(lower("
+    "regexp_replace({col}, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+'),"
+    " x -> x <> '')"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "fuzzy_customer_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+    tags=("fuzzy", "dedup", "join", "gap"),
+)
+def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance<=1 name pairs via symmetric-delete blocking
+    (operators.fuzzy.fuzzy_join_lev1): deletion-neighborhood explode,
+    equi-join on variant, exact levenshtein refine — provably the same
+    pair set as the oracle's all-pairs scan, at O(n x len) index cost
+    instead of O(n^2). The oracle IS the naive cross join, so a green
+    row proves blocking completeness end-to-end."""
+    pairs = fuzzy_join_lev1(
+        _t(spark, sf_dir, "customer"), "c_name", "c_custkey"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("lev").cast("int").alias("lev")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK_SQL.format(col='text')}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST((tf.tf * n.n_docs * 1000000) // df.df AS BIGINT)
+               AS score_micro
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, score_micro,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_micro DESC, term) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+    tags=("text", "tfidf", "extension"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document by linear-idf
+    TF-IDF (score = tf * N / df, quantized to integer millionths so
+    both engines rank on EXACT bigint arithmetic — a log-idf double
+    would reintroduce cross-engine ulp risk; the linear variant is
+    rank-equivalent for the common single-occurrence df range).
+    Two shuffles (tf group-by, df group-by) + a broadcast of the tiny
+    df side at this cardinality; ties broken by term for determinism."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    scored = tf.join(df, on="term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.expr(f"CAST((tf * {n_docs}L * 1000000L) DIV df AS BIGINT)").alias(
+            "score_micro"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_micro", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@register(
+    "click_purchase_within_1h",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("interval-join", "events", "streaming", "gap"),
+)
+def click_purchase_within_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event interval self-join: every purchase within one hour after
+    a click by the same user — the batch form of a stream-stream
+    interval join (streaming.ops has the watermarked streaming form).
+    The equi key (user_id) carries the shuffle; the time bound is a
+    post-join filter, so this is one hash join, not a range scan.
+    Delta emitted in integer micros (no timestamp affinity)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+    )
+    hour_us = 3600 * 1_000_000
+    return (
+        clicks.join(purchases, on="user_id")
+        .filter(
+            (F.col("purchase_us") >= F.col("click_us"))
+            & (F.col("purchase_us") < F.col("click_us") + hour_us)
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.col("purchase_us") - F.col("click_us")).alias("delta_us"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )

@@ -125,6 +125,70 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def interval_join_stream(
+    clicks: DataFrame, purchases: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: purchases within ``within`` after
+    a click by the same user (the streaming twin of the batch query
+    ``click_purchase_within_1h``).
+
+    Both sides must carry watermarks when streaming; the time-range
+    predicate bounds how long click state is retained (Spark evicts a
+    click once the purchase-side watermark passes click_ts + within).
+    Inner join on the user_id equi key + the range condition — exactly
+    the state-bounded stream-stream join pattern Structured Streaming
+    documents; on batch frames the same expression is one hash join.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {within}")
+        ),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "delta_us"
+        ),
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, within: str | None = None
+) -> DataFrame:
+    """Streaming deduplication on ``keys`` (default: event_id).
+
+    With ``within`` set, uses dropDuplicatesWithinWatermark — state for
+    a key is evicted once the watermark passes its first sighting +
+    ``within``, so state is bounded for unbounded streams (the 100 TB
+    posture: exact-forever dedup state grows without bound; windowed
+    dedup is what a production ingest pipeline actually runs). On a
+    batch frame (no watermark, ``within=None``) the same call is plain
+    dropDuplicates — one shuffle on the key hash.
+    """
+    keys = keys or ["event_id"]
+    if within is not None:
+        return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running totals (event count, value sum) maintained in the

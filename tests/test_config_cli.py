@@ -121,3 +121,16 @@ def test_split_size_controls_parallelism(spark, tmp_path, monkeypatch):
     parts = [f for f in os.listdir(tmp_path) if f.startswith("output-part-")]
     assert len(parts) >= 4
     assert read_output(str(tmp_path)) == {("aa", "10"), ("bb", "10")}
+
+
+def test_object_store_conf_surface():
+    from corral_spark.session import object_store_conf
+
+    conf = object_store_conf()
+    # Committer must be the multipart-manifest (magic) committer —
+    # rename-based commit is O(data) and non-atomic on object stores.
+    assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert "PathOutputCommitProtocol" in conf["spark.sql.sources.commitProtocolClass"]
+    assert conf["spark.hadoop.fs.s3a.experimental.input.fadvise"] == "random"
+    # Every value must be a string (SparkConf contract).
+    assert all(isinstance(v, str) for v in conf.values())

@@ -1,0 +1,176 @@
+"""Unit tests for the round-2 gap operators: range/interval join,
+gapfill+LOCF, symmetric-delete fuzzy join, merge upsert."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from corral_spark.operators.fuzzy import fuzzy_join_lev1
+from corral_spark.operators.merge import merge_upsert
+from corral_spark.operators.ranges import interval_bucket_join
+from corral_spark.operators.timeseries import gapfill_locf, time_bucket
+
+
+# ---------------------------------------------------------------------------
+# interval_bucket_join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_bucket_join_matches_naive(spark):
+    points = spark.createDataFrame(
+        [(i, i * 37 % 1000) for i in range(200)], ["pid", "x"]
+    )
+    intervals = spark.createDataFrame(
+        [(k, k * 90, k * 90 + 150) for k in range(12)], ["iid", "lo", "hi"]
+    )
+    fast = interval_bucket_join(points, intervals, "x", "lo", "hi", 50)
+    naive = points.join(
+        intervals,
+        (points.x >= intervals.lo) & (points.x < intervals.hi),
+    )
+    got = sorted((r.pid, r.iid) for r in fast.select("pid", "iid").collect())
+    want = sorted((r.pid, r.iid) for r in naive.select("pid", "iid").collect())
+    assert got == want and len(got) > 0
+
+
+def test_interval_bucket_join_no_nested_loop(spark):
+    points = spark.createDataFrame([(1, 10)], ["pid", "x"])
+    intervals = spark.createDataFrame([(1, 0, 20)], ["iid", "lo", "hi"])
+    plan = (
+        interval_bucket_join(points, intervals, "x", "lo", "hi", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_spanning_many_buckets(spark):
+    # One interval covering everything: every point matches once.
+    points = spark.createDataFrame([(i, i) for i in range(100)], ["pid", "x"])
+    intervals = spark.createDataFrame([(1, 0, 100)], ["iid", "lo", "hi"])
+    out = interval_bucket_join(points, intervals, "x", "lo", "hi", 7)
+    assert out.count() == 100
+    # No duplicate (point, interval) pairs despite multi-bucket spans.
+    assert out.select("pid", "iid").distinct().count() == 100
+
+
+# ---------------------------------------------------------------------------
+# gapfill_locf / time_bucket
+# ---------------------------------------------------------------------------
+
+
+def test_gapfill_locf_fills_and_preserves_leading_nulls(spark):
+    obs = spark.createDataFrame(
+        [("a", 2, 10.0), ("a", 5, 20.0), ("b", 3, 7.0)],
+        ["k", "bucket", "v"],
+    )
+    out = gapfill_locf(obs, "k", "bucket", ["v"], bucket_width=1)
+    rows = {(r.k, r.bucket): r.v for r in out.collect()}
+    # Spine spans global [2, 5] for every key.
+    assert len(rows) == 8
+    assert rows[("a", 2)] == 10.0
+    assert rows[("a", 3)] == 10.0  # gap -> LOCF
+    assert rows[("a", 4)] == 10.0
+    assert rows[("a", 5)] == 20.0
+    assert rows[("b", 2)] is None  # before b's first obs: nothing to carry
+    assert rows[("b", 3)] == 7.0
+    assert rows[("b", 5)] == 7.0
+
+
+def test_gapfill_locf_empty_input(spark):
+    obs = spark.createDataFrame([], "k string, bucket bigint, v double")
+    out = gapfill_locf(obs, "k", "bucket", ["v"], bucket_width=1)
+    assert out.count() == 0
+    assert out.columns == ["k", "bucket", "v"]
+
+
+def test_time_bucket_truncates(spark):
+    df = spark.createDataFrame([(3601,), (7199,), (7200,)], ["ts"])
+    got = [r[0] for r in df.select(time_bucket("ts", 3600)).collect()]
+    assert got == [3600, 3600, 7200]
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join_lev1
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_join_complete_vs_brute_force(spark):
+    words = [
+        "kitten", "sitten", "sittin", "sitting", "mitten", "bitten",
+        "kittens", "itten", "kitte", "xyz", "xyzz", "abc",
+    ]
+    df = spark.createDataFrame(list(enumerate(words)), ["id", "w"])
+    fast = sorted(
+        (r.id_a, r.id_b)
+        for r in fuzzy_join_lev1(df, "w", "id").collect()
+    )
+    brute = sorted(
+        (r.id_a, r.id_b)
+        for r in df.alias("a")
+        .join(df.alias("b"), F.col("a.id") < F.col("b.id"))
+        .filter(F.levenshtein("a.w", "b.w") <= 1)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .collect()
+    )
+    assert fast == brute and len(fast) > 0
+
+
+def test_fuzzy_join_exact_duplicates_and_max_block(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "same"), (4, "other")], ["id", "w"]
+    )
+    pairs = fuzzy_join_lev1(df, "w", "id")
+    assert pairs.filter(F.col("lev") == 0).count() == 3  # 3 choose 2
+    # max_block=2 drops the degenerate "same" variants entirely.
+    capped = fuzzy_join_lev1(df, "w", "id", max_block=2)
+    assert capped.count() == 0
+
+
+def test_fuzzy_join_no_cartesian(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "w"])
+    plan = (
+        fuzzy_join_lev1(df, "w", "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_update_insert_delete(spark):
+    current = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "s", "v"],
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "B", 21.0, False),  # update
+            (4, "d", 40.0, False),  # insert
+            (3, None, None, True),  # delete
+        ],
+        "k long, s string, v double, del boolean",
+    )
+    out = {
+        r.k: (r.s, r.v)
+        for r in merge_upsert(current, updates, "k", delete_col="del").collect()
+    }
+    assert out == {1: ("a", 10.0), 2: ("B", 21.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_partial_null_update_keeps_current(spark):
+    current = spark.createDataFrame([(1, "a", 10.0)], ["k", "s", "v"])
+    updates = spark.createDataFrame(
+        [(1, None, 99.0)], "k long, s string, v double"
+    )
+    row = merge_upsert(current, updates, "k").collect()[0]
+    assert (row.s, row.v) == ("a", 99.0)  # NULL column patches nothing

@@ -74,3 +74,60 @@ def test_no_python_udfs_in_relational_plans(spark, name):
     # round-trip snuck into the hot path.
     plan = plan_of(spark, name)
     assert "EvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_in_promo_windows",
+        "daily_revenue_gapfill",
+        "customer_running_totals",
+        "orders_merge_upsert",
+        "fuzzy_customer_pairs",
+        "tfidf_top_terms",
+        "click_purchase_within_1h",
+    ],
+)
+def test_round2_queries_never_nested_loop(spark, name):
+    # Range joins, fuzzy joins, and interval self-joins are the
+    # classic accidental-cross-join shapes; the bucket/variant
+    # decompositions must keep them equi-joins at any scale.
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    # Engine posture (session.RUNTIME_FILTER_CONF): a selective filter
+    # on one join side must inject a bloom filter on the fact side.
+    # The application-side size gate (10 GB default — correct at
+    # scale) is lowered only inside this test so sf0.01 qualifies.
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "bloom filter must reach the fact scan side"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

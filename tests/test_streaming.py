@@ -74,3 +74,49 @@ def test_watermark_attaches_to_plan(spark):
     batch = tumbling_agg(load_table(spark, SF, "events"))
     cols = ["window_start", "event_type", "n_events", "sum_value"]
     assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_interval_join_stream_matches_batch(spark):
+    from corral_spark.streaming.ops import interval_join_stream
+
+    events = load_table(spark, SF, "events")
+    batch = interval_join_stream(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+    src = read_events_stream(spark, SF)
+    stream = run_available_now(
+        interval_join_stream(
+            src.filter(F.col("event_type") == "click").withWatermark(
+                "ts", "1 hour"
+            ),
+            src.filter(F.col("event_type") == "purchase").withWatermark(
+                "ts", "1 hour"
+            ),
+        ),
+        "mem_interval_join",
+        output_mode="append",
+    )
+    cols = ["click_id", "purchase_id", "user_id", "delta_us"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+    assert stream.count() > 0
+
+
+def test_dedup_stream_matches_batch_distinct(spark):
+    from corral_spark.streaming.ops import dedup_stream
+
+    # Duplicate the source by self-union: every event_id appears twice.
+    batch = load_table(spark, SF, "events")
+    n_unique = batch.count()
+    doubled_stream = read_events_stream(spark, SF).unionByName(
+        read_events_stream(spark, SF)
+    )
+    out = run_available_now(
+        dedup_stream(doubled_stream, ["event_id"], within="1 hour"),
+        "mem_dedup_stream",
+        output_mode="append",
+    )
+    assert out.count() == n_unique
+    assert (
+        out.select("event_id").distinct().count() == n_unique
+    )
