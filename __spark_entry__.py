@@ -87,6 +87,8 @@ _DEMOTED = (
     "order_latency",  # datetime diff: covered by click_purchase_within_1h deltas
     "order_item_arrays",  # array agg: covered by tfidf/tokenize explode paths
     "window_top_orders",  # ranked window: covered by top_orders + customer_running_totals
+    "doc_fingerprint_md5",  # md5 hashing: same construction as sampling's md5 bucketing
+    "salted_nation_revenue",  # skew salting: plan+equality pinned by pytest, regional_revenue covers the agg
 )
 
 

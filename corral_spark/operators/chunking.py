@@ -1,0 +1,95 @@
+"""Document chunking and sequence packing — the two structural
+transforms between a cleaned corpus and a training batch (SURVEY §2.4
+family; no reference analog).
+
+Both are pure Catalyst expressions (sequence/transform/slice +
+posexplode and window cumsum) — no Python in the hot path, so they
+codegen and scale like any other projection/window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from corral_spark.functions.text import tokenize
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """Split each document into word-window chunks of ``chunk_words``
+    words with ``overlap`` words of context carried between adjacent
+    chunks (the standard RAG/pretraining chunker shape).
+
+    Chunk i covers words [i*stride, i*stride + chunk_words) with
+    stride = chunk_words - overlap; the last chunk may be short, and a
+    document shorter than one chunk yields exactly one chunk. Pure
+    explode-of-slices: cost is linear in corpus words, parallelism is
+    per-document rows, no shuffle at all.
+
+    Output: (id_col, chunk_id, chunk_text, n_words).
+    """
+    if not 0 <= overlap < chunk_words:
+        raise ValueError("need 0 <= overlap < chunk_words")
+    stride = chunk_words - overlap
+    words = tokenize(F.col(text_col))
+    n = F.size(words)
+    # ceil((n - overlap) / stride), min 1 — counts windows whose start
+    # < n - overlap (a start inside the pure-overlap tail would only
+    # repeat already-covered words).
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(words, i * stride + 1, chunk_words),
+    )
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "__w"),
+    )
+    return ex.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join(F.col("__w"), " ").alias("chunk_text"),
+        F.size("__w").cast("int").alias("n_words"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Assign rows to contiguous packs of total ``weight_col`` (token
+    count) ~``budget`` each — streaming sequence packing for training
+    batches.
+
+    Deterministic windowed formulation: rows in ``order_col`` order
+    (default: ``id_col``), pack_id = floor(exclusive_cumsum / budget).
+    Each pack's weight is < budget + its last row's weight (a row may
+    straddle the boundary) — the scalable one-window approximation of
+    first-fit packing; exact bin packing is NP-hard and inherently
+    sequential. One global-window cumsum: at cluster scale, partition
+    the corpus (e.g. by shard) and pack within shards to avoid the
+    single-partition window — the per-shard form is this same function
+    applied per shard.
+
+    Output: input columns + pack_id (bigint) + pack_offset (bigint,
+    the row's starting weight offset inside its pack).
+    """
+    order = order_col or id_col
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    excl = F.coalesce(F.sum(weight_col).over(w), F.lit(0)).cast("bigint")
+    return df.select(
+        "*",
+        (excl / budget).cast("bigint").alias("pack_id"),
+        (excl % budget).cast("bigint").alias("pack_offset"),
+    )

@@ -175,3 +175,78 @@ def click_purchase_within_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id", "purchase_id")
     )
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_TOK_SQL.format(col='text')} AS words FROM documents
+    ),
+    n AS (
+      SELECT doc_id, words, len(words) AS nw,
+             greatest(1, CAST(ceil((len(words) - 10) / 30.0) AS INT))
+               AS n_chunks
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(c.i AS INT) AS chunk_id,
+           array_to_string(list_slice(words, c.i * 30 + 1, c.i * 30 + 40), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(words, c.i * 30 + 1, c.i * 30 + 40)) AS INT)
+             AS n_words
+    FROM n, unnest(generate_series(0, n_chunks - 1)) AS c(i)
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("chunking", "text", "extension"),
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/pretraining chunker (operators.chunking.chunk_documents):
+    40-word chunks, 10-word overlap (stride 30 — several chunks per
+    document at this corpus's ~100-word lengths), pure
+    slice+posexplode — linear in corpus words, shuffle-free. The
+    oracle mirrors the slicing arithmetic exactly with list_slice."""
+    from corral_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", 40, 10
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "pack_docs_2k",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOK_SQL.format(col='text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS excl
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           excl // 2048 AS pack_id,
+           excl % 2048 AS pack_offset
+    FROM c
+    ORDER BY doc_id
+    """,
+    tags=("packing", "text", "extension"),
+)
+def pack_docs_2k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators.chunking.pack_sequences): documents
+    in doc_id order filled into ~2048-token packs via one windowed
+    exclusive cumsum — the deterministic streaming approximation of
+    first-fit (exact bin packing is sequential/NP-hard). pack_offset
+    gives each doc's start position inside its pack."""
+    from corral_spark.functions.text import tokenize
+    from corral_spark.operators.chunking import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", 2048).orderBy("doc_id")

@@ -242,6 +242,36 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def foreach_batch_parquet_sink(
+    df: DataFrame, path: str, checkpoint_dir: str
+):
+    """Micro-batch parquet sink via foreachBatch — the arbitrary-sink
+    escape hatch (reference F12's TSV sink has no streaming analog;
+    this is how a stream lands in any batch-writable target).
+
+    Exactly-once discipline: each micro-batch overwrites its own
+    ``batch_id=<n>`` directory, so replays after failure (same batchId
+    redelivered from the checkpoint) are idempotent — the documented
+    foreachBatch pattern for non-transactional targets. Downstream
+    reads treat ``path`` as a partitioned table.
+
+    Returns the started StreamingQuery (availableNow trigger —
+    processes everything available, then stops).
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{path}/batch_id={batch_id}"
+        )
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

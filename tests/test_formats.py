@@ -92,3 +92,20 @@ def test_partitioned_parquet_write_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(order_year" in plan
     assert back.count() == orders.filter(F.col("order_year") == 1997).count()
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    # A long-lived 100 TB table accretes columns over time; readers
+    # must unify old and new footers (mergeSchema) with NULL backfill
+    # rather than requiring a rewrite of petabytes of history.
+    v1 = spark.createDataFrame([(1, "a")], ["id", "s"])
+    v2 = spark.createDataFrame([(2, "b", 9.5)], ["id", "s", "score"])
+    v1.write.parquet(f"{tmp_path}/t/v=1")
+    v2.write.parquet(f"{tmp_path}/t/v=2")
+    df = spark.read.option("mergeSchema", "true").parquet(f"{tmp_path}/t")
+    assert set(df.columns) == {"id", "s", "score", "v"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}  # old files read NULL for new col
+    # Default reads (no mergeSchema) must still work on the new footer.
+    only_v2 = spark.read.parquet(f"{tmp_path}/t/v=2")
+    assert only_v2.count() == 1

@@ -174,3 +174,60 @@ def test_merge_upsert_partial_null_update_keeps_current(spark):
     )
     row = merge_upsert(current, updates, "k").collect()[0]
     assert (row.s, row.v) == ("a", 99.0)  # NULL column patches nothing
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents / pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_overlap_and_reconstruction(spark):
+    text = " ".join(f"w{i}" for i in range(95))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    from corral_spark.operators.chunking import chunk_documents
+
+    chunks = sorted(
+        (r.chunk_id, r.chunk_text.split(" "))
+        for r in chunk_documents(df, "text", "doc_id", 40, 10).collect()
+    )
+    # stride 30: ceil((95-10)/30) = 3 chunks
+    assert [c[0] for c in chunks] == [0, 1, 2]
+    assert all(len(c[1]) <= 40 for c in chunks)
+    # Consecutive chunks share exactly the 10-word overlap.
+    assert chunks[0][1][30:] == chunks[1][1][:10]
+    assert chunks[1][1][30:] == chunks[2][1][:10]
+    # Dropping each chunk's leading overlap reconstructs the doc.
+    rebuilt = chunks[0][1] + chunks[1][1][10:] + chunks[2][1][10:]
+    assert rebuilt == text.split(" ")
+
+
+def test_chunk_documents_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "only three words"), (2, "")], ["doc_id", "text"]
+    )
+    from corral_spark.operators.chunking import chunk_documents
+
+    out = {
+        r.doc_id: (r.chunk_id, r.n_words)
+        for r in chunk_documents(df, "text", "doc_id", 40, 10).collect()
+    }
+    assert out == {1: (0, 3), 2: (0, 0)}  # exactly one chunk each
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, 100 + (i * 37) % 500) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "tokens"])
+    from corral_spark.operators.chunking import pack_sequences
+
+    out = pack_sequences(df, "id", "tokens", budget=1000).collect()
+    max_w = max(w for _, w in rows)
+    by_pack: dict = {}
+    for r in sorted(out, key=lambda r: r.id):
+        by_pack.setdefault(r.pack_id, []).append(r)
+        assert 0 <= r.pack_offset < 1000
+    for pid, members in by_pack.items():
+        total = sum(r.tokens for r in members)
+        assert total < 1000 + max_w  # overflow bounded by one row
+    # Packs are contiguous in id order and offsets are cumulative.
+    ids = [r.id for r in sorted(out, key=lambda r: (r.pack_id, r.pack_offset))]
+    assert ids == sorted(ids)

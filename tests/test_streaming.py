@@ -120,3 +120,21 @@ def test_dedup_stream_matches_batch_distinct(spark):
     assert (
         out.select("event_id").distinct().count() == n_unique
     )
+
+
+def test_foreach_batch_parquet_sink_roundtrip(spark, tmp_path):
+    from corral_spark.streaming.ops import foreach_batch_parquet_sink
+
+    batch = load_table(spark, SF, "events")
+    q = foreach_batch_parquet_sink(
+        read_events_stream(spark, SF),
+        f"{tmp_path}/out",
+        f"{tmp_path}/ckpt",
+    )
+    q.awaitTermination()
+    landed = spark.read.parquet(f"{tmp_path}/out")
+    assert landed.drop("batch_id").count() == batch.count()
+    assert (
+        landed.select("event_id").distinct().count()
+        == batch.select("event_id").distinct().count()
+    )
