@@ -89,6 +89,8 @@ _DEMOTED = (
     "window_top_orders",  # ranked window: covered by top_orders + customer_running_totals
     "doc_fingerprint_md5",  # md5 hashing: same construction as sampling's md5 bucketing
     "salted_nation_revenue",  # skew salting: plan+equality pinned by pytest, regional_revenue covers the agg
+    "customers_without_orders",  # anti join: covered by parts_never_shipped + merge tombstones
+    "regional_revenue",  # multi-dim join+agg: covered by shipping_priority/amplab3, still benched
 )
 
 

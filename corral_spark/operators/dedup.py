@@ -422,18 +422,53 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return g.select(id_col, sim.alias("simhash"), F.col("n_tokens"))
 
 
+def simhash_md5(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 60
+) -> DataFrame:
+    """SimHash with md5-derived token hashes — identical construction
+    to :func:`simhash64` but the per-token hash is the top 15 hex
+    chars of md5 (60 bits, sign-safe in every engine), so the whole
+    fingerprint computation has an exact SQL twin in any engine with
+    md5 + integer bit ops (the same trick doc_fingerprint_md5 uses to
+    make hashing oracle-checkable; xxhash64 stays the fast in-engine
+    default). Same codegen'd explode + 60-sum aggregate shape.
+    Output: (id_col, simhash: bigint, n_tokens: int).
+    """
+    toks = tokenize(F.col(text_col))
+    ex = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
+        id_col,
+        F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("__h"),
+    )
+    aggs = [
+        F.sum(F.shiftright("__h", b).bitwiseAND(F.lit(1))).alias(f"__c{b}")
+        for b in range(bits)
+    ]
+    g = ex.groupBy(id_col).agg(*aggs, F.count(F.lit(1)).alias("n_tokens"))
+    half = F.col("n_tokens").cast("double") / 2.0
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"__c{b}") > half, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return g.select(id_col, sim.alias("simhash"), F.col("n_tokens"))
+
+
 def simhash_pairs(
-    sim_df: DataFrame, id_col: str, max_hamming: int = 3
+    sim_df: DataFrame, id_col: str, max_hamming: int = 3, width: int = 16
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Pigeonhole banding: with 4 disjoint 16-bit bands, any pair within
-    hamming distance 3 matches exactly on >= 1 band, so candidates
-    come from 4 equi-joins on 16-bit band keys — never a cross join.
+    Pigeonhole banding: with 4 disjoint ``width``-bit bands, any pair
+    within hamming distance 3 matches exactly on >= 1 band, so
+    candidates come from 4 equi-joins on band keys — never a cross
+    join. ``width=15`` covers the 60-bit md5 variant.
     Output: (id_a, id_b, hamming) with id_a < id_b.
     """
     bands = 4
-    width = 16
     band_key = F.explode(
         F.array(
             *[

@@ -22,6 +22,7 @@ from corral_spark.operators.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
     minhash_signatures,
+    minhash_verified_pairs,
 )
 from corral_spark.operators.graph import connected_components
 from corral_spark.operators.quality import normalize_text, redact_pii
@@ -37,6 +38,7 @@ def prepare_pretraining_corpus(
     near_dup_threshold: float = 0.5,
     train_fraction: float = 0.9,
     with_report: bool = True,
+    near_dup: str = "estimate",
 ) -> tuple[DataFrame, dict[str, int]]:
     """Returns (corpus, report): the cleaned/deduped/split corpus with
     columns (id_col, clean_text, n_words, split), plus per-stage
@@ -80,8 +82,20 @@ def prepare_pretraining_corpus(
 
     # 3. Near-dedup: MinHash signatures -> LSH candidate pairs ->
     #    connected components -> keep each component's min id.
-    sigs = minhash_signatures(exact, "clean_text", id_col)
-    pairs = minhash_lsh_pairs(sigs, id_col, threshold=near_dup_threshold)
+    #    near_dup='verified' adds the exact shingle-Jaccard check on
+    #    each candidate (minhash_verified_pairs): the pair set becomes
+    #    EXACTLY "Jaccard >= threshold", making the whole pipeline
+    #    deterministic relational algebra — and therefore
+    #    oracle-checkable end-to-end. 'estimate' keeps the cheaper
+    #    signature-similarity cut (verification join skipped); same
+    #    asymptotics either way, candidates bounded by LSH bands.
+    if near_dup == "verified":
+        pairs = minhash_verified_pairs(
+            exact, "clean_text", id_col, threshold=near_dup_threshold
+        ).select("id_a", "id_b")
+    else:
+        sigs = minhash_signatures(exact, "clean_text", id_col)
+        pairs = minhash_lsh_pairs(sigs, id_col, threshold=near_dup_threshold)
     comp = connected_components(pairs, "id_a", "id_b")
     non_reps = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)

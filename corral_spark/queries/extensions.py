@@ -763,19 +763,104 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pretrain_corpus",
+    oracle="""
+    WITH RECURSIVE
+    clean AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g')) AS clean_text
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, clean_text,
+             len(list_filter(string_split(clean_text, ' '), x -> x <> ''))
+               AS n_words,
+             CAST(len(list_distinct(list_filter(string_split(clean_text, ' '),
+               x -> x <> ''))) AS DOUBLE)
+               / NULLIF(len(list_filter(string_split(clean_text, ' '),
+                 x -> x <> '')), 0) AS dr
+      FROM clean
+    ),
+    filtered AS (
+      SELECT doc_id, clean_text, CAST(n_words AS INT) AS n_words
+      FROM scored WHERE n_words >= 20 AND dr >= 0.3
+    ),
+    exact AS (
+      SELECT doc_id, clean_text, n_words FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY clean_text) AS keep
+        FROM filtered
+      ) WHERE doc_id = keep
+    ),
+    w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(
+               regexp_replace(clean_text, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+'),
+               x -> x <> '') AS words
+      FROM exact
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 4, 1) + 1),
+               i -> array_to_string(list_slice(words, i, i + 4), ' ')))) AS token
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION
+      SELECT id_b AS u, id_a AS v FROM edges
+    ),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM exact
+      UNION
+      SELECT s.v, r.root FROM reach r JOIN sym s ON s.u = r.node
+    ),
+    reps AS (
+      SELECT node AS doc_id FROM reach GROUP BY node
+      HAVING MIN(root) = node
+    )
+    SELECT e.doc_id, e.clean_text, e.n_words,
+           CASE WHEN substring(md5('split:' || CAST(e.doc_id AS VARCHAR)), 1, 8)
+                     < 'e6666666'
+                THEN 'train' ELSE 'test' END AS split
+    FROM exact e JOIN reps USING (doc_id)
+    ORDER BY e.doc_id
+    """,
     headline=True,
-    tags=("pipeline", "dedup", "quality", "sampling", "extension"),  # rows-only
+    tags=("pipeline", "dedup", "quality", "sampling", "extension"),
 )
 def pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone: the composed pretraining corpus-prep pipeline
     (corral_spark.pipelines.prepare_pretraining_corpus): normalize +
-    redact -> quality filter -> exact dedup -> MinHash/CC near-dedup
-    -> reproducible split. Rows-only gate (the near-dedup stage is
-    hash-based); pytest pins funnel monotonicity and determinism."""
+    redact -> quality filter -> exact dedup (min-id winner) ->
+    verified MinHash near-dedup (LSH candidates + exact
+    shingle-Jaccard >= 0.5) -> connected components (keep reps) ->
+    reproducible md5 split. With the verified pair set the whole
+    pipeline is deterministic relational algebra, so the oracle
+    restates it: regex hygiene, window-min exact dedup, all-pairs
+    Jaccard edges, recursive-CTE components, md5-threshold split —
+    the full five-stage funnel hash-checked end-to-end."""
     from corral_spark.pipelines import prepare_pretraining_corpus
 
     corpus, _report = prepare_pretraining_corpus(
-        _docs(spark, sf_dir), with_report=False
+        _docs(spark, sf_dir), with_report=False, near_dup="verified"
     )
     return corpus.orderBy("doc_id")
 

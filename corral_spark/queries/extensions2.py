@@ -250,3 +250,65 @@ def pack_docs_2k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
     return pack_sequences(docs, "doc_id", "n_tokens", 2048).orderBy("doc_id")
+
+
+def _simhash_md5_oracle() -> str:
+    """Generate the 60-bit md5-SimHash oracle: per-token-occurrence
+    hashes, 60 bit-vote sums, majority fingerprint, all-pairs hamming
+    <= 3. The oracle side may be naive (all pairs) — it defines the
+    semantics; the Spark side must reach the same set via banding."""
+    csums = ",\n             ".join(
+        f"SUM((h >> {b}) & 1) AS c{b}" for b in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN c{b} > n / 2.0 THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE 0 END)"
+        for b in range(60)
+    )
+    tok = _TOK_SQL.format(col="text")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tok}) AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS h
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id,
+             {csums},
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM h GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, {fp} AS simhash FROM votes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "simhash_md5_pairs",
+    oracle=_simhash_md5_oracle(),
+    tags=("dedup", "simhash", "extension"),
+)
+def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, cross-engine-checkable variant
+    (operators.dedup.simhash_md5): md5-derived 60-bit fingerprints,
+    4x15-bit pigeonhole banding, hamming <= 3. The oracle computes
+    the SAME fingerprints naively over all pairs, so a green row
+    proves both the fingerprint math and the banding completeness —
+    the md5 twin of the fast xxhash simhash_pairs_docs path."""
+    from corral_spark.operators.dedup import simhash_md5, simhash_pairs
+
+    sims = simhash_md5(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return (
+        simhash_pairs(sims, "doc_id", max_hamming=3, width=15)
+        .select(
+            "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+        )
+        .orderBy("id_a", "id_b")
+    )
