@@ -94,7 +94,13 @@ def word_shingles_arrow(text: Column, n: int = 5) -> Column:
     occurrence order). UDFs are normally the slow path, but Spark's
     interpreted higher-order functions lose here by ~18x measured
     (see word_shingles); string n-gramming is exactly the vectorized-
-    Python sweet spot.
+    Python sweet spot. Also measured (r2): a pure-JVM rolling
+    xor-rotate hash over pre-materialized word-hash arrays lands at
+    ~1.4s vs this UDF's ~1.2s at sf0.1 — no win, and it loses the
+    string shingles the exact-verification joins reuse. (The naive
+    JVM form without materializing the word-hash array first is
+    catastrophically non-CSE'd: element_at inside transform() re-runs
+    the inner transform per access, 340s.)
     """
     pat = re.compile(_NON_ALNUM_RE)
 

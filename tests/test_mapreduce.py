@@ -200,3 +200,33 @@ def test_custom_partition_func(spark, tmp_path):
     for i in (1, 2, 3):
         p = tmp_path / f"output-part-{i}"
         assert not p.exists() or p.read_text() == ""
+
+
+class StructFieldFilter(Mapper, Reducer):
+    # reference driver_test.go:166-186: a job whose behavior depends on
+    # struct-field state (filter_words), map emits matching words,
+    # reduce counts them.
+    def __init__(self, filter_words):
+        self.filter_words = filter_words
+
+    def map(self, key, value, emitter):
+        for word in value.split():
+            if word in self.filter_words:
+                emitter.emit(word, "1")
+
+    def reduce(self, key, values, emitter):
+        emitter.emit(key, str(sum(1 for _ in values.iter())))
+
+
+def test_directory_input_struct_field_job(spark, tmp_path):
+    # reference driver_test.go:188-219 (TestLocalStructFieldMapReduce):
+    # the INPUT is a directory — the facade must resolve it to the
+    # files inside, like corfs glob semantics.
+    (tmp_path / "test_input").write_text(
+        "the test input\nthe input test\nfoo bar baz"
+    )
+    j = StructFieldFilter(["foo", "bar"])
+    Driver(
+        Job(mapper=j, reducer=j), [str(tmp_path)], str(tmp_path), spark=spark
+    ).main()
+    assert read_output(str(tmp_path)) == {("foo", "1"), ("bar", "1")}

@@ -66,3 +66,57 @@ def test_decimal_sum_matches_python_exact(spark):
     got = df.agg(F.sum(F.col("x").cast("decimal(12,2)")).alias("s")).collect()[0].s
     expect = sum(Decimal(str(v)) for v in vals)
     assert got == expect
+
+
+# Spark-backed properties, capped at few examples (each is a job).
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_words=st.integers(min_value=0, max_value=300),
+    chunk=st.integers(min_value=2, max_value=60),
+    data=st.data(),
+)
+def test_chunking_reconstructs_any_length(spark, n_words, chunk, data):
+    from corral_spark.operators.chunking import chunk_documents
+
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    chunks = [
+        r.chunk_text.split(" ") if r.chunk_text else []
+        for r in chunk_documents(df, "text", "doc_id", chunk, overlap)
+        .orderBy("chunk_id")
+        .collect()
+    ]
+    assert len(chunks) >= 1
+    assert all(len(c) <= chunk for c in chunks)
+    rebuilt = list(chunks[0])
+    for c in chunks[1:]:
+        assert rebuilt[-overlap:] == c[:overlap] if overlap else True
+        rebuilt.extend(c[overlap:])
+    assert rebuilt == words
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=3000), min_size=1, max_size=60
+    ),
+    budget=st.integers(min_value=100, max_value=4000),
+)
+def test_packing_invariants_any_weights(spark, weights, budget):
+    from corral_spark.operators.chunking import pack_sequences
+
+    df = spark.createDataFrame(list(enumerate(weights)), ["id", "w"])
+    out = sorted(pack_sequences(df, "id", "w", budget).collect(), key=lambda r: r.id)
+    packs: dict = {}
+    for r in out:
+        assert 0 <= r.pack_offset < budget
+        packs.setdefault(r.pack_id, 0)
+        packs[r.pack_id] += r.w
+    for pid, total in packs.items():
+        assert total < budget + max(weights)
+    # pack ids are nondecreasing in row order (contiguous fills)
+    ids = [r.pack_id for r in out]
+    assert ids == sorted(ids)
