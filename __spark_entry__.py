@@ -91,6 +91,7 @@ _DEMOTED = (
     "salted_nation_revenue",  # skew salting: plan+equality pinned by pytest, regional_revenue covers the agg
     "customers_without_orders",  # anti join: covered by parts_never_shipped + merge tombstones
     "regional_revenue",  # multi-dim join+agg: covered by shipping_priority/amplab3, still benched
+    "distinct_parts_per_flag",  # distinct agg: covered by profile_orders n_distinct + tfidf df
 )
 
 

@@ -61,3 +61,60 @@ def orphan_report(
     return child.join(
         parent.select(parent_key), child[child_key] == parent[parent_key], "left_anti"
     )
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Single-pass column profiler: one output row per column with
+    (column, n_rows, n_nulls, n_distinct, min_value, max_value).
+
+    All aggregates for all columns run in ONE aggregation job (the
+    multi-distinct plan Spark expands internally); min/max are
+    stringified type-aware — numerics via DECIMAL(18,2), timestamps
+    via a fixed format — so the report schema is uniform and every
+    value has ONE canonical cross-engine text form (raw double/
+    timestamp casts format differently per engine).
+
+    The profiler is the first thing run against an unknown 100 TB
+    drop: one shuffle-free scan answers nullability, cardinality
+    class, and range for every column at once.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        FloatType,
+        TimestampType,
+    )
+
+    cols = cols or df.columns
+
+    def _fmt(c: str, agg):
+        # Aggregate on the RAW column (numeric/timestamp ordering),
+        # then stringify the single result — formatting before MIN/MAX
+        # would compare lexicographically ('99.00' > '100.00').
+        dt = df.schema[c].dataType
+        if isinstance(dt, (DoubleType, FloatType)):
+            return agg.cast("decimal(18,2)").cast("string")
+        if isinstance(dt, TimestampType):
+            return F.date_format(agg, "yyyy-MM-dd HH:mm:ss")
+        return agg.cast("string")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            _fmt(c, F.min(F.col(c))).alias(f"__min_{c}"),
+            _fmt(c, F.max(F.col(c))).alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nulls_{c}").alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_value"),
+            F.col(f"__max_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

@@ -312,3 +312,44 @@ def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def _profile_oracle() -> str:
+    """Per-column UNION ALL profile over orders, mirroring
+    operators.quality.profile_table's type-aware stringification."""
+    parts = []
+    for col, fmt in (
+        ("o_orderkey", "CAST({a} AS VARCHAR)"),
+        ("o_custkey", "CAST({a} AS VARCHAR)"),
+        ("o_orderstatus", "CAST({a} AS VARCHAR)"),
+        ("o_totalprice", "CAST(CAST({a} AS DECIMAL(18,2)) AS VARCHAR)"),
+        ("o_orderdate", "strftime({a}, '%Y-%m-%d %H:%M:%S')"),
+        ("o_orderpriority", "CAST({a} AS VARCHAR)"),
+    ):
+        parts.append(
+            f'SELECT \'{col}\' AS "column", COUNT(*) AS n_rows,'
+            f" COUNT(*) - COUNT({col}) AS n_nulls,"
+            f" CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,"
+            f" {fmt.format(a=f'MIN({col})')} AS min_value,"
+            f" {fmt.format(a=f'MAX({col})')} AS max_value"
+            f" FROM orders"
+        )
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+@register(
+    "profile_orders",
+    oracle=_profile_oracle(),
+    tags=("quality", "profiling", "extension"),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (operators.quality.profile_table): nulls,
+    exact distinct count, and canonical-text min/max for every orders
+    column in ONE aggregation pass — the first query a user runs
+    against an unknown data drop. The oracle restates it as one
+    UNION ALL branch per column; matching proves the type-aware
+    stringification (decimal money, fixed-format timestamps) is
+    cross-engine canonical."""
+    from corral_spark.operators.quality import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders")).orderBy("column")

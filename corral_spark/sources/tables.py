@@ -60,6 +60,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Integer DIV: double division would lose precision above
             # 2^53 ns (~1970+104 days); epoch-nanos are ~1.7e18.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        else:
+            from pyspark.sql.types import TimestampNTZType
+
+            if isinstance(df.schema["ts"].dataType, TimestampNTZType):
+                # Parquet written by micro-resolution engines (e.g. the
+                # sf scale-up tool via DuckDB) scans as TIMESTAMP_NTZ;
+                # time functions (unix_micros, windows) want TIMESTAMP.
+                # Session tz is pinned UTC, so the cast is value-stable.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

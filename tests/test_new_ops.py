@@ -231,3 +231,25 @@ def test_pack_sequences_invariants(spark):
     # Packs are contiguous in id order and offsets are cumulative.
     ids = [r.id for r in sorted(out, key=lambda r: (r.pack_id, r.pack_offset))]
     assert ids == sorted(ids)
+
+
+# ---------------------------------------------------------------------------
+# profile_table
+# ---------------------------------------------------------------------------
+
+
+def test_profile_table_stats_and_numeric_minmax(spark):
+    from corral_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 99.0, "b"), (2, 100.0, None), (3, 99.0, "a")],
+        ["k", "v", "s"],
+    )
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert prof["k"].n_rows == 3 and prof["k"].n_nulls == 0
+    assert prof["k"].n_distinct == 3
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert (prof["s"].min_value, prof["s"].max_value) == ("a", "b")
+    # Numeric min/max must compare numerically, not lexicographically:
+    # '99.00' > '100.00' as strings.
+    assert (prof["v"].min_value, prof["v"].max_value) == ("99.00", "100.00")
