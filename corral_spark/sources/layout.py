@@ -63,3 +63,62 @@ def write_range_clustered(
         .format(fmt)
         .save(path)
     )
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int,
+    fmt: str = "parquet",
+    bits: int = 16,
+) -> None:
+    """Two-dimensional clustering: interleave the bits of both columns
+    (Morton / Z-order key), range-partition and sort by that key, then
+    write. Each output file covers a LOCALIZED box in (x, y) space, so
+    parquet min/max stats let scans skip files for predicates on
+    EITHER column — single-column range clustering localizes one
+    dimension and leaves the other spanning the full domain per file.
+
+    Columns are min/max-normalized to ``bits``-bit integers in one agg
+    pass (rank-normalization would handle heavy skew better at the
+    cost of two global sorts; min/max is the standard first cut). The
+    z-key is a pure 2*bits-term bit expression — codegen'd, no UDF —
+    and is dropped before writing.
+    """
+    from pyspark.sql import functions as F
+
+    b = df.agg(
+        F.min(col_x).alias("xmin"),
+        F.max(col_x).alias("xmax"),
+        F.min(col_y).alias("ymin"),
+        F.max(col_y).alias("ymax"),
+    ).first()
+    scale = (1 << bits) - 1
+
+    def _norm(c, lo, hi):
+        span = (hi - lo) or 1
+        return F.least(
+            F.lit(scale),
+            ((F.col(c) - lo) / span * scale).cast("bigint"),
+        )
+
+    nx = _norm(col_x, b["xmin"], b["xmax"])
+    ny = _norm(col_y, b["ymin"], b["ymax"])
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(nx, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(ny, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(max(n_files, 1), "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

@@ -109,3 +109,30 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     # Default reads (no mergeSchema) must still work on the new footer.
     only_v2 = spark.read.parquet(f"{tmp_path}/t/v=2")
     assert only_v2.count() == 1
+
+
+def test_zorder_write_localizes_both_dimensions(spark, tmp_path):
+    import glob as _glob
+
+    from corral_spark.sources.layout import write_zorder_clustered
+
+    # 64x64 uniform grid; 16 files. Z-order must localize BOTH dims
+    # per file; single-dim clustering leaves the other dim spanning
+    # the whole domain in every file.
+    n = 64
+    grid = spark.createDataFrame(
+        [(x, y, x * n + y) for x in range(n) for y in range(n)],
+        ["x", "y", "payload"],
+    )
+    write_zorder_clustered(grid, f"{tmp_path}/z", "x", "y", n_files=16)
+    files = _glob.glob(f"{tmp_path}/z/part-*.parquet")
+    assert len(files) >= 8
+    xfrac, yfrac = [], []
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        xfrac.append((pdf.x.max() - pdf.x.min() + 1) / n)
+        yfrac.append((pdf.y.max() - pdf.y.min() + 1) / n)
+    # Every file's bounding box is a strict sub-range in BOTH dims on
+    # average — the multi-dimensional skipping property.
+    assert sum(xfrac) / len(xfrac) < 0.7
+    assert sum(yfrac) / len(yfrac) < 0.7
