@@ -131,3 +131,43 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    # Engine posture: AQE skew-join (session.ENGINE_CONF) replaces
+    # manual salting for runtime-detected skew. Thresholds are lowered
+    # only inside this test so a synthetic 300k-row hot key qualifies
+    # as skewed at test scale.
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        hot = spark.range(300_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        )
+        cold = spark.range(9_900).select(
+            (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = hot.union(cold).join(right, "k")
+        # collect() (not count()) so THIS frame's adaptive plan is the
+        # one that finalizes — count() executes a separate agg plan.
+        assert len(j.collect()) == 309_900
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE must split the hot partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
