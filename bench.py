@@ -44,12 +44,13 @@ def main() -> None:
         word_shingles_arrow(F.lit("warm up the python workers"), 2)
     ).count()
 
-    # min-of-2: a local[32] single-JVM host sees scheduler/JIT noise;
-    # the best of two runs is the engine's actual cost.
+    # min-of-3: a local[32] single-JVM host sees scheduler/JIT/GC noise
+    # of up to 3x run-to-run (measured); the best of three runs is the
+    # engine's actual cost.
     timings: dict[str, float] = {}
     for name, q in sorted(bench_queries.items()):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
