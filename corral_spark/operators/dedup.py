@@ -347,7 +347,7 @@ def minhash_verified_pairs(
     id_col: str,
     threshold: float = 0.5,
     n_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     shingle_n: int = 5,
 ) -> DataFrame:
     """Production-shape two-phase LSH dedup: MinHash-banded candidate
@@ -362,6 +362,24 @@ def minhash_verified_pairs(
     1.0 on the corpus's actual near-dup pairs (deterministic given the
     data — xxhash64 has no RNG), the result set equals the exact
     all-pairs Jaccard >= threshold set.
+
+    Banding default is 32 bands x 2 rows, NOT the estimate path's
+    16 x 4: the S-curve midpoint drops to (1/32)^(1/2) ~= 0.18, so
+    recall at the 0.5 threshold is ~1 - (1 - 0.25)^32 ~= 0.9999
+    (measured: 16 x 4 missed 8 of 256 true pairs at sf0.1 — pairs
+    sitting right at the threshold). The extra sub-threshold
+    candidates this admits only cost verification compute; the exact
+    filter removes them from the OUTPUT either way.
+
+    SHORT-DOC completeness: OPH signatures degrade when a document
+    has far fewer shingles than bins (most bins densified — measured
+    at sf0.1: 0.86-0.94-Jaccard pairs with 6-18 shingles banded to
+    zero agreement). Any affected pair has min(|a|,|b|) < n_hashes
+    and therefore max <= min/threshold, so candidates for docs with
+    <= n_hashes/threshold shingles are generated EXACTLY via a
+    shingle inverted-index self-join restricted to those docs — tiny
+    by construction (short docs emit few index rows) — and unioned
+    with the banded candidates.
 
     The shingle UDF runs ONCE (localCheckpoint), feeding both the
     signature aggregation and the verification join.
@@ -378,6 +396,19 @@ def minhash_verified_pairs(
     cands = minhash_lsh_pairs(sigs, "id", bands=bands, threshold=0.0).select(
         "id_a", "id_b"
     )
+    # Short-doc exact candidates (see docstring): inverted index over
+    # docs whose shingle count is below the OPH reliability floor.
+    small_max = int(n_hashes / max(threshold, 0.1))
+    small_ids = shing.filter(F.size("__sh") <= small_max).select("id")
+    stok = tok.join(small_ids, on="id")
+    small_cands = (
+        stok.select(F.col("id").alias("id_a"), F.col("__s").alias("__t"))
+        .join(stok.select(F.col("id").alias("id_b"), F.col("__s").alias("__t")), on="__t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cands = cands.unionByName(small_cands).dropDuplicates(["id_a", "id_b"])
     a = shing.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sha"))
     b = shing.select(F.col("id").alias("id_b"), F.col("__sh").alias("__shb"))
     inter = F.size(F.array_intersect("__sha", "__shb"))
