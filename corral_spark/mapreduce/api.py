@@ -129,9 +129,16 @@ def _parse_kv_line(line: str) -> tuple[str, str]:
 
 def _strip_file_scheme(path: str) -> str:
     """file:///x -> /x (the facade's os-level rename/move work on the
-    local filesystem). Other schemes pass through unchanged."""
+    local filesystem). A non-empty authority (file://host/...) is
+    rejected rather than silently treated as a relative local path.
+    Other schemes pass through unchanged."""
     if path.startswith("file://"):
-        return path[len("file://") :]
+        rest = path[len("file://") :]
+        if rest and not rest.startswith("/"):
+            raise ValueError(
+                f"file URI with remote authority not supported: {path!r}"
+            )
+        return rest
     return path
 
 
@@ -310,9 +317,16 @@ class Driver:
             self.working_location = wl
         if ns.verbose:
             self.config["verbose"] = True
+        # Positional inputs apply to THIS invocation only — appending
+        # to self.inputs permanently would double-read them on a
+        # second main() call.
+        saved_inputs = self.inputs
         self.inputs = list(self.inputs) + list(ns.inputs)
         start = time.time()
-        self.run()
+        try:
+            self.run()
+        finally:
+            self.inputs = saved_inputs
         # reference driver.go:245: "Job Execution Time: ..."
         print(f"Job Execution Time: {time.time() - start:.3f}s")
 

@@ -33,8 +33,13 @@ def merge_upsert(
     value_cols = [c for c in current.columns if c != key_col]
     up = updates
     if delete_col is not None:
-        tomb = up.filter(F.col(delete_col)).select(key_col)
-        up = up.filter(~F.col(delete_col)).drop(delete_col)
+        # NULL tombstone flag means "not a delete" (CDC feeds often
+        # populate the flag only on deletes); a bare ~col() would drop
+        # NULL-flagged updates from BOTH branches under three-valued
+        # logic, silently discarding them.
+        is_delete = F.coalesce(F.col(delete_col), F.lit(False))
+        tomb = up.filter(is_delete).select(key_col)
+        up = up.filter(~is_delete).drop(delete_col)
     cur = current.alias("c")
     upd = up.alias("u")
     merged = cur.join(upd, on=key_col, how="full_outer").select(

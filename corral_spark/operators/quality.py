@@ -100,7 +100,11 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            # coalesce: SUM over zero rows is NULL, but "no rows" has
+            # zero nulls (matches the oracle's COUNT(*)-COUNT(col)).
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"__nulls_{c}"),
             F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
             _fmt(c, F.min(F.col(c))).alias(f"__min_{c}"),
             _fmt(c, F.max(F.col(c))).alias(f"__max_{c}"),

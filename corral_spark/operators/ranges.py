@@ -39,12 +39,22 @@ def interval_bucket_join(
     length. Intervals spanning many buckets replicate per bucket —
     bounded by span/width, never by the point count.
 
-    ``how='inner'`` keeps matching pairs. Columns of both inputs are
-    preserved; callers project afterwards.
+    Only inner semantics are supported: the post-join range refine
+    would silently drop any outer join's unmatched rows (NULL lo/hi
+    fail the filter), degrading it back to inner — better to refuse
+    than to lie. Columns of both inputs are preserved; callers
+    project afterwards.
     """
-    b_point = (F.col(point_col) / bucket_width).cast("bigint")
-    lo_b = (F.col(lo_col) / bucket_width).cast("bigint")
-    hi_b = (F.col(hi_col) / bucket_width).cast("bigint")
+    if how != "inner":
+        raise ValueError(
+            "interval_bucket_join supports how='inner' only: the range "
+            f"refine drops unmatched outer rows, got how={how!r}"
+        )
+    # Floor division keeps bucketization monotone for negative values
+    # (cast-truncation would fold (-width, 0) into bucket 0).
+    b_point = F.floor(F.col(point_col) / bucket_width).cast("bigint")
+    lo_b = F.floor(F.col(lo_col) / bucket_width).cast("bigint")
+    hi_b = F.floor(F.col(hi_col) / bucket_width).cast("bigint")
     iv = intervals.withColumn("__bucket", F.explode(F.sequence(lo_b, hi_b)))
     pt = points.withColumn("__bucket", b_point)
     joined = pt.join(iv, on="__bucket", how=how).filter(

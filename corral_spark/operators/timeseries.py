@@ -19,9 +19,16 @@ from pyspark.sql import functions as F
 
 
 def time_bucket(col: Column | str, width_seconds: int) -> Column:
-    """Truncate an epoch-seconds column to its bucket start."""
+    """Truncate an epoch-seconds column to its bucket start.
+
+    floor division, not cast-truncation: casting truncates toward
+    zero, which would collapse pre-1970 values in (-width, 0) into
+    bucket 0 and shift every other negative epoch one bucket high.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return (c.cast("bigint") / width_seconds).cast("bigint") * width_seconds
+    return F.floor(c.cast("bigint") / width_seconds).cast(
+        "bigint"
+    ) * width_seconds
 
 
 def gapfill_locf(

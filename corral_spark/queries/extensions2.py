@@ -98,7 +98,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two shuffles (tf group-by, df group-by) + a broadcast of the tiny
     df side at this cardinality; ties broken by term for determinism."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # n_docs joins in lazily (one-row cross join, broadcast) — an
+    # eager docs.count() here would run a full-scan job at
+    # query-CONSTRUCTION time, paid even by plan-only inspections.
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     tok = docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
     )
@@ -108,14 +111,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("term").agg(
         F.count_distinct("doc_id").cast("bigint").alias("df")
     )
-    scored = tf.join(df, on="term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        F.expr(f"CAST((tf * {n_docs}L * 1000000L) DIV df AS BIGINT)").alias(
-            "score_micro"
-        ),
+    scored = (
+        tf.join(df, on="term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.expr("CAST((tf * n_docs * 1000000) DIV df AS BIGINT)").alias(
+                "score_micro"
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score_micro").desc(), F.col("term")

@@ -95,6 +95,11 @@ def write_zorder_clustered(
         F.min(col_y).alias("ymin"),
         F.max(col_y).alias("ymax"),
     ).first()
+    if b["xmin"] is None or b["ymin"] is None:
+        # Empty (or all-NULL-key) input: nothing to cluster — write
+        # the empty dataset instead of crashing on None arithmetic.
+        df.write.mode("overwrite").format(fmt).save(path)
+        return
     scale = (1 << bits) - 1
 
     def _norm(c, lo, hi):

@@ -253,3 +253,90 @@ def test_profile_table_stats_and_numeric_minmax(spark):
     # Numeric min/max must compare numerically, not lexicographically:
     # '99.00' > '100.00' as strings.
     assert (prof["v"].min_value, prof["v"].max_value) == ("99.00", "100.00")
+
+
+# ---------------------------------------------------------------------------
+# review-pass regression fixes
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_null_tombstone_is_update(spark):
+    # CDC feeds often populate the delete flag only on deletes; a NULL
+    # flag must mean "apply the update", not "silently drop it".
+    current = spark.createDataFrame([(1, "a", 10.0)], ["k", "s", "v"])
+    updates = spark.createDataFrame(
+        [(1, "A", 11.0, None)], "k long, s string, v double, del boolean"
+    )
+    out = merge_upsert(current, updates, "k", delete_col="del").collect()
+    assert [(r.k, r.s, r.v) for r in out] == [(1, "A", 11.0)]
+
+
+def test_time_bucket_negative_epochs_floor(spark):
+    df = spark.createDataFrame([(-10,), (-3600,), (-3601,)], ["ts"])
+    got = [r[0] for r in df.select(time_bucket("ts", 3600)).collect()]
+    assert got == [-3600, -3600, -7200]
+
+
+def test_interval_bucket_join_rejects_outer(spark):
+    df = spark.createDataFrame([(1, 1)], ["a", "b"])
+    with pytest.raises(ValueError, match="inner"):
+        interval_bucket_join(df, df, "a", "a", "b", 10, how="left")
+
+
+def test_interval_bucket_join_negative_domain(spark):
+    points = spark.createDataFrame(
+        [(i, i) for i in range(-50, 50)], ["pid", "x"]
+    )
+    intervals = spark.createDataFrame([(1, -30, 10)], ["iid", "lo", "hi"])
+    out = interval_bucket_join(points, intervals, "x", "lo", "hi", 7)
+    assert out.count() == 40  # [-30, 10) inclusive-exclusive
+
+
+def test_zorder_write_empty_input(spark, tmp_path):
+    from corral_spark.sources.layout import write_zorder_clustered
+
+    empty = spark.createDataFrame([], "x int, y int, payload int")
+    write_zorder_clustered(empty, f"{tmp_path}/ez", "x", "y", 4)
+    assert spark.read.parquet(f"{tmp_path}/ez").count() == 0
+
+
+def test_profile_table_empty_input_zero_nulls(spark):
+    from corral_spark.operators.quality import profile_table
+
+    empty = spark.createDataFrame([], "k long, s string")
+    prof = {r.column: r for r in profile_table(empty).collect()}
+    assert prof["k"].n_rows == 0 and prof["k"].n_nulls == 0
+    assert prof["s"].n_distinct == 0 and prof["s"].min_value is None
+
+
+def test_file_uri_authority_rejected():
+    from corral_spark.mapreduce.api import _strip_file_scheme
+
+    assert _strip_file_scheme("file:///tmp/x") == "/tmp/x"
+    assert _strip_file_scheme("/plain/path") == "/plain/path"
+    with pytest.raises(ValueError, match="authority"):
+        _strip_file_scheme("file://localhost/tmp/x")
+
+
+def test_driver_main_does_not_accumulate_positional_inputs(spark, tmp_path):
+    from corral_spark.mapreduce import Driver, Job, Mapper, Reducer
+    from tests.test_mapreduce import read_output
+
+    (tmp_path / "a.txt").write_text("x 1\nx 2\n")
+    (tmp_path / "b.txt").write_text("x 3\n")
+
+    class CountAll(Mapper, Reducer):
+        def map(self, key, value, emitter):
+            emitter.emit("n", "1")
+
+        def reduce(self, key, values, emitter):
+            emitter.emit(key, str(sum(1 for _ in values.iter())))
+
+    j = CountAll()
+    d = Driver(
+        Job(mapper=j, reducer=j), [str(tmp_path / "a.txt")], str(tmp_path),
+        spark=spark,
+    )
+    d.main([str(tmp_path / "b.txt")])
+    d.main([str(tmp_path / "b.txt")])  # second run must not double-read
+    assert read_output(str(tmp_path)) == {("n", "3")}

