@@ -92,6 +92,14 @@ _DEMOTED = (
     "customers_without_orders",  # anti join: covered by parts_never_shipped + merge tombstones
     "regional_revenue",  # multi-dim join+agg: covered by shipping_priority/amplab3, still benched
     "distinct_parts_per_flag",  # distinct agg: covered by profile_orders n_distinct + tfidf df
+    # Round-2 tail: four more demotions to keep the head at exactly 50
+    # after adding heavy_hitter_tokens / udtf_sentences_docs /
+    # click_purchase_leftouter / fuzzy_customer_pairs_capped — all
+    # r01-hash-green, all still oracle-gated by pytest at 3 SFs.
+    "amplab2",  # substring key + SUM: covered by amplab1 (scan/filter) + amplab3 (join+agg)
+    "top_orders",  # sort/top-k: TakeOrderedAndProject pinned by test_plans; shipping_priority has the same tail
+    "customer_name_features",  # scalar casts/strings: covered by order_date_parts + null_semantics pytest
+    "promo_revenue_share",  # conditional-agg share: covered by nations_above_global_share (same correlated shape)
 )
 
 

@@ -41,14 +41,25 @@ def fuzzy_join_lev1(
     text_col: str,
     id_col: str,
     max_block: int | None = None,
+    cap_per_block: int | None = None,
 ) -> DataFrame:
     """All pairs of rows whose ``text_col`` values are within
     Levenshtein distance 1 (including exact equals), id_a < id_b.
 
-    ``max_block`` optionally drops variant keys shared by more than
-    that many rows — the boilerplate-ceiling guard for degenerate
-    corpora (e.g. millions of identical strings), trading completeness
-    on those keys for bounded fan-out.
+    Two boilerplate-ceiling guards for degenerate corpora (millions of
+    near-identical strings), both trading completeness on hot keys for
+    bounded fan-out:
+
+    * ``max_block`` drops variant keys shared by more than that many
+      rows entirely — cheap (one aggregate), but all-or-nothing.
+    * ``cap_per_block`` instead keeps the ``cap_per_block`` rows with
+      the SMALLEST ids on each variant key (row_number over the key).
+      Deterministic by construction — the kept set depends only on the
+      data, not on partitioning — so the capped output is exactly
+      reproducible by an oracle that applies the same rank-and-cap
+      rule.  Fan-out per key is bounded at cap^2 candidate pairs.
+      The window shuffles on ``__v``, the same key the join shuffles
+      on, so AQE reuses the exchange rather than adding one.
 
     Output: (id_a, id_b, text_a, text_b, lev).
     """
@@ -66,6 +77,17 @@ def fuzzy_join_lev1(
             .select("__v")
         )
         ex = ex.join(keep, on="__v")
+    if cap_per_block is not None:
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(
+            Window.partitionBy("__v").orderBy("id")
+        )
+        ex = (
+            ex.withColumn("__rn", rn)
+            .filter(F.col("__rn") <= cap_per_block)
+            .drop("__rn")
+        )
     a = ex.select(
         F.col("id").alias("id_a"), F.col("txt").alias("text_a"), "__v"
     )

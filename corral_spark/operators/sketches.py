@@ -1,0 +1,113 @@
+"""Frequency sketches: exact heavy hitters via a Misra-Gries
+candidate pass plus an exact verification pass.
+
+Why not a single ``groupBy(item).count()``: at 100 TB the full
+distinct-item shuffle is the cost — every token of every document
+crosses the network once, and a Zipf head key can hot-spot a reducer.
+The classic two-pass heavy-hitter scheme avoids it:
+
+  pass 1 (narrow, no shuffle): each partition runs a Misra-Gries
+    summary of capacity ``c`` over its local items.  MG guarantees the
+    stored count of any item undercounts its true partition frequency
+    by at most ``n_p/(c+1)`` (Misra & Gries 1982; merge rule from
+    Agarwal et al., "Mergeable Summaries", PODS 2012).  So every item
+    with partition frequency > n_p/(c+1) survives the partition's
+    summary.  By pigeonhole, an item with GLOBAL frequency
+    >= (num/den) * n must have frequency >= (num/den) * n_p in at
+    least one partition p, and with c = ceil(den/num) that exceeds
+    n_p/(c+1) — so the union of the per-partition candidate sets is a
+    PROVABLE SUPERSET of the true heavy hitters.  Output size is
+    bounded by c * num_partitions rows regardless of data size.
+  pass 2 (tiny shuffle): broadcast the candidate set, semi-join to
+    keep only candidate items, exact-count just those, and filter
+    cnt * den >= num * n.  The shuffle now carries only rows whose
+    item is one of <= c * P candidates — the Zipf head, which
+    map-side partial aggregation collapses to one row per (partition,
+    item) before the exchange.
+
+The verification pass makes the result EXACT — identical to
+``GROUP BY item HAVING COUNT(*) * den >= num * n`` — which is what
+lets the driver oracle hash-check a sketch-based operator.
+
+Reference parity: the reference engine has no sketch operator; its
+closest analog is the word_count reducer
+(/root/reference/examples/word_count/word_count.go:29-43), which
+exact-counts every key.  This module is part of the §2.4 extension
+surface (LLM-pipeline vocabulary/boilerplate analysis).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_candidates(item_df: DataFrame, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate items (column ``item``).
+
+    mapInPandas (Arrow-batched) rather than a row-at-a-time UDF: the
+    per-batch work is one vectorized ``value_counts`` merged into a
+    dict bounded at ``capacity`` entries, so Python-side cost is
+    O(batch) with tiny constant state — and the stage stays narrow
+    (no exchange before it in the plan).
+    """
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            col = pdf["item"].dropna()
+            if col.empty:
+                continue
+            for item, c in col.value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > capacity:
+                # Mergeable-summaries shrink: subtract the (c+1)-th
+                # largest stored count from every entry and drop the
+                # non-positive ones — at most `capacity` survive, and
+                # total undercount stays <= n_p/(c+1).
+                dec = sorted(counts.values(), reverse=True)[capacity]
+                counts = {k: v - dec for k, v in counts.items() if v > dec}
+        yield pd.DataFrame({"item": list(counts.keys())})
+
+    return item_df.mapInPandas(mg, schema="item string")
+
+
+def frequent_items(
+    items: DataFrame,
+    item_col: str,
+    *,
+    num: int = 1,
+    den: int = 1000,
+) -> DataFrame:
+    """Items whose frequency is >= (num/den) of the total item count,
+    with their EXACT counts.  NULL items are excluded.
+
+    Output: (item, cnt) — exactly the rows of
+    ``SELECT item, COUNT(*) FROM items GROUP BY item
+      HAVING COUNT(*) * den >= num * total``.
+    """
+    if num <= 0 or den <= 0:
+        raise ValueError("num and den must be positive")
+    slim = items.select(F.col(item_col).alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    capacity = max(1, math.ceil(den / num))
+    # Candidate set: <= capacity * num_partitions rows by construction,
+    # so forcing broadcast is provably safe (unlike a data-scaling dim
+    # table) — no shuffle to dedup/distribute candidates.
+    cands = _mg_candidates(slim, capacity).dropDuplicates(["item"])
+    exact = (
+        slim.join(F.broadcast(cands), on="item", how="leftsemi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = slim.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        exact.join(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(den) >= F.lit(num) * F.col("__n"))
+        .select("item", "cnt")
+    )

@@ -126,19 +126,32 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def interval_join_stream(
-    clicks: DataFrame, purchases: DataFrame, within: str = "1 hour"
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: purchases within ``within`` after
-    a click by the same user (the streaming twin of the batch query
-    ``click_purchase_within_1h``).
+    a click by the same user (the streaming twin of the batch queries
+    ``click_purchase_within_1h`` / ``click_purchase_leftouter``).
 
     Both sides must carry watermarks when streaming; the time-range
     predicate bounds how long click state is retained (Spark evicts a
     click once the purchase-side watermark passes click_ts + within).
-    Inner join on the user_id equi key + the range condition — exactly
-    the state-bounded stream-stream join pattern Structured Streaming
+    Join on the user_id equi key + the range condition — exactly the
+    state-bounded stream-stream join pattern Structured Streaming
     documents; on batch frames the same expression is one hash join.
+
+    ``how``: ``inner`` or ``left_outer``.  Outer results for a click
+    with no matching purchase are emitted (null-padded) only once the
+    purchase-side watermark passes click_ts + within — i.e. once Spark
+    can PROVE no match can still arrive; until then the click sits in
+    the state store.  That is why streaming outer joins REQUIRE both
+    the watermark and the time bound: without them the "no match"
+    claim is undecidable on an unbounded stream.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join mode: {how}")
     c = clicks.select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
@@ -157,6 +170,7 @@ def interval_join_stream(
             F.col("purchase_ts")
             < F.col("click_ts") + F.expr(f"INTERVAL {within}")
         ),
+        how,
     )
     return joined.select(
         "click_id",

@@ -1,0 +1,164 @@
+"""Unit tests for the round-2 tail operators: Misra-Gries heavy
+hitters, the SQL UDTF surface, and the deterministic capped fuzzy
+join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from corral_spark.operators.fuzzy import fuzzy_join_lev1
+from corral_spark.operators.sketches import frequent_items
+
+
+# ---------------------------------------------------------------------------
+# frequent_items
+# ---------------------------------------------------------------------------
+
+
+def _skewed_items(spark, n_partitions):
+    # 400x 'hot', 150x 'warm', 120x 'mild', 330 singletons -> n=1000.
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 150
+        + [("mild",)] * 120
+        + [(f"tail{i}",) for i in range(330)]
+    )
+    return spark.createDataFrame(rows, ["item"]).repartition(n_partitions)
+
+
+def test_frequent_items_matches_exact_groupby(spark):
+    items = _skewed_items(spark, 16)
+    # den=10 with 1000 rows -> threshold 100; capacity 10 per
+    # partition forces the MG decrement path on every partition.
+    got = sorted(
+        (r.item, r.cnt)
+        for r in frequent_items(items, "item", num=1, den=10).collect()
+    )
+    exact = sorted(
+        (r.item, r.cnt)
+        for r in items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 10 >= 1000)
+        .collect()
+    )
+    assert got == exact == [("hot", 400), ("mild", 120), ("warm", 150)]
+
+
+def test_frequent_items_partition_invariant(spark):
+    # The MG candidate pass depends on partitioning; the verified
+    # output must not.
+    for parts in (1, 3, 32):
+        items = _skewed_items(spark, parts)
+        got = sorted(
+            (r.item, r.cnt)
+            for r in frequent_items(items, "item", num=3, den=20).collect()
+        )
+        assert got == [("hot", 400), ("warm", 150)], parts
+
+
+def test_frequent_items_excludes_nulls_and_empty(spark):
+    items = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,), (None,)], ["item"]
+    )
+    got = [(r.item, r.cnt) for r in frequent_items(items, "item", den=2).collect()]
+    assert got == [("a", 2)]  # nulls neither counted nor in the total
+
+    empty = spark.createDataFrame([], "item string")
+    assert frequent_items(empty, "item").collect() == []
+
+
+def test_frequent_items_rejects_bad_fraction(spark):
+    items = spark.createDataFrame([("a",)], ["item"])
+    import pytest
+
+    with pytest.raises(ValueError):
+        frequent_items(items, "item", num=0)
+
+
+# ---------------------------------------------------------------------------
+# SplitSentences UDTF
+# ---------------------------------------------------------------------------
+
+
+def test_udtf_split_sentences_lateral(spark):
+    from corral_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "One. Two! Three? Four"), (2, None), (3, "")],
+        ["doc_id", "text"],
+    ).createOrReplaceTempView("__udtf_test_docs")
+    rows = spark.sql(
+        """
+        SELECT doc_id, s.idx, s.sentence
+        FROM __udtf_test_docs d, LATERAL split_sentences(d.text) s
+        ORDER BY doc_id, s.idx
+        """
+    ).collect()
+    assert [(r.doc_id, r.idx, r.sentence) for r in rows] == [
+        (1, 1, "One"),
+        (1, 2, "Two"),
+        (1, 3, "Three"),
+        (1, 4, "Four"),
+    ]
+
+
+def test_udtf_idx_counts_dropped_empty_segments(spark):
+    from corral_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    # 'Hi! ! Yo' raw-splits to ['Hi', '', 'Yo'] — the empty segment is
+    # dropped but still consumes idx 2, matching generate_subscripts.
+    spark.createDataFrame([("Hi! ! Yo",)], ["text"]).createOrReplaceTempView(
+        "__udtf_idx_docs"
+    )
+    rows = spark.sql(
+        """
+        SELECT s.idx, s.sentence
+        FROM __udtf_idx_docs d, LATERAL split_sentences(d.text) s
+        ORDER BY s.idx
+        """
+    ).collect()
+    assert [(r.idx, r.sentence) for r in rows] == [(1, "Hi"), (3, "Yo")]
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join_lev1 cap_per_block
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_cap_keeps_smallest_ids_and_is_partition_invariant(spark):
+    # Five strings within lev<=1 of each other on shared variant keys;
+    # cap=2 must keep only pairs among the two smallest ids per key.
+    rows = [(i, f"abc{i}") for i in range(1, 6)] + [(9, "zzz")]
+    base = spark.createDataFrame(rows, ["id", "txt"])
+    want = None
+    for parts in (1, 7):
+        df = base.repartition(parts)
+        got = sorted(
+            (r.id_a, r.id_b)
+            for r in fuzzy_join_lev1(
+                df, "txt", "id", cap_per_block=2
+            ).collect()
+        )
+        if want is None:
+            want = got
+        assert got == want, parts
+    # 'abc1'..'abc5' all share variant 'abc'; smallest two ids are 1,2
+    # -> (1,2) survives; adjacent substitution keys like 'abcN' give no
+    # extra pairs beyond the shared-deletion block. 'zzz' pairs with
+    # nothing.
+    assert want == [(1, 2)]
+
+
+def test_fuzzy_cap_large_enough_matches_uncapped(spark):
+    rows = [(i, t) for i, t in enumerate(["cat", "cut", "cart", "dog", "dig"])]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    capped = sorted(
+        (r.id_a, r.id_b)
+        for r in fuzzy_join_lev1(df, "txt", "id", cap_per_block=100).collect()
+    )
+    uncapped = sorted(
+        (r.id_a, r.id_b) for r in fuzzy_join_lev1(df, "txt", "id").collect()
+    )
+    assert capped == uncapped and len(uncapped) > 0

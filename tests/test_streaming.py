@@ -138,3 +138,101 @@ def test_foreach_batch_parquet_sink_roundtrip(spark, tmp_path):
         landed.select("event_id").distinct().count()
         == batch.select("event_id").distinct().count()
     )
+
+
+def test_interval_join_stream_left_outer_emits_null_rows(spark, tmp_path):
+    """Outer rows must appear exactly when the watermark PROVES no
+    match can arrive: a click with no purchase is null-emitted only
+    after a later batch advances the watermark past click_ts + within;
+    unmatched clicks near the end of input stay withheld in state."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from corral_spark.streaming.ops import (
+        interval_join_stream,
+        run_available_now,
+    )
+
+    src_dir = tmp_path / "ev"
+    src_dir.mkdir()
+
+    def _write(name, rows, mtime):
+        ids, users, types, tss = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "user_id": pa.array(users, pa.int64()),
+                    "event_type": pa.array(types, pa.string()),
+                    "ts": pa.array(list(tss), pa.timestamp("us")),
+                }
+            ),
+            str(src_dir / name),
+        )
+        os.utime(src_dir / name, (mtime, mtime))
+
+    from datetime import datetime
+
+    d = lambda h, m: datetime(2026, 1, 1, h, m)  # noqa: E731
+    # Batch 1: matched click 1, unmatched click 2, purchase 3.
+    _write(
+        "f1.parquet",
+        [
+            (1, 1, "click", d(10, 0)),
+            (2, 2, "click", d(10, 5)),
+            (3, 1, "purchase", d(10, 30)),
+        ],
+        1_000_000,
+    )
+    # Batch 2 advances the watermark to 19:50 (> 10:05 + 1h). The
+    # global watermark is the MIN over both input watermarks, so the
+    # sentinel must carry BOTH event types — a click-only sentinel
+    # leaves the purchase side (and thus the join) stuck at 10:20.
+    _write(
+        "f2.parquet",
+        [(90, 9, "click", d(20, 0)), (80, 8, "purchase", d(20, 0))],
+        1_000_010,
+    )
+    # ... and batch 3 makes the eviction that uses it observable.
+    _write(
+        "f3.parquet",
+        [(91, 9, "click", d(20, 1)), (81, 8, "purchase", d(20, 1))],
+        1_000_020,
+    )
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    out = run_available_now(
+        interval_join_stream(
+            src.filter(F.col("event_type") == "click").withWatermark(
+                "ts", "10 minutes"
+            ),
+            src.filter(F.col("event_type") == "purchase").withWatermark(
+                "ts", "10 minutes"
+            ),
+            how="left_outer",
+        ),
+        "mem_interval_leftouter",
+        output_mode="append",
+    )
+    got = sorted(
+        (r.click_id, r.purchase_id) for r in out.collect()
+    )
+    # (1,3) inner match; (2,None) proven-unmatched; clicks 90/91 stay
+    # in state (watermark never passes 21:00) and must NOT be emitted.
+    assert got == [(1, 3), (2, None)]
+
+
+def test_interval_join_stream_rejects_unknown_mode(spark):
+    from corral_spark.streaming.ops import interval_join_stream
+
+    ev = load_table(spark, SF, "events")
+    with pytest.raises(ValueError):
+        interval_join_stream(ev, ev, how="full_outer")
