@@ -47,7 +47,11 @@ from pyspark.sql import functions as F
 
 
 def _mg_candidates(item_df: DataFrame, capacity: int) -> DataFrame:
-    """Per-partition Misra-Gries candidate items (column ``item``).
+    """Per-partition Misra-Gries summary: candidate rows (``item``
+    set, ``n`` null) plus ONE sentinel row per partition (``item``
+    null, ``n`` = the partition's non-null item count).  Folding the
+    total count into the same pass saves a whole extra scan of the
+    input — at 100 TB a third of the operator's I/O.
 
     mapInPandas (Arrow-batched) rather than a row-at-a-time UDF: the
     per-batch work is one vectorized ``value_counts`` merged into a
@@ -58,10 +62,12 @@ def _mg_candidates(item_df: DataFrame, capacity: int) -> DataFrame:
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict[str, int] = {}
+        n_part = 0
         for pdf in batches:
             col = pdf["item"].dropna()
             if col.empty:
                 continue
+            n_part += len(col)
             for item, c in col.value_counts().items():
                 counts[item] = counts.get(item, 0) + int(c)
             if len(counts) > capacity:
@@ -71,9 +77,14 @@ def _mg_candidates(item_df: DataFrame, capacity: int) -> DataFrame:
                 # total undercount stays <= n_p/(c+1).
                 dec = sorted(counts.values(), reverse=True)[capacity]
                 counts = {k: v - dec for k, v in counts.items() if v > dec}
-        yield pd.DataFrame({"item": list(counts.keys())})
+        yield pd.DataFrame(
+            {
+                "item": list(counts.keys()) + [None],
+                "n": [None] * len(counts) + [n_part],
+            }
+        )
 
-    return item_df.mapInPandas(mg, schema="item string")
+    return item_df.mapInPandas(mg, schema="item string, n long")
 
 
 def frequent_items(
@@ -96,16 +107,26 @@ def frequent_items(
         F.col("item").isNotNull()
     )
     capacity = max(1, math.ceil(den / num))
-    # Candidate set: <= capacity * num_partitions rows by construction,
-    # so forcing broadcast is provably safe (unlike a data-scaling dim
-    # table) — no shuffle to dedup/distribute candidates.
-    cands = _mg_candidates(slim, capacity).dropDuplicates(["item"])
+    # The summary is <= (capacity + 1) * num_partitions rows by
+    # construction, so materializing it (lazy localCheckpoint: runs
+    # with the first action, reused by both consumers below) is cheap
+    # and keeps the operator at TWO scans of the input — without it,
+    # the candidate branch and the total branch would each re-execute
+    # the MG pass.
+    summary = _mg_candidates(slim, capacity).localCheckpoint(eager=False)
+    # Candidate items need no dedup: the LeftSemi build side hashes to
+    # a set anyway, and skipping distinct() avoids a shuffle stage.
+    cands = summary.filter(F.col("item").isNotNull()).select("item")
+    total = summary.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("__n")
+    )
+    # Forcing broadcast is provably safe here (bounded candidate set),
+    # unlike a data-scaling dim table.
     exact = (
         slim.join(F.broadcast(cands), on="item", how="leftsemi")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = slim.agg(F.count(F.lit(1)).alias("__n"))
     return (
         exact.join(F.broadcast(total))
         .filter(F.col("cnt") * F.lit(den) >= F.lit(num) * F.col("__n"))
