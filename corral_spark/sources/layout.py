@@ -127,3 +127,122 @@ def write_zorder_clustered(
         .format(fmt)
         .save(path)
     )
+
+
+def write_zorder_rank_clustered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int,
+    fmt: str = "parquet",
+    bits: int = 8,
+    relative_error: float = 0.001,
+) -> None:
+    """Skew-robust two-dimensional clustering: like
+    ``write_zorder_clustered`` but with EQUI-DEPTH (rank) normalization
+    instead of min/max.  Under a skewed distribution (Zipf keys, heavy
+    hitters, long-tailed values) min/max normalization collapses most
+    rows into a handful of z-cells — the files end up unbalanced and
+    their min/max boxes overlap, destroying the skipping property
+    exactly where it matters.  Quantile bucketing gives each bucket
+    ~equal row count regardless of shape, so files stay balanced and
+    boxes stay disjoint.
+
+    Cost shape is identical to the min/max variant: ONE stats pass
+    (``approxQuantile`` over both columns together — a streaming
+    Greenwald-Khanna style sketch, not a sort) plus the one range
+    exchange; the bucket lookup runs JVM-side (ml.feature.Bucketizer),
+    no Python in the row path.  ``bits`` defaults to 8 (256 buckets
+    per dimension = 65k z-cells — plenty for file-level skipping; more
+    just inflates the quantile request).
+    """
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    qx, qy = df.stat.approxQuantile(
+        [col_x, col_y], probs, relative_error
+    )
+    if not qx or not qy:
+        df.write.mode("overwrite").format(fmt).save(path)
+        return
+
+    def _splits_and_positions(
+        qs: list[float],
+    ) -> tuple[list[float], list[int]]:
+        """Distinct Bucketizer splits plus each bucket's MASS-
+        proportional position in the bit domain.
+
+        Duplicated quantile points mean a single value carries many
+        probability steps (a heavy hitter).  If dedup just collapsed
+        them to consecutive bucket indices, a value holding 10% of the
+        mass would sit one index from its neighbor and all the skew
+        dimension's information would land in the LOW interleave bits
+        — the z-order then degenerates to ordering by the other
+        column.  Instead, each bucket keeps the midpoint of its
+        quantile-step range as its position, so heavy values are
+        spaced apart proportionally to their mass and the interleave's
+        HIGH bits split mass evenly — which is what makes the top-k
+        range boundaries informative for both dimensions.
+        """
+        uniq: list[float] = []
+        below: list[int] = []  # # quantile points strictly below value
+        at: list[int] = []  # # quantile points <= value
+        for j, v in enumerate(qs):
+            if not uniq or v > uniq[-1]:
+                uniq.append(v)
+                below.append(j)
+                at.append(j + 1)
+            else:
+                at[-1] = j + 1
+        m = len(qs)
+        # Bucket 0 = (-inf, uniq[0]); bucket b>=1 = [uniq[b-1], uniq[b]).
+        positions = [0]
+        for b in range(len(uniq)):
+            mid = (below[b] + at[b]) / 2
+            positions.append(round(mid / m * (n_buckets - 1)))
+        # Final bucket [uniq[-1], inf) already appended above via its
+        # own midpoint; add the handleInvalid=keep NULL bucket, pinned
+        # to the top cell so NULLs cluster together.
+        positions.append(n_buckets - 1)
+        return [float("-inf")] + uniq + [float("inf")], positions
+
+    from pyspark.ml.feature import Bucketizer
+
+    splits_x, pos_x = _splits_and_positions(qx)
+    splits_y, pos_y = _splits_and_positions(qy)
+    tmp_x, tmp_y, bx, by = "__qx", "__qy", "__bx", "__by"
+    bucketed = Bucketizer(
+        splitsArray=[splits_x, splits_y],
+        inputCols=[tmp_x, tmp_y],
+        outputCols=[bx, by],
+        handleInvalid="keep",  # NULLs go to the last bucket, not an error
+    ).transform(
+        df.withColumn(tmp_x, F.col(col_x).cast("double")).withColumn(
+            tmp_y, F.col(col_y).cast("double")
+        )
+    )
+    # Literal lookup arrays (bucket index -> bit-domain position):
+    # one O(1) element_at per row, all JVM-side.
+    lut_x = F.array([F.lit(p) for p in pos_x])
+    lut_y = F.array([F.lit(p) for p in pos_y])
+    nx = F.element_at(lut_x, F.col(bx).cast("int") + 1).cast("bigint")
+    ny = F.element_at(lut_y, F.col(by).cast("int") + 1).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(nx, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(ny, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    (
+        bucketed.withColumn("__z", z)
+        .drop(tmp_x, tmp_y, bx, by)
+        .repartitionByRange(max(n_files, 1), "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

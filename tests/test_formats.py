@@ -136,3 +136,69 @@ def test_zorder_write_localizes_both_dimensions(spark, tmp_path):
     # average — the multi-dimensional skipping property.
     assert sum(xfrac) / len(xfrac) < 0.7
     assert sum(yfrac) / len(yfrac) < 0.7
+
+
+def test_zorder_rank_beats_minmax_under_skew(spark, tmp_path):
+    """On Zipf-like data, min/max z-order collapses most rows into a
+    few cells (unbalanced files); equi-depth (rank) z-order keeps
+    files balanced while preserving two-dimensional localization."""
+    import glob as _glob
+
+    from corral_spark.sources.layout import (
+        write_zorder_clustered,
+        write_zorder_rank_clustered,
+    )
+
+    # Heavy skew: 90% of x mass in [0, 10), tail stretched to 1e6.
+    rows = []
+    for i in range(4096):
+        x = (i % 10) if i % 10 != 9 else (i * 271) % 1_000_000
+        y = (i * 37) % 1000
+        rows.append((x, y, i))
+    df = spark.createDataFrame(rows, ["x", "y", "payload"])
+
+    def _file_counts(path):
+        return [
+            spark.read.parquet(f).count()
+            for f in _glob.glob(f"{path}/part-*.parquet")
+        ]
+
+    write_zorder_clustered(df, f"{tmp_path}/mm", "x", "y", n_files=8)
+    write_zorder_rank_clustered(df, f"{tmp_path}/rk", "x", "y", n_files=8)
+
+    # Row balance is fine either way (repartitionByRange equi-depth
+    # samples the z-key); what differs is SKIPPING in the dense
+    # region: min/max normalization maps every x in [0,10) to z-cell
+    # x-bucket 0 (10/1e6 of the range), so nearly every file's
+    # min/max box covers a dense-region point query — no file can be
+    # skipped.  Rank bucketing gives each dense x value its own
+    # bucket, so only the files actually holding x=5 rows match.
+    def _files_matching(path, xval):
+        hits = 0
+        for f in _glob.glob(f"{path}/part-*.parquet"):
+            pdf = spark.read.parquet(f).toPandas()
+            if pdf.x.min() <= xval <= pdf.x.max():
+                hits += 1
+        return hits
+
+    mm_hits = _files_matching(f"{tmp_path}/mm", 5)
+    rk_hits = _files_matching(f"{tmp_path}/rk", 5)
+    assert mm_hits >= 6, mm_hits  # min/max: dense point query scans ~all files
+    assert rk_hits <= 3, rk_hits  # rank: a couple of files at most
+    # Rank layout keeps files balanced too.
+    rk = _file_counts(f"{tmp_path}/rk")
+    assert max(rk) / (sum(rk) / len(rk)) < 1.5
+
+
+def test_zorder_rank_empty_and_constant_inputs(spark, tmp_path):
+    from corral_spark.sources.layout import write_zorder_rank_clustered
+
+    empty = spark.createDataFrame([], "x int, y int")
+    write_zorder_rank_clustered(empty, f"{tmp_path}/e", "x", "y", n_files=4)
+    assert spark.read.parquet(f"{tmp_path}/e").count() == 0
+
+    # All-constant columns -> every quantile identical -> splits
+    # collapse to one bucket; must still write all rows.
+    const = spark.createDataFrame([(7, 7, i) for i in range(100)], ["x", "y", "p"])
+    write_zorder_rank_clustered(const, f"{tmp_path}/c", "x", "y", n_files=4)
+    assert spark.read.parquet(f"{tmp_path}/c").count() == 100
