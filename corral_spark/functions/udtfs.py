@@ -28,8 +28,11 @@ from pyspark.sql.functions import udtf
 #: whitespace.  Deliberately lookaround-free so the DuckDB oracle
 #: (RE2, no lookbehind) splits identically; the terminal punctuation
 #: run itself is consumed by the split, matching DuckDB
-#: string_split_regex semantics.
-_SENT_RE = re.compile(r"[.!?]+\s+")
+#: string_split_regex semantics.  The whitespace class is spelled out
+#: as RE2's ASCII ``\s`` = [\t\n\f\r ] — Python's Unicode ``\s`` also
+#: matches NBSP/\x0b etc., which would silently diverge from the
+#: oracle on non-ASCII whitespace.
+_SENT_RE = re.compile(r"[.!?]+[\t\n\f\r ]+")
 
 
 @udtf(returnType="idx int, sentence string", useArrow=True)

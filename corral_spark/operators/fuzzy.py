@@ -53,13 +53,15 @@ def fuzzy_join_lev1(
     * ``max_block`` drops variant keys shared by more than that many
       rows entirely — cheap (one aggregate), but all-or-nothing.
     * ``cap_per_block`` instead keeps the ``cap_per_block`` rows with
-      the SMALLEST ids on each variant key (row_number over the key).
-      Deterministic by construction — the kept set depends only on the
-      data, not on partitioning — so the capped output is exactly
-      reproducible by an oracle that applies the same rank-and-cap
-      rule.  Fan-out per key is bounded at cap^2 candidate pairs.
-      The window shuffles on ``__v``, the same key the join shuffles
-      on, so AQE reuses the exchange rather than adding one.
+      the SMALLEST (id, text) on each variant key (row_number over the
+      key; text is the tiebreaker so duplicate ids — which the generic
+      signature permits — still rank deterministically).  The kept set
+      depends only on the data, not on partitioning, so the capped
+      output is exactly reproducible by an oracle that applies the
+      same rank-and-cap rule.  Fan-out per key is bounded at cap^2
+      candidate pairs.  The window shuffles on ``__v``, the same key
+      the join shuffles on, so AQE reuses the exchange rather than
+      adding one.
 
     Output: (id_a, id_b, text_a, text_b, lev).
     """
@@ -81,7 +83,7 @@ def fuzzy_join_lev1(
         from pyspark.sql import Window
 
         rn = F.row_number().over(
-            Window.partitionBy("__v").orderBy("id")
+            Window.partitionBy("__v").orderBy("id", "txt")
         )
         ex = (
             ex.withColumn("__rn", rn)

@@ -60,8 +60,10 @@ def _mg_candidates(item_df: DataFrame, capacity: int) -> DataFrame:
     (no exchange before it in the plan).
     """
 
+    item_type = item_df.schema["item"].dataType.simpleString()
+
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counts: dict[str, int] = {}
+        counts: dict = {}
         n_part = 0
         for pdf in batches:
             col = pdf["item"].dropna()
@@ -84,7 +86,9 @@ def _mg_candidates(item_df: DataFrame, capacity: int) -> DataFrame:
             }
         )
 
-    return item_df.mapInPandas(mg, schema="item string, n long")
+    # Schema follows the input item type — the operator is not
+    # string-specific (heavy hitters over user ids are bigint).
+    return item_df.mapInPandas(mg, schema=f"item {item_type}, n long")
 
 
 def frequent_items(

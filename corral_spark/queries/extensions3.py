@@ -43,7 +43,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     HAVING COUNT(*) * 1000 >= n.n
     ORDER BY term
     """,
-    tags=("sketch", "heavy-hitters", "documents", "gap"),
+    # 'extension' tag: the MG candidate pass is a (deliberate, Arrow-
+    # batched) Python stage, so this query is exempt from the
+    # no-Python plan purity gate that pins the relational set.
+    tags=("sketch", "heavy-hitters", "documents", "gap", "extension"),
 )
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokens with frequency >= 1/1000 of the corpus token count, with
@@ -123,40 +126,24 @@ def udtf_sentences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def click_purchase_leftouter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer interval join: every click, with its within-1h
-    purchases OR one null-padded row if none — the batch form of the
-    streaming outer join (streaming.ops.interval_join_stream with
-    how='left_outer', where outer rows are emitted once the watermark
-    proves no match can arrive).  The purchase-side predicates live in
+    purchases OR one null-padded row if none — the EXACT batch form of
+    the streaming outer join: this query calls
+    streaming.ops.interval_join_stream(how='left_outer') on batch
+    frames, so the oracle gates the one implementation the streaming
+    path runs (where outer rows are emitted once the watermark proves
+    no match can arrive).  The purchase-side time predicates live in
     the join condition, not a post-filter — pushing them below the
     outer join would silently turn it inner (the round-2 review-pass
-    bug class).  Still one hash join on the user_id equi key."""
+    bug class).  One hash join on the user_id equi key."""
+    from corral_spark.streaming.ops import interval_join_stream
+
     ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        "user_id",
-        F.unix_micros("ts").alias("click_us"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        F.unix_micros("ts").alias("purchase_us"),
-    )
-    hour_us = 3600 * 1_000_000
-    cond = (
-        (F.col("user_id") == F.col("p_user"))
-        & (F.col("purchase_us") >= F.col("click_us"))
-        & (F.col("purchase_us") < F.col("click_us") + hour_us)
-    )
-    return (
-        clicks.join(purchases, cond, "left")
-        .select(
-            "click_id",
-            "purchase_id",
-            "user_id",
-            (F.col("purchase_us") - F.col("click_us")).alias("delta_us"),
-        )
-        .orderBy("click_id", "purchase_id")
-    )
+    return interval_join_stream(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        within="1 hour",
+        how="left_outer",
+    ).orderBy("click_id", "purchase_id")
 
 
 #: Deterministic per-block cap for the capped fuzzy query; small so
@@ -173,7 +160,7 @@ _FUZZY_CAPPED_ORACLE = f"""
     ),
     capped AS (
       SELECT id, txt, v,
-             row_number() OVER (PARTITION BY v ORDER BY id) AS rn
+             row_number() OVER (PARTITION BY v ORDER BY id, txt) AS rn
       FROM ex
     ),
     k AS (SELECT id, txt, v FROM capped WHERE rn <= {_FUZZY_CAP}),
@@ -214,3 +201,10 @@ def fuzzy_customer_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.col("lev").cast("int").alias("lev")
     ).orderBy("id_a", "id_b")
+
+
+# Interpolate the cap into the (plain-literal) docstring so published
+# docs show the actual value, not the placeholder.
+fuzzy_customer_pairs_capped.__doc__ = fuzzy_customer_pairs_capped.__doc__.replace(
+    "{_FUZZY_CAP}", str(_FUZZY_CAP)
+)

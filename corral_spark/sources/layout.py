@@ -65,6 +65,23 @@ def write_range_clustered(
     )
 
 
+def _morton_interleave(nx, ny, bits: int):
+    """Z-order key: interleave ``bits`` bits of two bigint columns
+    (x at odd positions, y at even) — pure codegen'd bit expression,
+    shared by both z-order writers so the key construction cannot
+    drift between them."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(nx, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(ny, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
 def write_zorder_clustered(
     df: DataFrame,
     path: str,
@@ -111,13 +128,7 @@ def write_zorder_clustered(
 
     nx = _norm(col_x, b["xmin"], b["xmax"])
     ny = _norm(col_y, b["ymin"], b["ymax"])
-    z = F.lit(0).cast("bigint")
-    for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(nx, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(ny, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
+    z = _morton_interleave(nx, ny, bits)
     (
         df.withColumn("__z", z)
         .repartitionByRange(max(n_files, 1), "__z")
@@ -229,13 +240,7 @@ def write_zorder_rank_clustered(
     lut_y = F.array([F.lit(p) for p in pos_y])
     nx = F.element_at(lut_x, F.col(bx).cast("int") + 1).cast("bigint")
     ny = F.element_at(lut_y, F.col(by).cast("int") + 1).cast("bigint")
-    z = F.lit(0).cast("bigint")
-    for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(nx, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(ny, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
+    z = _morton_interleave(nx, ny, bits)
     (
         bucketed.withColumn("__z", z)
         .drop(tmp_x, tmp_y, bx, by)

@@ -184,7 +184,12 @@ def test_zorder_rank_beats_minmax_under_skew(spark, tmp_path):
     mm_hits = _files_matching(f"{tmp_path}/mm", 5)
     rk_hits = _files_matching(f"{tmp_path}/rk", 5)
     assert mm_hits >= 6, mm_hits  # min/max: dense point query scans ~all files
-    assert rk_hits <= 3, rk_hits  # rank: a couple of files at most
+    # Rank: x=5 pins the two high x-bits, leaving y7 free -> 2 core
+    # files + up to 2 straddling an equi-depth boundary. (Not <=3: the
+    # quantile sketch's merge order shifts boundaries by one file
+    # between runs.)
+    assert rk_hits <= 4, rk_hits
+    assert rk_hits < mm_hits, (rk_hits, mm_hits)
     # Rank layout keeps files balanced too.
     rk = _file_counts(f"{tmp_path}/rk")
     assert max(rk) / (sum(rk) / len(rk)) < 1.5

@@ -69,11 +69,14 @@ def test_top_orders_is_take_ordered_not_global_sort(spark):
     "name", [n for n, q in sorted(REGISTRY.items()) if "extension" not in q.tags]
 )
 def test_no_python_udfs_in_relational_plans(spark, name):
-    # Relational queries must stay wholly JVM-side (SURVEY §7):
-    # BatchEvalPython/ArrowEvalPython in a plan means a Python
-    # round-trip snuck into the hot path.
+    # Relational queries must stay wholly JVM-side (SURVEY §7): any
+    # Python round-trip operator in the plan means one snuck into the
+    # hot path — not just row-at-a-time EvalPython but also the
+    # Arrow-batched map/group variants (queries that use those by
+    # design carry the 'extension' tag and are excluded above).
     plan = plan_of(spark, name)
-    assert "EvalPython" not in plan
+    for marker in ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
 
 
 @pytest.mark.parametrize(

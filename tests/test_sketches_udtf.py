@@ -162,3 +162,55 @@ def test_fuzzy_cap_large_enough_matches_uncapped(spark):
         (r.id_a, r.id_b) for r in fuzzy_join_lev1(df, "txt", "id").collect()
     )
     assert capped == uncapped and len(uncapped) > 0
+
+
+def test_frequent_items_non_string_items(spark):
+    # The operator is type-generic: bigint heavy hitters (user ids).
+    rows = [(7,)] * 50 + [(i + 100,) for i in range(50)]
+    items = spark.createDataFrame(rows, ["uid"]).repartition(8)
+    got = [(r.item, r.cnt) for r in frequent_items(items, "uid", den=4).collect()]
+    assert got == [(7, 50)]
+
+
+def test_udtf_ascii_whitespace_matches_re2_semantics(spark):
+    from corral_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    # NBSP (u00a0) and \x0b are Unicode-\s but NOT RE2-\s: the UDTF
+    # must not split on them, or it diverges from the DuckDB oracle.
+    spark.createDataFrame(
+        [("A. B.\x0bC. D",)], ["text"]
+    ).createOrReplaceTempView("__udtf_ws_docs")
+    rows = spark.sql(
+        """
+        SELECT s.idx, s.sentence
+        FROM __udtf_ws_docs d, LATERAL split_sentences(d.text) s
+        ORDER BY s.idx
+        """
+    ).collect()
+    assert [(r.idx, r.sentence) for r in rows] == [
+        (1, "A. B.\x0bC"),
+        (2, "D"),
+    ]
+
+
+def test_fuzzy_cap_deterministic_under_duplicate_ids(spark):
+    # Duplicate ids with different texts: the (id, txt) tiebreak must
+    # keep the rank-and-cap output partition-invariant.
+    rows = [(1, "aaa"), (1, "aab"), (1, "aac"), (2, "aad"), (2, "aae")]
+    base = spark.createDataFrame(rows, ["id", "txt"])
+    want = None
+    for parts in (1, 5):
+        got = sorted(
+            (r.id_a, r.id_b, r.text_a, r.text_b)
+            for r in fuzzy_join_lev1(
+                base.repartition(parts), "txt", "id", cap_per_block=2
+            ).collect()
+        )
+        if want is None:
+            want = got
+        assert got == want, parts
+    # Smallest (id, txt) pairs on the shared 'aa' deletion blocks are
+    # (1,'aaa') and (1,'aab'); id_a < id_b never holds within id 1, so
+    # the only emitted pairs need distinct ids that both survive a cap.
+    assert all(a != b for a, b, *_ in want)
