@@ -100,6 +100,15 @@ _DEMOTED = (
     "top_orders",  # sort/top-k: TakeOrderedAndProject pinned by test_plans; shipping_priority has the same tail
     "customer_name_features",  # scalar casts/strings: covered by order_date_parts + null_semantics pytest
     "promo_revenue_share",  # conditional-agg share: covered by nations_above_global_share (same correlated shape)
+    # Extension wave 4: six more demotions (all r01-hash-green, all
+    # still oracle-gated by pytest at 3 SFs) so the six new oracled
+    # hygiene queries land inside the head-50 driver window.
+    "wordcount",  # tokenize+count: covered by heavy_hitter_tokens + tfidf_top_terms + token_count_docs
+    "pricing_summary",  # filtered multi-agg: covered by amplab3 + rollup_sales; still benched
+    "lang_id_docs",  # marker-word intersect: same array_intersect construction as text-stats family; top_tokens_per_lang covers lang grouping
+    "jaccard_pairs_docs",  # exact-Jaccard pairs: dedup_clusters_docs (in head) contains the identical pair computation in both engines
+    "text_stats_docs",  # word-array stats: covered by doc_repetition_stats + profile_orders
+    "asof_signup_before_purchase",  # as-of union-window: covered by click_purchase_within_1h + customer_running_totals window ordering; still benched
 )
 
 

@@ -136,3 +136,36 @@ def frequent_items(
         .filter(F.col("cnt") * F.lit(den) >= F.lit(num) * F.col("__n"))
         .select("item", "cnt")
     )
+
+
+def grouped_top_k(
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int,
+    count_col: str = "cnt",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact per-group top-k items by frequency (groupwise heavy
+    hitters, e.g. top tokens per language).
+
+    Shape: one partial-aggregated ``groupBy(group, item).count()``
+    (map-side combine collapses the Zipf head before the exchange),
+    then a ``row_number`` window partitioned by group.  Spark's
+    WindowGroupLimit pushes the ``rank <= k`` bound below the window
+    exchange — each map task keeps only its local top-k per group
+    before shuffling — so the window stage moves O(k * groups * tasks)
+    rows, not the whole (group, item) frequency table.  Ties break by
+    item value ascending for cross-engine determinism.
+    """
+    from pyspark.sql import Window
+
+    counts = items.groupBy(group_col, item_col).agg(
+        F.count(F.lit(1)).alias(count_col)
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(count_col), F.asc(item_col)
+    )
+    return counts.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )

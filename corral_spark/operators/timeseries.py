@@ -84,3 +84,40 @@ def gapfill_locf(
         ],
     )
     return filled
+
+
+def rolling_range_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Per-row trailing-window aggregates: for every event, the count
+    and sum of ``value_col`` over the same key's events in the
+    preceding ``window_seconds`` (inclusive of the current row and of
+    equal-timestamp peers — RANGE frame semantics, so the result is
+    set-determined even when timestamps tie).
+
+    One shuffle, partitioned by the series key and ordered by event
+    time in **microseconds** (``unix_micros`` — exact integers, so the
+    frame boundary is bit-identical across engines; a fractional
+    epoch-seconds ordering would anchor frames on a float). At scale
+    the state per key is bounded by the window span, and skew follows
+    the key distribution — the same profile as any sessionization
+    window.
+
+    Output: input columns plus ``n_win`` and ``sum_win`` (sum rounded
+    to 2dp per the registry's float convention).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return df.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.round(F.sum(F.col(value_col)).over(w), 2).alias("sum_win"),
+    )
