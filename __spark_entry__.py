@@ -109,6 +109,7 @@ _DEMOTED = (
     "jaccard_pairs_docs",  # exact-Jaccard pairs: dedup_clusters_docs (in head) contains the identical pair computation in both engines
     "text_stats_docs",  # word-array stats: covered by doc_repetition_stats + profile_orders
     "asof_signup_before_purchase",  # as-of union-window: covered by click_purchase_within_1h + customer_running_totals window ordering; still benched
+    "token_count_docs",  # regex token counting: covered by udtf_sentences_docs (regex segmentation) + heavy_hitter_tokens (tokenize+count)
 )
 
 

@@ -24,9 +24,11 @@ from corral_spark.operators.dedup import (
     minhash_signatures,
     minhash_verified_pairs,
 )
+from corral_spark.operators.contamination import decontaminate
 from corral_spark.operators.graph import connected_components
 from corral_spark.operators.quality import normalize_text, redact_pii
 from corral_spark.operators.sampling import train_test_split
+from corral_spark.operators.textanalysis import _max_run
 
 
 def prepare_pretraining_corpus(
@@ -39,17 +41,34 @@ def prepare_pretraining_corpus(
     train_fraction: float = 0.9,
     with_report: bool = True,
     near_dup: str = "estimate",
+    benchmark: DataFrame | None = None,
+    max_top_token_fraction: float | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Returns (corpus, report): the cleaned/deduped/split corpus with
     columns (id_col, clean_text, n_words, split), plus per-stage
     surviving-row counts. ``with_report=False`` skips the per-stage
     count() actions (6 extra jobs) when only the final frame matters —
-    the mode the declared query/bench path uses."""
+    the mode the declared query/bench path uses.
+
+    Optional hygiene stages (off by default so the oracle-checked
+    baseline shape is unchanged): ``benchmark`` enables 5-gram
+    decontamination against an eval corpus before any other stage
+    (matched on raw text, the standard order);
+    ``max_top_token_fraction`` adds the Gopher top-token repetition
+    bound to the quality filter — computed in the SAME fused scan
+    projection as the other quality signals, so it costs no extra
+    pass."""
 
     def _count(df: DataFrame) -> int:
         return df.count() if with_report else -1
 
     report: dict[str, int] = {"input": _count(docs)}
+
+    # 0. Optional benchmark decontamination (operators.contamination):
+    #    broadcast eval n-gram set, anti-join flagged docs away.
+    if benchmark is not None:
+        docs = decontaminate(docs, benchmark, id_col, text_col)
+        report["after_decontamination"] = _count(docs)
 
     # 1. Scan-side hygiene: normalize, redact, quality-score — fused
     #    into one projection+filter over the source scan.
@@ -58,16 +77,30 @@ def prepare_pretraining_corpus(
         redact_pii(normalize_text(F.col(text_col))).alias("clean_text"),
     )
     words = F.filter(F.split("clean_text", " "), lambda w: w != "")
+    rep_cols = (
+        [
+            F.round(
+                _max_run(F.array_sort(words)).cast("double") / F.size(words), 4
+            ).alias("top_token_fraction")
+        ]
+        if max_top_token_fraction is not None
+        else []
+    )
     scored = clean.select(
         id_col,
         "clean_text",
         F.size(words).alias("n_words"),
         (F.size(F.array_distinct(words)) / F.size(words)).alias("distinct_ratio"),
+        *rep_cols,
     )
-    filtered = scored.filter(
-        (F.col("n_words") >= min_words)
-        & (F.col("distinct_ratio") >= min_distinct_ratio)
-    ).drop("distinct_ratio")
+    cond = (F.col("n_words") >= min_words) & (
+        F.col("distinct_ratio") >= min_distinct_ratio
+    )
+    if max_top_token_fraction is not None:
+        cond = cond & (F.col("top_token_fraction") <= max_top_token_fraction)
+    filtered = scored.filter(cond).drop(
+        "distinct_ratio", "top_token_fraction"
+    )
     report["after_quality_filter"] = _count(filtered)
 
     # 2. Exact dedup on the normalized content (deterministic min-id

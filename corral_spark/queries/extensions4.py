@@ -269,3 +269,105 @@ def lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "hygiene_filtered_docs",
+    oracle="""
+    WITH cand AS (SELECT * FROM documents WHERE source <> 'src0'),
+    shw AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(lower(
+               regexp_replace(text, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+'),
+               x -> x <> '') AS words
+      FROM documents
+    ),
+    tok5 AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 4, 1) + 1),
+               i -> array_to_string(list_slice(words, i, i + 4), ' ')))) AS gram
+      FROM shw WHERE len(words) > 0
+    ),
+    bench AS (SELECT DISTINCT gram FROM tok5 WHERE source = 'src0'),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM tok5 JOIN bench USING (gram)
+      WHERE source <> 'src0'
+    ),
+    rw AS (
+      SELECT doc_id,
+             list_sort(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS sw,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+      FROM cand
+    ),
+    rep AS (
+      SELECT doc_id,
+             CASE WHEN n > 0 THEN round(CAST(
+               COALESCE(list_max(list_transform(
+                 range(1, len(list_filter(range(1, n + 1),
+                   i -> i = 1 OR sw[i] <> sw[i-1])) + 1),
+                 k -> (CASE WHEN k < len(list_filter(range(1, n + 1),
+                         i -> i = 1 OR sw[i] <> sw[i-1]))
+                       THEN (list_filter(range(1, n + 1),
+                         i -> i = 1 OR sw[i] <> sw[i-1]))[k+1]
+                       ELSE n + 1 END)
+                      - (list_filter(range(1, n + 1),
+                         i -> i = 1 OR sw[i] <> sw[i-1]))[k])), 0)
+               AS DOUBLE) / n, 4) END AS top_token_fraction
+      FROM rw
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(
+               regexp_replace(text, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+'),
+               x -> x <> '')) AS term
+      FROM cand
+    ),
+    counts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+    lp AS (
+      SELECT doc_id,
+             round(AVG(ln(CAST(cnt AS DOUBLE) / total)), 4) AS mean_logprob
+      FROM tok JOIN counts USING (term), total
+      GROUP BY doc_id
+    )
+    SELECT c.doc_id, rep.top_token_fraction, lp.mean_logprob
+    FROM cand c
+    JOIN rep USING (doc_id)
+    JOIN lp USING (doc_id)
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND rep.top_token_fraction <= 0.15
+      AND lp.mean_logprob >= -3.6
+    ORDER BY c.doc_id
+    """,
+    tags=("quality", "decontamination", "documents", "gap", "extension"),
+)
+def hygiene_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-hygiene filter: candidates (source != 'src0')
+    that survive benchmark decontamination AND the Gopher top-token
+    repetition bound (<= 0.15) AND the unigram-LM quality band
+    (mean log-prob >= -3.6, model fit on the candidate corpus), with
+    their signals. Thresholds compare the 4dp-ROUNDED signals — the
+    same values both engines emit — so boundary docs classify
+    identically cross-engine. One scan feeds the shingle pass, one
+    the repetition fold, one the LM explode; all three joins are
+    id-keyed."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    cands = docs.filter(F.col("source") != "src0")
+    from corral_spark.operators.contamination import decontaminate
+
+    clean = decontaminate(cands, bench, "doc_id", "text", n=5)
+    rep = repetition_stats(cands).select("doc_id", "top_token_fraction")
+    lp = unigram_logprob(cands).select("doc_id", "mean_logprob")
+    return (
+        clean.select("doc_id")
+        .join(rep, "doc_id")
+        .join(lp, "doc_id")
+        .filter(
+            (F.col("top_token_fraction") <= 0.15)
+            & (F.col("mean_logprob") >= -3.6)
+        )
+        .orderBy("doc_id")
+    )

@@ -49,3 +49,38 @@ def test_pipeline_deterministic_across_runs(spark):
     splits1 = {r.doc_id: r.split for r in c1.select("doc_id", "split").collect()}
     splits2 = {r.doc_id: r.split for r in c2.select("doc_id", "split").collect()}
     assert splits1 == splits2
+
+
+def test_pipeline_hygiene_stages_drop_targeted_docs(spark):
+    # A benchmark doc, a candidate quoting it verbatim (contaminated),
+    # a degenerate repetitive candidate, and a normal candidate. Texts
+    # are >= 20 distinct-enough words so only the hygiene stages can
+    # drop them.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lam mu nu xi omicron pi rho sigma tau upsilon"
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog near a river bank "
+               "while birds sing softly above the calm green valley floor")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark 5-gram "quick brown fox jumps over"
+            (1, base + " quick brown fox jumps over"),
+            # top token 'spam' dominates: ttf = 21/41 > 0.3
+            (2, base + " " + " ".join(["spam"] * 21)),
+            (3, base + " zeta2 eta2 theta2 iota2 kappa2"),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus, report = prepare_pretraining_corpus(
+        docs,
+        benchmark=bench,
+        max_top_token_fraction=0.3,
+        near_dup="verified",
+    )
+    kept = sorted(r.doc_id for r in corpus.select("doc_id").collect())
+    assert kept == [3]
+    assert report["input"] == 3
+    assert report["after_decontamination"] == 2
+    assert report["after_quality_filter"] == 1
