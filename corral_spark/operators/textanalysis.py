@@ -185,7 +185,15 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     unconditional broadcast hints applied. The single-row total is
     always broadcast."""
     toks = df.select("doc_id", F.explode(tokenize(F.col(text_col))).alias("term"))
-    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # Vocabulary-sized; lazily checkpointed so the model build runs the
+    # corpus explode ONCE — without it the total-agg and the join build
+    # side each re-execute the scan+explode lineage (measured 3 scans
+    # -> 2, the algorithm's floor, at synthetic sf1).
+    counts = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("cnt").alias("total"))
     model = counts.crossJoin(F.broadcast(total))
     return (
