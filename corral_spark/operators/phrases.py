@@ -1,0 +1,131 @@
+"""Iterative phrase mining (word2phrase-style collocation learning):
+k rounds of "count adjacent token pairs, merge the globally most
+frequent pair everywhere" — the token-level cousin of BPE merge
+learning, used to grow a phrase vocabulary for tokenizers.
+
+This is a genuinely iterative distributed algorithm (like the k-means
+IVF refinement in similarity.py): each round is one full-corpus pair
+count (partial-aggregated groupBy — the per-round shuffle carries one
+row per distinct pair, not per occurrence) plus a single-row argmax
+collect, then a pure-projection merge application. The working corpus
+is lazily localCheckpoint'ed per round so round i+1 scans materialized
+rows instead of re-running i stacked regex projections (at real scale,
+substitute reliable checkpointing — same caveat as the dedup
+pipeline's bucket_pairs).
+
+Merge application semantics: the corpus is held as a single-space-
+joined, space-delimited string ('' `` a b c `` ''), and a merge (a,b)
+is applied as TWO passes of the literal pattern ``' a b '`` ->
+``' a@b '`` (global, left-to-right, non-overlapping). Two passes are
+needed because a replacement consumes the trailing space the next
+occurrence would use as its leading space; the second pass picks
+those up. This is deterministic and engine-identical (Java regex and
+RE2 agree on literal patterns), and it equals classic greedy
+left-to-right merging on everything except immediately-adjacent
+repeats of the just-merged pair, which classic BPE also treats
+specially. The DuckDB oracle replicates the exact same two-pass rule,
+unrolled per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from corral_spark.functions.text import tokenize
+
+MERGES_SCHEMA = StructType(
+    [
+        StructField("iteration", IntegerType(), False),
+        StructField("pair", StringType(), False),
+        StructField("cnt", LongType(), False),
+    ]
+)
+
+
+def _bigrams(toks):
+    return F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def learn_phrases(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    joiner: str = "@",
+) -> DataFrame:
+    """Learn the top-k phrase merges. Returns (iteration, pair, cnt):
+    the pair merged in each round and its pre-merge occurrence count.
+
+    The driver loop runs k single-row collects (the argmax pair) —
+    the same bounded driver-side control flow as k-means iteration;
+    everything data-sized stays distributed. Tokens are alphanumeric
+    (reference word-count tokenizer) plus ``joiner`` from earlier
+    rounds, so the merge pattern is always regex-literal-safe.
+    """
+    spark = docs.sparkSession
+    corpus = docs.select(
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", tokenize(F.col(text_col))),
+            F.lit(" "),
+        ).alias("s")
+    )
+    merges: list[tuple[int, str, int]] = []
+    for it in range(1, k + 1):
+        toks = F.filter(F.split(F.trim(F.col("s")), " "), lambda w: w != "")
+        top = (
+            corpus.select(F.explode(_bigrams(toks)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        merges.append((it, pair, cnt))
+        pat = f" {pair} "
+        repl = f" {pair.replace(' ', joiner)} "
+        corpus = corpus.select(
+            F.regexp_replace(
+                F.regexp_replace("s", pat, repl), pat, repl
+            ).alias("s")
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def apply_phrases(
+    docs: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    out_col: str = "phrased",
+    joiner: str = "@",
+) -> DataFrame:
+    """Apply an ordered list of learned merge pairs to a corpus (same
+    two-pass rule per merge), returning the input plus ``out_col`` as
+    an array of phrase tokens. Pure projection — fuses into the scan."""
+    s = F.concat(
+        F.lit(" "), F.concat_ws(" ", tokenize(F.col(text_col))), F.lit(" ")
+    )
+    for pair in merges:
+        pat = f" {pair} "
+        repl = f" {pair.replace(' ', joiner)} "
+        s = F.regexp_replace(F.regexp_replace(s, pat, repl), pat, repl)
+    return docs.select(
+        "*", F.filter(F.split(F.trim(s), " "), lambda w: w != "").alias(out_col)
+    )
