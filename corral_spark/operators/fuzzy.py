@@ -36,6 +36,23 @@ def _deletion_variants(col: Column) -> Column:
     return F.array_union(F.array(col), deletions)
 
 
+def _deletion_neighborhood(col: Column, depth: int) -> Column:
+    """All strings reachable from ``col`` by deleting 0..depth chars.
+
+    Depth d is the deletion closure D^d(x) ∪ ... ∪ D^0(x); computed by
+    applying the one-deletion expansion d times and deduplicating —
+    pure column expressions, JVM-side, no UDF. Neighborhood size is
+    O(len^d / d!), so keep depth small (SymSpell's published guidance:
+    2 is the practical ceiling; 3 only for short dictionary terms).
+    """
+    out = _deletion_variants(col)
+    for _ in range(depth - 1):
+        out = F.array_distinct(
+            F.flatten(F.transform(out, lambda v: _deletion_variants(v)))
+        )
+    return out
+
+
 def fuzzy_join_lev1(
     df: DataFrame,
     text_col: str,
@@ -65,11 +82,45 @@ def fuzzy_join_lev1(
 
     Output: (id_a, id_b, text_a, text_b, lev).
     """
+    return fuzzy_join(
+        df, text_col, id_col, max_dist=1,
+        max_block=max_block, cap_per_block=cap_per_block,
+    )
+
+
+def fuzzy_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 1,
+    max_block: int | None = None,
+    cap_per_block: int | None = None,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist`` (id_a < id_b).
+
+    Generalized symmetric-delete blocking: explode each row into its
+    deletion neighborhood of depth ``max_dist`` and equi-join on the
+    variant. Completeness for lev(a, b) <= d: every optimal alignment
+    decomposes the differences into substitutions (delete the aligned
+    position on BOTH sides), insertions (delete the inserted char on
+    the longer side), and deletions (delete on the other side) — at
+    most d deletions per side total, so the depth-d neighborhoods
+    share the common reduced string. Candidates are refined by one
+    exact ``levenshtein`` per pair, so precision is exact.
+
+    Cost grows as O(n * len^d / d!) index rows — linear in n always,
+    but depth 2 on long strings multiplies the explode by ~len/2; use
+    it on short keys (names, titles), not document bodies. The
+    ``max_block`` / ``cap_per_block`` guards mean hot variant keys
+    stay bounded exactly as in the distance-1 case.
+    """
     slim = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     )
     ex = slim.select(
-        "id", "txt", F.explode(_deletion_variants(F.col("txt"))).alias("__v")
+        "id",
+        "txt",
+        F.explode(_deletion_neighborhood(F.col("txt"), max_dist)).alias("__v"),
     )
     if max_block is not None:
         keep = (
@@ -105,4 +156,4 @@ def fuzzy_join_lev1(
     lev = F.levenshtein("text_a", "text_b")
     return cands.select(
         "id_a", "id_b", "text_a", "text_b", lev.alias("lev")
-    ).filter(F.col("lev") <= 1)
+    ).filter(F.col("lev") <= max_dist)

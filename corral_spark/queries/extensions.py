@@ -869,14 +869,42 @@ def pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.orderBy("doc_id")
 
 
+# DuckDB mirror of operators.multimodal.decode_fake: byte k of the
+# sha256 digest, recovered by parsing hex chars 2k+1..2k+2 of the hex
+# string (sha256(varchar) hashes the UTF-8 bytes in both engines).
+_HEXB = (
+    "((strpos('0123456789abcdef', substr(sha, {a}, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(sha, {b}, 1)) - 1))"
+)
+
+
 @register(
     "multimodal_features",
-    tags=("multimodal", "extension"),  # rows-only: mapInPandas pipeline
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id AS asset_id,
+             'image/fake' AS media_type,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             sha256(text) AS sha
+      FROM documents
+    )
+    SELECT asset_id, media_type, n_bytes,
+           CAST(64 + {_HEXB.format(a=1, b=2)} % 192 AS INT) AS width,
+           CAST(64 + {_HEXB.format(a=3, b=4)} % 192 AS INT) AS height,
+           sha AS sha256
+    FROM h
+    ORDER BY asset_id
+    """,
+    tags=("multimodal", "extension"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-asset pipeline: documents -> binary payload column ->
     Arrow-batched mapInPandas feature extraction (decode stubbed with
     a deterministic fake; see operators.multimodal). Exercises the
-    real schema/batch plumbing a media pipeline needs."""
+    real schema/batch plumbing a media pipeline needs. The fake decode
+    is sha256-arithmetic over the payload bytes, so the whole pipeline
+    (payload encode, batch iteration, feature derivation) is DuckDB-
+    oracle-checkable: width/height re-derive from digest bytes 0/1 in
+    SQL."""
     assets = assets_from_documents(_docs(spark, sf_dir))
     return extract_features(assets).orderBy("asset_id")
