@@ -29,9 +29,16 @@ def _fmt(col) -> F.Column:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as a streaming source (parquet file source). The nanos
-    timestamp is scanned as long (see sources.tables) and truncated to
-    micros, matching the batch loader exactly."""
+    """events as a streaming source (parquet file source).
+
+    ``readStream`` requires an explicit schema, but the on-disk ``ts``
+    resolution varies by writer — TIMESTAMP(NANOS) (scans as long
+    under nanosAsLong), plain micros TIMESTAMP, or TIMESTAMP_NTZ
+    (DuckDB-written scale-ups). Probe the batch scan's footer-inferred
+    type once (metadata-only, no data read) and build the stream
+    schema + normalization to match, so stream and batch agree on the
+    same files whatever wrote them — the same tri-format contract as
+    sources.tables.load_table."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql.types import (
         DoubleType,
@@ -39,12 +46,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         StringType,
         StructField,
         StructType,
+        TimestampNTZType,
     )
 
+    ts_type = (
+        spark.read.parquet(table_path(sf_dir, "events")).schema["ts"].dataType
+    )
     schema = StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),  # nanos-as-long
+            StructField("ts", ts_type),
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
@@ -58,7 +69,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, LongType):
+        # nanos-as-long -> truncate to micros (integer DIV: double
+        # division loses precision above 2^53 ns).
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        # Session tz pinned UTC, so the cast is value-stable.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def with_watermark(events: DataFrame, delay: str = "1 hour") -> DataFrame:
