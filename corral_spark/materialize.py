@@ -1,0 +1,64 @@
+"""Conf-switched materialization barrier for iterative / multi-consumer
+plans.
+
+Every hot path that must cut lineage (dedup candidate generation,
+connected-components iteration, sketch summaries) routes through
+``materialize`` instead of calling ``localCheckpoint`` directly, so the
+reliability/speed trade-off is a DEPLOYMENT choice, not a code fork:
+
+* ``localCheckpoint`` (default) — partitions stored on executor local
+  disk/memory, lineage truncated, NO recompute fallback. Fastest; the
+  right choice on a dedicated local/driver run, but on a preemptible
+  100 TB cluster one lost executor fails the job.
+* ``checkpoint`` — reliable checkpointing to the (shared/HDFS/object-
+  store) checkpoint dir: survives executor loss, costs a write+read of
+  the materialized set. The production default for spot fleets. Needs
+  ``spark.corral.checkpointDir`` (or a dir set via
+  ``SparkContext.setCheckpointDir``).
+* ``persist`` — MEMORY_AND_DISK caching: keeps lineage (recompute
+  fallback on block loss) without truncating it. Right when the
+  upstream plan is cheap to replay but reused often; wrong for deep
+  iterative loops (plans keep growing).
+
+Select with ``spark.conf.set("spark.corral.materialize", mode)`` —
+a runtime conf, so one session can run different stages differently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+CONF_KEY = "spark.corral.materialize"
+CHECKPOINT_DIR_KEY = "spark.corral.checkpointDir"
+
+_MODES = ("localCheckpoint", "checkpoint", "persist")
+
+
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` per the session's ``spark.corral.materialize``
+    mode (default ``localCheckpoint``). ``eager=False`` defers the
+    job to the first action for localCheckpoint/checkpoint; persist is
+    always lazy unless ``eager`` forces a count."""
+    spark = df.sparkSession
+    mode = spark.conf.get(CONF_KEY, "localCheckpoint")
+    if mode == "localCheckpoint":
+        return df.localCheckpoint(eager=eager)
+    if mode == "checkpoint":
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            ckdir = spark.conf.get(CHECKPOINT_DIR_KEY, None)
+            if ckdir is None:
+                raise ValueError(
+                    f"{CONF_KEY}=checkpoint needs {CHECKPOINT_DIR_KEY} "
+                    "(or SparkContext.setCheckpointDir) pointing at "
+                    "shared storage"
+                )
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=eager)
+    if mode == "persist":
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            out.count()
+        return out
+    raise ValueError(f"unknown {CONF_KEY}={mode!r}; expected one of {_MODES}")

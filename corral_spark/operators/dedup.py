@@ -31,6 +31,7 @@ from pyspark.sql.types import ArrayType, StringType
 from pyspark.sql.window import Window
 
 from corral_spark.functions.text import _NON_ALNUM as _NON_ALNUM_RE, tokenize
+from corral_spark.materialize import materialize
 
 
 # ---------------------------------------------------------------------------
@@ -129,7 +130,8 @@ def bucket_pairs(keyed: DataFrame, key_col: str, id_col: str) -> DataFrame:
 
     ``keyed`` must have (key_col, id_col, payload...). The upstream
     lineage (often an expensive UDF/explode pipeline) is materialized
-    ONCE via localCheckpoint, then candidates come from a codegen'd
+    ONCE via materialize() (localCheckpoint by default), then
+    candidates come from a codegen'd
     self equi-join on the bucket key. Two formulations were measured
     at sf0.1: collect_list + in-array pair enumeration loses badly
     (60-120s vs 6s) once buckets grow past a few dozen members —
@@ -142,7 +144,8 @@ def bucket_pairs(keyed: DataFrame, key_col: str, id_col: str) -> DataFrame:
     payload = F.struct(*[F.col(c) for c in keyed.columns if c != key_col])
     slim = keyed.select(
         F.col(key_col).alias("__k"), payload.alias("__p")
-    ).localCheckpoint(eager=True)
+    )
+    slim = materialize(slim, eager=True)
 
     left = slim.select(F.col("__k"), F.col("__p").alias("a"))
     right = slim.select(F.col("__k"), F.col("__p").alias("b"))
@@ -190,7 +193,7 @@ def jaccard_pairs(
     # The shingle UDF lineage is referenced three times below (sizes +
     # both self-join sides); checkpoint so it evaluates once.
     tok = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("token"))
-    tok = tok.localCheckpoint(eager=True)
+    tok = materialize(tok, eager=True)
     if max_df is not None:
         keep = (
             tok.groupBy("token")
@@ -381,14 +384,15 @@ def minhash_verified_pairs(
     by construction (short docs emit few index rows) — and unioned
     with the banded candidates.
 
-    The shingle UDF runs ONCE (localCheckpoint), feeding both the
+    The shingle UDF runs ONCE (materialize barrier), feeding both the
     signature aggregation and the verification join.
     Output: (id_a, id_b, jaccard) exact, id_a < id_b.
     """
     shing = df.select(
         F.col(id_col).alias("id"),
         word_shingles_arrow(F.col(text_col), shingle_n).alias("__sh"),
-    ).localCheckpoint(eager=True)
+    )
+    shing = materialize(shing, eager=True)
     tok = shing.select("id", F.explode("__sh").alias("__s"))
     sigs = _signatures_from_tokens(tok, "id", "__s", n_hashes)
     # threshold=0.0: every band collision is a candidate; the exact

@@ -10,7 +10,9 @@ the minimum label among itself and its neighbors until fixpoint.
 Each iteration is one join + one aggregation (shuffle on node id);
 iterations needed = graph diameter, which for near-dup graphs is tiny
 (clusters are cliques-ish). Lineage is truncated per iteration with
-localCheckpoint so plans don't grow exponentially — the classic
+a materialize() barrier (corral_spark.materialize; localCheckpoint
+by default, conf-switchable to reliable checkpointing for spot
+fleets) so plans don't grow exponentially — the classic
 iterative-DataFrame pitfall.
 """
 
@@ -18,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from corral_spark.materialize import materialize
 
 
 def connected_components(
@@ -51,7 +55,7 @@ def connected_components(
     # candidate generation), so truncate it once up front instead of
     # recomputing per consumer (measured: capstone pretrain pipeline
     # ~12s -> ~8s at sf0.1 warm).
-    edges = edges.localCheckpoint(eager=True)
+    edges = materialize(edges, eager=True)
     n_edges = edges.count()
     if n_edges == 0:
         # A clean corpus (no near-dup pairs) is a valid input: empty
@@ -99,14 +103,14 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    sym = materialize(sym, eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
+    labels = materialize(labels, eager=True)
 
     for _ in range(max_iter):
         # Each node pulls the minimum label among its neighbors.
@@ -123,8 +127,8 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = materialize(new_labels, eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -8,7 +8,7 @@ IVF refinement in similarity.py): each round is one full-corpus pair
 count (partial-aggregated groupBy — the per-round shuffle carries one
 row per distinct pair, not per occurrence) plus a single-row argmax
 collect, then a pure-projection merge application. The working corpus
-is lazily localCheckpoint'ed per round so round i+1 scans materialized
+is lazily materialized per round so round i+1 scans materialized
 rows instead of re-running i stacked regex projections (at real scale,
 substitute reliable checkpointing — same caveat as the dedup
 pipeline's bucket_pairs).
@@ -40,6 +40,7 @@ from pyspark.sql.types import (
 )
 
 from corral_spark.functions.text import tokenize
+from corral_spark.materialize import materialize
 
 MERGES_SCHEMA = StructType(
     [
@@ -61,6 +62,14 @@ def _bigrams(toks):
     ).otherwise(F.array().cast("array<string>"))
 
 
+#: Hard ceiling on merge rounds: each round is a full corpus
+#: aggregation plus one single-row collect, so cost is k corpus scans
+#: by construction. This is a vocabulary-learning utility (run on a
+#: sample, like k-means centroid fitting), NOT a 100 TB hot-path
+#: operator — the cap makes that contract executable.
+MAX_MERGE_ROUNDS = 64
+
+
 def learn_phrases(
     docs: DataFrame,
     text_col: str = "text",
@@ -75,7 +84,15 @@ def learn_phrases(
     everything data-sized stays distributed. Tokens are alphanumeric
     (reference word-count tokenizer) plus ``joiner`` from earlier
     rounds, so the merge pattern is always regex-literal-safe.
+    ``k`` is capped at ``MAX_MERGE_ROUNDS`` (greedy merge learning is
+    k corpus scans — fit on a sample at scale).
     """
+    if k > MAX_MERGE_ROUNDS:
+        raise ValueError(
+            f"k={k} exceeds MAX_MERGE_ROUNDS={MAX_MERGE_ROUNDS}: "
+            "each round scans the corpus; learn phrase merges on a "
+            "sample instead of raising the cap"
+        )
     spark = docs.sparkSession
     corpus = docs.select(
         F.concat(
@@ -105,7 +122,8 @@ def learn_phrases(
             F.regexp_replace(
                 F.regexp_replace("s", pat, repl), pat, repl
             ).alias("s")
-        ).localCheckpoint(eager=False)
+        )
+        corpus = materialize(corpus, eager=False)
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 

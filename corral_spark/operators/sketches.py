@@ -45,6 +45,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from corral_spark.materialize import materialize
+
 
 def _mg_candidates(item_df: DataFrame, capacity: int) -> DataFrame:
     """Per-partition Misra-Gries summary: candidate rows (``item``
@@ -117,7 +119,7 @@ def frequent_items(
     # and keeps the operator at TWO scans of the input — without it,
     # the candidate branch and the total branch would each re-execute
     # the MG pass.
-    summary = _mg_candidates(slim, capacity).localCheckpoint(eager=False)
+    summary = materialize(_mg_candidates(slim, capacity), eager=False)
     # Candidate items need no dedup: the LeftSemi build side hashes to
     # a set anyway, and skipping distinct() avoids a shuffle stage.
     cands = summary.filter(F.col("item").isNotNull()).select("item")

