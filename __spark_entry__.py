@@ -64,52 +64,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return _wrap(REGISTRY["shipping_priority"].spark)(spark, SMOKE_SF_DIR)
 
 
-# The r1 correctness gate recorded rows for exactly the first 50 of 61
-# registry entries (dict order) — a prefix cap. Order queries() so the
-# cap lands where it costs least: oracled queries first, then _DEMOTED
-# (oracled queries that were hash-green in CORRECTNESS_r01 AND whose
-# semantics are redundantly covered by other in-head oracled rows AND
-# by the local pytest oracle gate, which runs ALL registry oracles at
-# sf0.01), then rows-only checks last. Priority inside the head goes
-# to queries that have never had a driver row (the r1-missing set plus
-# this round's additions).
+# The driver's correctness gate records rows for the FIRST 50 queries
+# only (a prefix cap). Order queries() so the cap lands where it costs
+# least: in-head oracled queries first, then _DEMOTED (oracled queries
+# with a prior hash-green driver row whose semantics are redundantly
+# covered by in-head rows), then rows-only checks last. Every demoted
+# query stays oracle-gated by pytest (tests/test_correctness.py — at
+# sf0.001 by default; sf0.01 via CORRAL_TEST_SF_DIR or
+# tools/driver_sim.py, which replicates the real gate exactly).
+#
+# ROTATION POLICY (judge round-2 item 4): each round, swap the
+# longest-demoted queries back into the head and demote queries that
+# are double-green (r2 AND r3) so no oracled query's newest driver row
+# goes more than ~2 rounds stale. Round 4: the 17 round-1-wave
+# demotions return to the head; 20 r2+r3-double-green queries rotate
+# out; the 3 new round-4 queries (multimodal_features,
+# fuzzy_customer_pairs_lev2, ann_ivf_probes) enter the head.
 _DEMOTED = (
-    "customer_id_parse",  # casts: covered by customer_name_features/order_date_parts
-    "union_all_parties",  # set ops: covered by nation_set_ops
-    "cube_sales",  # grouping sets: covered by rollup_sales
-    "orders_by_month",  # datetime agg: covered by order_date_parts/daily_revenue_gapfill
-    "big_orders_in_subquery",  # IN-subquery: covered by parts_never_shipped (anti) + exists
-    "orders_above_customer_avg",  # correlated agg: covered by nations_above_global_share
-    "order_percentiles",  # percentile windows: covered by robust_stats + running_totals
-    "high_value_order_exists",  # semi join: covered by customers_without_orders (anti dual)
-    "null_semantics",  # null handling: exercised by customer_name_features + merge upsert
-    "top_revenue_supplier",  # scalar subquery: covered by nations_above_global_share
-    "order_latency",  # datetime diff: covered by click_purchase_within_1h deltas
-    "order_item_arrays",  # array agg: covered by tfidf/tokenize explode paths
-    "window_top_orders",  # ranked window: covered by top_orders + customer_running_totals
-    "doc_fingerprint_md5",  # md5 hashing: same construction as sampling's md5 bucketing
-    "salted_nation_revenue",  # skew salting: plan+equality pinned by pytest, regional_revenue covers the agg
-    "customers_without_orders",  # anti join: covered by parts_never_shipped + merge tombstones
-    "regional_revenue",  # multi-dim join+agg: covered by shipping_priority/amplab3, still benched
-    "distinct_parts_per_flag",  # distinct agg: covered by profile_orders n_distinct + tfidf df
-    # Round-2 tail: four more demotions to keep the head at exactly 50
-    # after adding heavy_hitter_tokens / udtf_sentences_docs /
-    # click_purchase_leftouter / fuzzy_customer_pairs_capped — all
-    # r01-hash-green, all still oracle-gated by pytest at 3 SFs.
+    # -- held over (r1-green; plan value separately pytest-pinned) --
+    "salted_nation_revenue",  # skew salting: plan+equality pinned by test_plans; regional_revenue covers the agg
     "amplab2",  # substring key + SUM: covered by amplab1 (scan/filter) + amplab3 (join+agg)
     "top_orders",  # sort/top-k: TakeOrderedAndProject pinned by test_plans; shipping_priority has the same tail
-    "customer_name_features",  # scalar casts/strings: covered by order_date_parts + null_semantics pytest
+    "customer_name_features",  # scalar casts/strings: covered by customer_id_parse + null_semantics (both back in head)
     "promo_revenue_share",  # conditional-agg share: covered by nations_above_global_share (same correlated shape)
-    # Extension wave 4: six more demotions (all r01-hash-green, all
-    # still oracle-gated by pytest at 3 SFs) so the six new oracled
-    # hygiene queries land inside the head-50 driver window.
-    "wordcount",  # tokenize+count: covered by heavy_hitter_tokens + tfidf_top_terms + token_count_docs
-    "pricing_summary",  # filtered multi-agg: covered by amplab3 + rollup_sales; still benched
-    "lang_id_docs",  # marker-word intersect: same array_intersect construction as text-stats family; top_tokens_per_lang covers lang grouping
-    "jaccard_pairs_docs",  # exact-Jaccard pairs: dedup_clusters_docs (in head) contains the identical pair computation in both engines
-    "text_stats_docs",  # word-array stats: covered by doc_repetition_stats + profile_orders
-    "asof_signup_before_purchase",  # as-of union-window: covered by click_purchase_within_1h + customer_running_totals window ordering; still benched
-    "token_count_docs",  # regex token counting: covered by udtf_sentences_docs (regex segmentation) + heavy_hitter_tokens (tokenize+count)
+    "wordcount",  # tokenize+count: covered by heavy_hitter_tokens; still benched
+    "pricing_summary",  # filtered multi-agg: covered by amplab3 + rollup pytest gate; still benched
+    "lang_id_docs",  # marker-word intersect: top_tokens_per_lang covers lang grouping
+    "jaccard_pairs_docs",  # exact-Jaccard pairs: dedup_clusters_docs (in head) contains the identical pair computation
+    "text_stats_docs",  # word-array stats: covered by doc_repetition_stats
+    "asof_signup_before_purchase",  # as-of union-window: covered by click_purchase_within_1h; still benched
+    "token_count_docs",  # regex token counting: covered by udtf_sentences_docs + heavy_hitter_tokens
+    # -- round-4 rotation: r2 AND r3 hash-green, redundantly covered --
+    "rollup_sales",  # grouping sets: cube_sales (back in head) is the superset construction
+    "event_props_map",  # JSON->map explode: event_props_json (in head) parses the same payloads
+    "robust_stats",  # median/MAD: order_percentiles (back in head) is the same percentile machinery
+    "order_date_parts",  # datetime extraction: orders_by_month + order_latency back in head
+    "parts_never_shipped",  # anti join: high_value_order_exists (semi dual) + big_orders_in_subquery back in head
+    "events_in_promo_windows",  # interval join: click_purchase_within_1h covers the range-predicate join
+    "customer_running_totals",  # running window: window_top_orders (back in head) is the same window machinery
+    "dedup_exact_docs",  # exact dedup: pretrain_corpus stage 2 + incremental_dedup_new_docs cover it; still benched
+    "ann_cosine_topk",  # brute-force cosine: ann_ivf_topk's oracle IS this query's oracle; still benched
+    "ann_ivf_topk",  # all-cells IVF: superseded in the head by ann_ivf_probes (probe-limited, same machinery)
+    "profile_orders",  # profiling: dq_report covers null/distinct/minmax profiling
+    "normalized_redacted_docs",  # normalize+redact: pretrain_corpus stage 1 runs the identical projection
+    "sample_docs_10pct",  # md5 sampling: train_test_split_counts + doc_fingerprint_md5 (back in head) cover the construction
+    "stratified_sample_orders",  # stratified sampling: lang_sampling_weights covers per-group rate derivation
+    "fuzzy_customer_pairs",  # lev<=1 blocking: fuzzy_customer_pairs_lev2 (depth-2 superset) + capped variant in head
+    "tfidf_top_terms",  # tf-idf: top_tokens_per_lang covers the tf/df aggregation shapes
+    "click_purchase_leftouter",  # outer as-of: click_purchase_within_1h covers the inner path
+    "pack_docs_2k",  # packing: doc_chunks covers the chunk/bin construction
+    "hygiene_filtered_docs",  # hygiene composition: decontaminate_docs + pretrain_corpus cover the stages
+    "user_rolling_1h",  # rolling window: events_sliding_1h_30m covers sliding-window aggregation
 )
 
 
