@@ -60,7 +60,9 @@ RUNTIME_FILTER_CONF: dict[str, str] = {
 }
 
 
-def object_store_conf(committer: str = "magic") -> dict[str, str]:
+def object_store_conf(
+    committer: str = "magic", include_committer_protocol: bool = True
+) -> dict[str, str]:
     """Conf block for object-store (s3a://) reads and writes — the
     Spark-native answer to the reference's hand-rolled S3 filesystem
     (reference internal/pkg/corfs/s3.go:20-224: glob emulation, ranged
@@ -72,17 +74,21 @@ def object_store_conf(committer: str = "magic") -> dict[str, str]:
 
     Returned as a dict for ``build_session(extra_conf=...)`` — not
     baked into ENGINE_CONF because local/file runs don't want the
-    committer switch. (No cloud in this container: exercised by unit
-    tests over conf contents + file:// URI paths, not a live bucket.)
+    committer switch.
+
+    ``include_committer_protocol`` gates the two commit-protocol CLASS
+    keys. They require the ``spark-hadoop-cloud`` module on the JVM
+    classpath (NOT shipped in the pip pyspark distribution): Spark
+    validates the class when the conf binds, so with the jars absent a
+    runtime ``conf.set`` raises IllegalArgumentException and setting
+    them at session build wedges session-state initialization
+    (measured on pyspark 4.1: any later RuntimeConfig access hangs).
+    Pass ``False`` on jar-less installs — the probe
+    ``tools/storage_shuffle_probe.py`` demonstrates both behaviors and
+    is the executable contract for this function.
     """
-    return {
+    conf = {
         "spark.hadoop.fs.s3a.committer.name": committer,
-        "spark.sql.sources.commitProtocolClass": (
-            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
-        ),
-        "spark.sql.parquet.output.committer.class": (
-            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
-        ),
         # Ranged-read tuning for columnar formats (corfs does ranged
         # GETs for record splitting, s3.go:118-160; s3a's random mode
         # is the same idea applied to parquet footers/pages).
@@ -90,6 +96,18 @@ def object_store_conf(committer: str = "magic") -> dict[str, str]:
         "spark.hadoop.fs.s3a.connection.maximum": "96",
         "spark.hadoop.fs.s3a.fast.upload": "true",
     }
+    if include_committer_protocol:
+        conf.update(
+            {
+                "spark.sql.sources.commitProtocolClass": (
+                    "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+                ),
+                "spark.sql.parquet.output.committer.class": (
+                    "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+                ),
+            }
+        )
+    return conf
 
 
 def build_session(
