@@ -115,6 +115,10 @@ _DEMOTED = (
     "pack_docs_2k",  # packing: doc_chunks covers the chunk/bin construction
     "hygiene_filtered_docs",  # hygiene composition: decontaminate_docs + pretrain_corpus cover the stages
     "user_rolling_1h",  # rolling window: events_sliding_1h_30m covers sliding-window aggregation
+    # -- round-4 tail: two more swaps so segment_dedup_docs and
+    # -- quality_score_docs land inside the head-50 window --
+    "minhash_pairs_docs",  # minhash verified path: runs inside pretrain_corpus + incremental_dedup_new_docs (both in head); still benched
+    "train_test_split_counts",  # md5-bucket splits: doc_fingerprint_md5 (in head) + lang_sampling_weights cover the construction
 )
 
 

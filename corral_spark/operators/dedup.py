@@ -536,3 +536,74 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_words: int = 10,
+) -> DataFrame:
+    """Corpus-level segment (pseudo-paragraph) deduplication —
+    CCNet-style: split every document into fixed-width word segments,
+    keep only the FIRST occurrence of each distinct segment across the
+    whole corpus (first = minimum (doc id, segment index) — a total
+    order, so the kept set is data-determined and oracle-checkable),
+    and reassemble each document from its surviving segments in
+    original order.
+
+    Scale shape: one shuffle keyed on the segment text (the window
+    that ranks occurrences — at 100 TB hash the segment with xxhash64
+    so the shuffle carries 8-byte keys), then one group-by on the doc
+    id to reassemble. No self-join, no cross join; cost is linear in
+    total segment count. Documents whose every segment was seen
+    earlier survive with ``clean_text = ''`` (the caller's length
+    filter decides their fate), so the output is row-complete.
+
+    Output: (id_col, clean_text, n_kept, n_total) ordered by nothing —
+    callers order.
+    """
+    from pyspark.sql.window import Window
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    nseg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda j: F.concat_ws(
+                " ", F.slice(words, j * seg_words + 1, seg_words)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(
+        F.col(id_col).alias("__id"), segs.alias("__segs"), nseg.alias("n_total")
+    )
+    exploded = base.select(
+        "__id", F.posexplode("__segs").alias("seg_idx", "seg")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("seg").orderBy("__id", "seg_idx")
+    )
+    kept = exploded.withColumn("__rn", rn).filter(F.col("__rn") == 1)
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s.getField("seg"),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )
+    return (
+        base.select("__id", "n_total")
+        .join(rebuilt, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("n_total"), F.lit(0)).alias("n_total"),
+        )
+    )

@@ -122,3 +122,37 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         for c in cols
     ]
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+#: Deterministic logistic quality-model weights: (bias, distinct_ratio,
+#: stopword_ratio, ln(n_words+1), avg_word_len - 5). The weights are
+#: fixed engine constants — the operator demonstrates MODEL-BASED
+#: quality filtering (the fastText-classifier shape used by CCNet/
+#: RefinedWeb-style pipelines) as a pure JVM-side expression: at 100 TB
+#: a linear model over cheap features scores in the scan projection
+#: with zero shuffle and zero Python.
+QUALITY_WEIGHTS = (-1.0, 2.0, 1.5, 0.3, -0.2)
+
+
+def quality_logistic_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality score: sigmoid of a fixed linear model
+    over textanalysis.text_stats features. Scores are rounded to 6 dp
+    so ranking/filtering is engine-stable; ``keep`` applies the 0.5
+    decision threshold. Output: (doc_id, score, keep)."""
+    from corral_spark.operators.textanalysis import text_stats
+
+    w0, w1, w2, w3, w4 = QUALITY_WEIGHTS
+    stats = text_stats(df, text_col)
+    z = (
+        F.lit(w0)
+        + F.lit(w1) * F.col("distinct_ratio")
+        + F.lit(w2) * F.col("stopword_ratio")
+        + F.lit(w3) * F.log(F.col("n_words") + F.lit(1.0))
+        + F.lit(w4) * (F.col("avg_word_len") - F.lit(5.0))
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return stats.select(
+        "doc_id",
+        score.alias("score"),
+        (score >= F.lit(0.5)).alias("keep"),
+    )

@@ -11,10 +11,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from corral_spark.operators.dedup import segment_dedup
 from corral_spark.operators.fuzzy import fuzzy_join
+from corral_spark.operators.quality import QUALITY_WEIGHTS, quality_logistic_score
 from corral_spark.operators.similarity import ivf_topk
+from corral_spark.operators.textanalysis import LANG_MARKERS
 from corral_spark.queries.registry import register
 from corral_spark.sources.tables import load_table
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
 @register(
@@ -119,3 +126,106 @@ def ann_ivf_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         corpus, queries, ncells=_NBLOCKS, nprobe=2, k=10
     ).orderBy("query_id", "rnk")
+
+
+@register(
+    "segment_dedup_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, words,
+             CAST(ceil(len(words) / 10.0) AS INT) AS n_total
+      FROM toks
+    ),
+    segs AS (
+      SELECT doc_id, CAST(j AS INT) AS seg_idx,
+             array_to_string(list_slice(words, j*10 + 1, j*10 + 10), ' ') AS seg
+      FROM base, unnest(range(0, n_total)) AS t(j)
+    ),
+    kept AS (
+      SELECT doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+             CAST(COUNT(*) AS INT) AS n_kept
+      FROM kept WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           b.n_total
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    tags=("dedup", "text", "extension"),
+)
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level segment dedup: 10-word segments, keep
+    the first occurrence of each distinct segment across the corpus
+    (min (doc_id, seg_idx) — a total order, so the kept set is exactly
+    reproducible), reassemble documents from surviving segments. The
+    oracle replays the same rule in SQL, so a green row proves the
+    shuffle-on-segment window + per-doc reassembly end to end. One
+    segment-keyed shuffle + one doc-keyed group-by — linear, no
+    self-join (operators.dedup.segment_dedup)."""
+    out = segment_dedup(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", seg_words=10
+    )
+    return out.orderBy("doc_id")
+
+
+_EN_STOP_SQL5 = _sql_list(LANG_MARKERS["en"])
+_W = QUALITY_WEIGHTS
+
+
+@register(
+    "quality_score_docs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+               AS distinct_ratio,
+             CAST(len(list_intersect(words, {_EN_STOP_SQL5})) AS DOUBLE)
+               / len(list_distinct(words)) AS stopword_ratio,
+             CAST(list_reduce(list_transform(words, x -> length(x)),
+                              (a, b) -> a + b) AS DOUBLE) / len(words)
+               AS avg_word_len
+      FROM w
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-({_W[0]}
+               + {_W[1]} * distinct_ratio
+               + {_W[2]} * stopword_ratio
+               + {_W[3]} * ln(n_words + 1.0)
+               + {_W[4]} * (avg_word_len - 5.0)))), 6) AS score,
+           round(1.0 / (1.0 + exp(-({_W[0]}
+               + {_W[1]} * distinct_ratio
+               + {_W[2]} * stopword_ratio
+               + {_W[3]} * ln(n_words + 1.0)
+               + {_W[4]} * (avg_word_len - 5.0)))), 6) >= 0.5 AS keep
+    FROM f
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "extension"),
+)
+def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText-classifier shape of
+    CCNet/RefinedWeb pipelines) as a pure JVM expression: a fixed
+    logistic model over text_stats features, scored in the scan
+    projection — zero shuffle, zero Python. The oracle recomputes the
+    identical model in SQL (operators.quality.quality_logistic_score).
+    """
+    return quality_logistic_score(
+        load_table(spark, sf_dir, "documents"), "text"
+    ).orderBy("doc_id")
