@@ -183,3 +183,40 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["fuzzy_customer_pairs_lev2", "segment_dedup_docs"],
+)
+def test_round4_pairwise_queries_never_nested_loop(spark, name):
+    # Depth-2 deletion blocking and segment dedup are the round-4
+    # accidental-cross-join shapes: both must stay variant/segment
+    # equi-joins + windows at any scale.
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_score_is_single_scan_projection(spark):
+    # The logistic quality model must stay a scan-side expression:
+    # no Python evaluation, one parquet scan, and the ONLY exchange is
+    # the final deterministic ORDER BY (rangepartitioning) — scoring
+    # itself must not introduce a hash shuffle.
+    plan = plan_of(spark, "quality_score_docs")
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan, (
+        "model scoring must not shuffle beyond the output sort"
+    )
+    for marker in ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_ann_ivf_probes_broadcasts_centroids_and_queries(spark):
+    # The IVF probe path may nested-loop ONLY against broadcast-sized
+    # sides (8 centroids, 5 queries); the corpus itself must never be
+    # the build side of a cross join.
+    plan = plan_of(spark, "ann_ivf_probes")
+    assert "CartesianProduct" not in plan
+    # Probed-cell scoring is an equi-join on the cell id.
+    assert "cell" in plan
