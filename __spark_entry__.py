@@ -119,6 +119,7 @@ _DEMOTED = (
     # -- quality_score_docs land inside the head-50 window --
     "minhash_pairs_docs",  # minhash verified path: runs inside pretrain_corpus + incremental_dedup_new_docs (both in head); still benched
     "train_test_split_counts",  # md5-bucket splits: doc_fingerprint_md5 (in head) + lang_sampling_weights cover the construction
+    "amplab1",  # scan+filter+projection: contained in amplab3/shipping_priority pipelines; pushdown plan-pinned by test_plans
 )
 
 

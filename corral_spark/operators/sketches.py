@@ -171,3 +171,112 @@ def grouped_top_k(
     return counts.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Expression-native Bloom filter (incremental-ingest prefilter)
+# ---------------------------------------------------------------------------
+#
+# Spark's internal bloom_filter_agg/might_contain expressions are not
+# registered as public SQL routines, so this is a from-scratch Bloom
+# filter built ENTIRELY from whole-stage-codegen expressions: k probe
+# positions per key via seeded xxhash64, bits packed into an
+# array<long> of m/64 words (built with one bit_or aggregation), and
+# membership tested with element_at + bitwise AND against the single
+# broadcast filter row. No UDF anywhere; the probe math runs inside
+# the scan projection.
+#
+# Use case (100 TB posture): incremental ingest against a huge seen
+# corpus. A plain anti-join shuffles BOTH sides on the key; with the
+# filter, rows whose probes miss are provably unseen (Bloom filters
+# have no false negatives) and skip the shuffle entirely — only the
+# ~fpp fraction of "maybe" rows pays the exact anti-join, so shuffle
+# volume drops from O(incoming + corpus) to O(corpus_keys + fpp *
+# incoming). The m/64-word array passes through the driver once
+# (bounded by the filter SIZE, independent of data size — same
+# contract as the Misra-Gries summary above).
+
+
+def _shl1(bits):
+    """1L << bits with a COLUMN shift amount (F.shiftleft only takes a
+    literal int count; call_function routes to the SQL builtin)."""
+    return F.call_function("shiftleft", F.lit(1).cast("long"), bits.cast("int"))
+
+
+def _bloom_probes(key, m_bits: int, k: int):
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 5
+) -> DataFrame:
+    """One-row DataFrame (bf: array<long>, m_bits, k) encoding a Bloom
+    filter of ``df[key_col]``. m_bits must be a multiple of 64."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    spark = df.sparkSession
+    probes = F.array(*_bloom_probes(F.col(key_col), m_bits, k))
+    sparse = (
+        df.select(F.explode(probes).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            _shl1(F.col("p") % 64).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("m"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for row in sparse:
+        words[row["w"]] = row["m"]
+    return spark.createDataFrame(
+        [(words, m_bits, k)], "bf: array<long>, m_bits: long, k: int"
+    )
+
+
+def bloom_might_contain(bf: DataFrame, df: DataFrame, key_col: str):
+    """``df`` plus a ``__might`` boolean: False is a PROOF the key was
+    not in the filter's build set; True means "seen or false
+    positive". ``bf`` is broadcast — one filter row against the whole
+    scan, membership math fully codegen'd."""
+    bf_row = bf.select(
+        F.col("bf").alias("__bf"),
+        F.col("m_bits").alias("__m"),
+        F.col("k").alias("__k"),
+    )
+    joined = df.crossJoin(F.broadcast(bf_row))
+    params = bf.select("m_bits", "k").first()
+    m_bits, k = params["m_bits"], params["k"]
+    cond = F.lit(True)
+    for p in _bloom_probes(F.col(key_col), int(m_bits), int(k)):
+        word = F.element_at(F.col("__bf"), (p / 64).cast("int") + F.lit(1))
+        mask = _shl1(p % 64)
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return joined.withColumn("__might", cond).drop("__bf", "__m", "__k")
+
+
+def bloom_new_rows(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Rows of ``incoming`` whose ``key_col`` does not appear in
+    ``existing`` — EXACT anti-join semantics, Bloom-accelerated:
+    definitely-new rows (probe miss) bypass the shuffle; only "maybe"
+    rows are exact-checked with a left_anti join. The union is exactly
+    the anti-join result, so the operator is oracle-checkable while
+    the plan scales like the filter, not like the corpus."""
+    bf = bloom_build(existing, key_col, m_bits, k)
+    flagged = bloom_might_contain(bf, incoming, key_col)
+    definitely_new = flagged.filter(~F.col("__might")).drop("__might")
+    maybe = flagged.filter(F.col("__might")).drop("__might")
+    verified_new = maybe.join(
+        existing.select(F.col(key_col)).distinct(),
+        on=key_col,
+        how="left_anti",
+    )
+    return definitely_new.unionByName(verified_new)

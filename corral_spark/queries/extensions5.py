@@ -229,3 +229,37 @@ def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_logistic_score(
         load_table(spark, sf_dir, "documents"), "text"
     ).orderBy("doc_id")
+
+
+@register(
+    "bloom_new_docs",
+    oracle="""
+    WITH existing AS (
+      SELECT text FROM documents WHERE doc_id % 2 = 0
+    ),
+    incoming AS (
+      SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT i.doc_id, i.lang, i.source
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.text = i.text)
+    ORDER BY i.doc_id
+    """,
+    tags=("dedup", "sketch", "extension"),
+)
+def bloom_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated incremental dedup: even-id docs are the seen
+    corpus, odd-id docs the incoming batch; output = incoming docs
+    whose text was never seen. Semantics are EXACTLY the anti-join
+    (the oracle), but the plan routes probe-miss rows (provably
+    unseen — Bloom filters have no false negatives) around the
+    shuffle and exact-checks only the "maybe" fraction — the shape
+    that keeps incremental ingest shuffle volume O(corpus keys +
+    fpp * batch) at 100 TB (operators.sketches.bloom_new_rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from corral_spark.operators.sketches import bloom_new_rows
+
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    new = bloom_new_rows(existing, incoming, "text")
+    return new.select("doc_id", "lang", "source").orderBy("doc_id")

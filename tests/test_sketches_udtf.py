@@ -214,3 +214,95 @@ def test_fuzzy_cap_deterministic_under_duplicate_ids(spark):
     # (1,'aaa') and (1,'aab'); id_a < id_b never holds within id 1, so
     # the only emitted pairs need distinct ids that both survive a cap.
     assert all(a != b for a, b, *_ in want)
+
+
+class TestBloomPrefilter:
+    """Expression-native Bloom filter (sketches.bloom_build /
+    bloom_might_contain / bloom_new_rows)."""
+
+    def test_no_false_negatives(self, spark):
+        # Every key inserted at build time MUST probe positive.
+        from corral_spark.operators.sketches import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        from pyspark.sql import functions as F
+
+        keys = spark.range(5000).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key")
+        )
+        bf = bloom_build(keys, "key", m_bits=1 << 16, k=5)
+        flagged = bloom_might_contain(bf, keys, "key")
+        assert flagged.filter(~F.col("__might")).count() == 0
+
+    def test_false_positive_rate_sane(self, spark):
+        from pyspark.sql import functions as F
+
+        from corral_spark.operators.sketches import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        keys = spark.range(5000).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key")
+        )
+        others = spark.range(5000, 10000).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key")
+        )
+        bf = bloom_build(keys, "key", m_bits=1 << 20, k=5)
+        fp = (
+            bloom_might_contain(bf, others, "key")
+            .filter(F.col("__might"))
+            .count()
+        )
+        # m/n = 210 bits/key with k=5 -> theoretical fpp well under 1e-4;
+        # allow generous slack for hash quality.
+        assert fp < 50, f"false-positive count {fp} of 5000 is implausible"
+
+    def test_new_rows_equals_anti_join(self, spark):
+        from pyspark.sql import functions as F
+
+        from corral_spark.operators.sketches import bloom_new_rows
+
+        existing = spark.range(0, 3000).select(
+            F.concat(F.lit("d"), (F.col("id") % 2000)).alias("key"),
+            F.col("id").alias("v"),
+        )
+        incoming = spark.range(1000, 5000).select(
+            F.concat(F.lit("d"), F.col("id")).alias("key"),
+            (F.col("id") * 10).alias("v"),
+        )
+        got = sorted(
+            map(tuple, bloom_new_rows(existing, incoming, "key").collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                incoming.join(
+                    existing.select("key").distinct(), "key", "left_anti"
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    def test_empty_existing_passes_everything(self, spark):
+        from pyspark.sql import functions as F
+
+        from corral_spark.operators.sketches import bloom_new_rows
+
+        existing = spark.range(0).select(
+            F.concat(F.lit("x"), F.col("id")).alias("key")
+        )
+        incoming = spark.range(100).select(
+            F.concat(F.lit("x"), F.col("id")).alias("key")
+        )
+        assert bloom_new_rows(existing, incoming, "key").count() == 100
+
+    def test_m_bits_must_be_word_aligned(self, spark):
+        import pytest as _pytest
+
+        from corral_spark.operators.sketches import bloom_build
+
+        with _pytest.raises(ValueError, match="multiple of 64"):
+            bloom_build(spark.range(1).toDF("key"), "key", m_bits=100)
