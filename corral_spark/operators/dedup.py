@@ -552,19 +552,20 @@ def segment_dedup(
     and reassemble each document from its surviving segments in
     original order.
 
-    Scale shape: one shuffle keyed on the segment text (the window
-    that ranks occurrences — at 100 TB hash the segment with xxhash64
-    so the shuffle carries 8-byte keys), then one group-by on the doc
-    id to reassemble. No self-join, no cross join; cost is linear in
-    total segment count. Documents whose every segment was seen
-    earlier survive with ``clean_text = ''`` (the caller's length
-    filter decides their fate), so the output is row-complete.
+    Scale shape: the first-occurrence winner per segment is a MIN
+    aggregation over (doc id, segment index), not a window — min is
+    partial-aggregating, so a boilerplate segment appearing in 10% of
+    all documents collapses to one row per map task before the
+    exchange instead of hot-spotting a single window reducer. One
+    segment-keyed shuffle, then one doc-keyed group-by to reassemble.
+    No self-join, no cross join; cost is linear in total segment
+    count. Documents whose every segment was seen earlier survive
+    with ``clean_text = ''`` (the caller's length filter decides
+    their fate), so the output is row-complete.
 
     Output: (id_col, clean_text, n_kept, n_total) ordered by nothing —
     callers order.
     """
-    from pyspark.sql.window import Window
-
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     nseg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
     segs = F.when(
@@ -583,10 +584,18 @@ def segment_dedup(
     exploded = base.select(
         "__id", F.posexplode("__segs").alias("seg_idx", "seg")
     )
-    rn = F.row_number().over(
-        Window.partitionBy("seg").orderBy("__id", "seg_idx")
+    # First occurrence = min (doc id, seg idx) — a hash aggregate with
+    # map-side combine, deliberately NOT a row_number window (windows
+    # shuffle every occurrence of a hot segment to one task).
+    kept = (
+        exploded.groupBy("seg")
+        .agg(F.min(F.struct("__id", "seg_idx")).alias("__w"))
+        .select(
+            F.col("__w.__id").alias("__id"),
+            F.col("__w.seg_idx").alias("seg_idx"),
+            "seg",
+        )
     )
-    kept = exploded.withColumn("__rn", rn).filter(F.col("__rn") == 1)
     rebuilt = kept.groupBy("__id").agg(
         F.concat_ws(
             " ",

@@ -228,3 +228,73 @@ def doc_fingerprint(
         folded.alias("fp_xor"),
         F.size(sh).alias("n_shingles"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", alpha: float = 0.5
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-alpha-smoothed bigram model: P(w2|w1) = (c(w1 w2) + a) /
+    (ctx(w1) + a*V), the conditional-probability upgrade over
+    unigram_logprob for perplexity-style quality bucketing.
+
+    Model side is bigram-vocabulary-sized (sublinear in corpus size):
+    corpus bigram counts (one partial-aggregated groupBy), context
+    counts derived FROM the bigram counts (no extra corpus scan), and
+    the V scalar (distinct unigrams) broadcast. The scoring join is
+    hint-free — AQE broadcasts the model when it fits. Documents with
+    fewer than two tokens emit (0, NULL).
+
+    Output: (doc_id, n_bigrams, mean_logprob) — mean rounded to 4 dp.
+    """
+    words = tokenize(F.col(text_col))
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    big = df.select("doc_id", F.explode(bigrams).alias("bg"))
+    toks = df.select(F.explode(words).alias("t"))
+    vocab = toks.agg(F.count_distinct("t").cast("double").alias("V"))
+
+    c2 = (
+        big.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .transform(lambda d: materialize(d, eager=False))
+    )
+    ctx = F.split(F.col("bg"), " ").getItem(0)
+    c1 = c2.select(ctx.alias("w1"), "c2").groupBy("w1").agg(
+        F.sum("c2").alias("c1")
+    )
+    model = (
+        c2.withColumn("w1", ctx)
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("bg", "c2", "c1", "V")
+    )
+    scored = big.join(model, "bg").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.avg(
+                F.log(
+                    (F.col("c2") + F.lit(alpha))
+                    / (F.col("c1") + F.lit(alpha) * F.col("V"))
+                )
+            ),
+            4,
+        ).alias("mean_logprob"),
+    )
+    return (
+        df.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "mean_logprob",
+        )
+    )

@@ -263,3 +263,64 @@ def bloom_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.filter(F.col("doc_id") % 2 == 1)
     new = bloom_new_rows(existing, incoming, "text")
     return new.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+from corral_spark.operators.textanalysis import bigram_logprob  # noqa: E402
+
+#: DuckDB mirror of functions.text.tokenize (same string as the other
+#: oracle modules): sanitize -> lower -> split -> drop empties.
+_TOK_SQL5 = (
+    "list_filter(string_split_regex(trim(lower("
+    "regexp_replace({col}, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+'),"
+    " x -> x <> '')"
+)
+
+
+@register(
+    "bigram_logprob_docs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_TOK_SQL5.format(col='text')} AS words
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, words[i] || ' ' || words[i+1] AS b
+      FROM w, unnest(range(1, len(words))) AS t(i)
+      WHERE len(words) >= 2
+    ),
+    c2 AS (SELECT b, COUNT(*) AS c2 FROM bg GROUP BY b),
+    c1 AS (
+      SELECT string_split(b, ' ')[1] AS w1, SUM(c2) AS c1
+      FROM c2 GROUP BY 1
+    ),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vocab
+      FROM (SELECT unnest(words) AS t FROM w)
+    ),
+    scored AS (
+      SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+             round(AVG(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.vocab))), 4)
+               AS mean_logprob
+      FROM bg
+      JOIN c2 USING (b)
+      JOIN c1 ON string_split(bg.b, ' ')[1] = c1.w1, v
+      GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           s.mean_logprob
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("text", "quality", "extension"),
+)
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram log-probability per document under the corpus's own
+    add-0.5-smoothed bigram model (textanalysis.bigram_logprob) — the
+    conditional-probability upgrade over unigram_logprob_docs for
+    perplexity-style quality bucketing. Context counts derive from the
+    bigram counts (no extra corpus scan); the model join is hint-free
+    (AQE broadcasts the bigram-vocabulary side when it fits)."""
+    return bigram_logprob(
+        load_table(spark, sf_dir, "documents"), "text"
+    ).orderBy("doc_id")
