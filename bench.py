@@ -9,7 +9,9 @@ every declared query is an agg/top-k, so result sets are small and the
 full plan runs; nothing is collected to the driver beyond counts).
 
 The "sf1" section is a per-round scaling canary (judge round-2 item
-7): the two dedup headliners re-run once at a synthetic 10x dataset
+7): the two dedup headliners re-timed (min-of-2, so the number is a
+warm engine cost comparable to the min-of-3 base timings, not a cold
+first-touch) at a synthetic 10x dataset
 (tools/scale_data.py — disjoint-key replication, so candidate pairs
 cannot cross replicas and any superlinear ratio is an engine O(n^2)
 artifact, not data). ratio_vs_base ~ 10 means linear; disable with

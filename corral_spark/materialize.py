@@ -46,15 +46,27 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
         return df.localCheckpoint(eager=eager)
     if mode == "checkpoint":
         sc = spark.sparkContext
-        if sc.getCheckpointDir() is None:
-            ckdir = spark.conf.get(CHECKPOINT_DIR_KEY, None)
-            if ckdir is None:
-                raise ValueError(
-                    f"{CONF_KEY}=checkpoint needs {CHECKPOINT_DIR_KEY} "
-                    "(or SparkContext.setCheckpointDir) pointing at "
-                    "shared storage"
-                )
-            sc.setCheckpointDir(ckdir)
+        ckdir = spark.conf.get(CHECKPOINT_DIR_KEY, None)
+        bound = sc.getCheckpointDir()
+        if ckdir is not None:
+            # Re-bind whenever the conf names a dir the context is not
+            # already under — a later stage may legitimately redirect
+            # (conf changes must never be silently ignored). Spark
+            # appends a random subdir per setCheckpointDir call and may
+            # prepend a filesystem scheme, so compare by containment.
+            if bound is None or ckdir.rstrip("/") not in bound:
+                sc.setCheckpointDir(ckdir)
+        elif bound is None:
+            raise ValueError(
+                f"{CONF_KEY}=checkpoint needs {CHECKPOINT_DIR_KEY} "
+                "(or SparkContext.setCheckpointDir) pointing at "
+                "shared storage"
+            )
+        # Lifecycle note: reliable checkpoint files outlive the frames
+        # that made them unless the session was built with
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true (a
+        # build-time conf) — long-running production sessions should
+        # set it, or sweep the dir between pipeline runs.
         return df.checkpoint(eager=eager)
     if mode == "persist":
         out = df.persist(StorageLevel.MEMORY_AND_DISK)

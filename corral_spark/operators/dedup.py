@@ -578,8 +578,15 @@ def segment_dedup(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    base = df.select(
-        F.col(id_col).alias("__id"), segs.alias("__segs"), nseg.alias("n_total")
+    # Two consumers below (the posexplode branch and the final n_total
+    # join) — materialize so documents are tokenized/segmented once.
+    base = materialize(
+        df.select(
+            F.col(id_col).alias("__id"),
+            segs.alias("__segs"),
+            nseg.alias("n_total"),
+        ),
+        eager=False,
     )
     exploded = base.select(
         "__id", F.posexplode("__segs").alias("seg_idx", "seg")

@@ -236,25 +236,30 @@ def bloom_build(
     )
 
 
-def bloom_might_contain(bf: DataFrame, df: DataFrame, key_col: str):
+def bloom_might_contain(
+    bf: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    m_bits: int | None = None,
+    k: int | None = None,
+):
     """``df`` plus a ``__might`` boolean: False is a PROOF the key was
     not in the filter's build set; True means "seen or false
     positive". ``bf`` is broadcast — one filter row against the whole
-    scan, membership math fully codegen'd."""
-    bf_row = bf.select(
-        F.col("bf").alias("__bf"),
-        F.col("m_bits").alias("__m"),
-        F.col("k").alias("__k"),
-    )
+    scan, membership math fully codegen'd. Pass ``m_bits``/``k`` when
+    the caller already knows them (bloom_new_rows does) — otherwise
+    they are read from ``bf``, which costs one extra tiny job."""
+    if m_bits is None or k is None:
+        params = bf.select("m_bits", "k").first()
+        m_bits, k = params["m_bits"], params["k"]
+    bf_row = bf.select(F.col("bf").alias("__bf"))
     joined = df.crossJoin(F.broadcast(bf_row))
-    params = bf.select("m_bits", "k").first()
-    m_bits, k = params["m_bits"], params["k"]
     cond = F.lit(True)
     for p in _bloom_probes(F.col(key_col), int(m_bits), int(k)):
         word = F.element_at(F.col("__bf"), (p / 64).cast("int") + F.lit(1))
         mask = _shl1(p % 64)
         cond = cond & (word.bitwiseAND(mask) != 0)
-    return joined.withColumn("__might", cond).drop("__bf", "__m", "__k")
+    return joined.withColumn("__might", cond).drop("__bf")
 
 
 def bloom_new_rows(
@@ -271,7 +276,7 @@ def bloom_new_rows(
     the anti-join result, so the operator is oracle-checkable while
     the plan scales like the filter, not like the corpus."""
     bf = bloom_build(existing, key_col, m_bits, k)
-    flagged = bloom_might_contain(bf, incoming, key_col)
+    flagged = bloom_might_contain(bf, incoming, key_col, m_bits, k)
     definitely_new = flagged.filter(~F.col("__might")).drop("__might")
     maybe = flagged.filter(F.col("__might")).drop("__might")
     verified_new = maybe.join(

@@ -15,13 +15,11 @@ from corral_spark.operators.dedup import segment_dedup
 from corral_spark.operators.fuzzy import fuzzy_join
 from corral_spark.operators.quality import QUALITY_WEIGHTS, quality_logistic_score
 from corral_spark.operators.similarity import ivf_topk
-from corral_spark.operators.textanalysis import LANG_MARKERS
+from corral_spark.operators.textanalysis import LANG_MARKERS, bigram_logprob
+from corral_spark.queries.extensions import _sql_list
+from corral_spark.queries.extensions2 import _TOK_SQL
 from corral_spark.queries.registry import register
 from corral_spark.sources.tables import load_table
-
-
-def _sql_list(words) -> str:
-    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
 @register(
@@ -265,22 +263,11 @@ def bloom_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new.select("doc_id", "lang", "source").orderBy("doc_id")
 
 
-from corral_spark.operators.textanalysis import bigram_logprob  # noqa: E402
-
-#: DuckDB mirror of functions.text.tokenize (same string as the other
-#: oracle modules): sanitize -> lower -> split -> drop empties.
-_TOK_SQL5 = (
-    "list_filter(string_split_regex(trim(lower("
-    "regexp_replace({col}, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+'),"
-    " x -> x <> '')"
-)
-
-
 @register(
     "bigram_logprob_docs",
     oracle=f"""
     WITH w AS (
-      SELECT doc_id, {_TOK_SQL5.format(col='text')} AS words
+      SELECT doc_id, {_TOK_SQL.format(col='text')} AS words
       FROM documents
     ),
     bg AS (

@@ -64,6 +64,19 @@ def test_capstone_checkpoint_mode_same_rows(spark, tmp_path, mode_conf):
     assert written, "checkpoint mode wrote nothing to the checkpoint dir"
 
 
+def test_checkpoint_dir_conf_rebinds(spark, tmp_path, mode_conf):
+    """Changing spark.corral.checkpointDir mid-session must re-bind —
+    a silently-ignored conf change would strand later stages' data in
+    the old location."""
+    mode_conf.set(CONF_KEY, "checkpoint")
+    for sub in ("ck-a", "ck-b"):
+        d = tmp_path / sub
+        mode_conf.set(CHECKPOINT_DIR_KEY, str(d))
+        materialize(spark.range(10).toDF("x")).count()
+        assert str(d) in (spark.sparkContext.getCheckpointDir() or ""), sub
+        assert any(d.rglob("*")), f"no checkpoint data under {sub}"
+
+
 def test_capstone_persist_mode_same_rows(spark, mode_conf):
     base = _capstone_rows(spark)
     mode_conf.set(CONF_KEY, "persist")

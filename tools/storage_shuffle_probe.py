@@ -143,16 +143,18 @@ def main(workdir: str | None = None) -> None:
         spark.conf.unset("spark.sql.parquet.output.committer.class")
         print("cloud-committer OK: PathOutputCommitProtocol write committed")
     else:
+        bound_without_jars = True
         try:
             spark.conf.set("spark.sql.sources.commitProtocolClass", CLOUD_PROTOCOL)
-            raise AssertionError(
-                "binding the cloud protocol without its jars should fail validation"
-            )
         except Exception as exc:  # noqa: BLE001 — inspecting the JVM error
+            bound_without_jars = False
             msg = str(exc)
             assert "FileCommitProtocol" in msg or "commitProtocolClass" in msg, (
                 f"unexpected validation error: {msg[:300]}"
             )
+        assert not bound_without_jars, (
+            "binding the cloud protocol without its jars should fail validation"
+        )
         print(
             "cloud-committer OK: conf honored — Spark validated (and, "
             "jar-less, rejected) the PathOutputCommitProtocol binding"
