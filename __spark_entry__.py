@@ -125,6 +125,7 @@ _DEMOTED = (
     "train_test_split_counts",  # md5-bucket splits: doc_fingerprint_md5 (in head) + lang_sampling_weights cover the construction
     "amplab1",  # scan+filter+projection: contained in amplab3/shipping_priority pipelines; pushdown plan-pinned by test_plans
     "unigram_logprob_docs",  # unigram LM: bigram_logprob_docs (in head) exercises a strict superset of the model-join machinery
+    "doc_chunks",  # chunking: heavily property-tested (boundaries/overlap); segment family now carries the text-splitting driver rows
 )
 
 

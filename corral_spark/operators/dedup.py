@@ -623,3 +623,79 @@ def segment_dedup(
             F.coalesce(F.col("n_total"), F.lit(0)).alias("n_total"),
         )
     )
+
+
+def remove_boilerplate_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_words: int = 10,
+    max_df: int = 2,
+) -> DataFrame:
+    """Boilerplate removal (C4/CCNet-style): drop EVERY copy of any
+    fixed-width word segment that appears in more than ``max_df``
+    distinct documents; segments at or below the ceiling keep all
+    their copies. Complements ``segment_dedup`` (first-occurrence-
+    wins): dedup keeps one copy of repeated content, boilerplate
+    removal decides repeated-enough content is template noise and
+    keeps none.
+
+    Scale shape: one partial-aggregated document-frequency count over
+    segments, then the hot set (df > max_df — small by the Zipf head's
+    nature: it is the boilerplate) broadcasts into a left_anti join on
+    the exploded segments, so the corpus-sized side never shuffles for
+    the filter. Reassembly is the same doc-keyed group-by as
+    segment_dedup.
+
+    Output: (id_col, clean_text, n_kept, n_total), row-complete.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    nseg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda j: F.concat_ws(
+                " ", F.slice(words, j * seg_words + 1, seg_words)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = materialize(
+        df.select(
+            F.col(id_col).alias("__id"),
+            segs.alias("__segs"),
+            nseg.alias("n_total"),
+        ),
+        eager=False,
+    )
+    exploded = base.select(
+        "__id", F.posexplode("__segs").alias("seg_idx", "seg")
+    )
+    hot = (
+        exploded.groupBy("seg")
+        .agg(F.count_distinct("__id").alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("seg")
+    )
+    kept = exploded.join(F.broadcast(hot), on="seg", how="left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s.getField("seg"),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )
+    return (
+        base.select("__id", "n_total")
+        .join(rebuilt, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("n_total"), F.lit(0)).alias("n_total"),
+        )
+    )

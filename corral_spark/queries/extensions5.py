@@ -311,3 +311,57 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(
         load_table(spark, sf_dir, "documents"), "text"
     ).orderBy("doc_id")
+
+
+@register(
+    "boilerplate_removed_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, words,
+             CAST(ceil(len(words) / 10.0) AS INT) AS n_total
+      FROM toks
+    ),
+    segs AS (
+      SELECT doc_id, CAST(j AS INT) AS seg_idx,
+             array_to_string(list_slice(words, j*10 + 1, j*10 + 10), ' ') AS seg
+      FROM base, unnest(range(0, n_total)) AS t(j)
+    ),
+    hot AS (
+      SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) > 2
+    ),
+    kept AS (
+      SELECT s.* FROM segs s WHERE s.seg NOT IN (SELECT seg FROM hot)
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+             CAST(COUNT(*) AS INT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           b.n_total
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    tags=("dedup", "text", "quality", "extension"),
+)
+def boilerplate_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style boilerplate removal: every copy of any 10-word
+    segment appearing in more than 2 distinct documents is dropped
+    (template noise keeps NO copies — the complement of
+    segment_dedup's keep-one rule). The hot-segment set is the Zipf
+    head, so it broadcasts into a left_anti join and the corpus-sized
+    side never shuffles for the filter
+    (operators.dedup.remove_boilerplate_segments)."""
+    from corral_spark.operators.dedup import remove_boilerplate_segments
+
+    out = remove_boilerplate_segments(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        seg_words=10, max_df=2,
+    )
+    return out.orderBy("doc_id")

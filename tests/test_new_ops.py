@@ -340,3 +340,54 @@ def test_driver_main_does_not_accumulate_positional_inputs(spark, tmp_path):
     d.main([str(tmp_path / "b.txt")])
     d.main([str(tmp_path / "b.txt")])  # second run must not double-read
     assert read_output(str(tmp_path)) == {("n", "3")}
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join depth 2
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_join_lev2_complete_vs_brute_force(spark):
+    # Adversarial set: chains of single edits, double substitutions,
+    # double insertions/deletions, transposition-like swaps, empties,
+    # and 1-char strings — every class the depth-2 deletion-
+    # neighborhood argument must cover.
+    from corral_spark.operators.fuzzy import fuzzy_join
+
+    words = [
+        "kitten", "sitten", "sittin", "sitting", "mitten", "kitcen",
+        "kitchen", "kit", "kitt", "kittenxy", "ktiten", "itten", "ten",
+        "a", "b", "ab", "ba", "", "xy", "x", "abcdef", "abcfed",
+    ]
+    df = spark.createDataFrame(list(enumerate(words)), ["id", "w"])
+    fast = sorted(
+        (r.id_a, r.id_b, r.lev)
+        for r in fuzzy_join(df, "w", "id", max_dist=2).collect()
+    )
+    brute = sorted(
+        (r.id_a, r.id_b, r.lev)
+        for r in df.alias("a")
+        .join(df.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.w", "b.w").alias("lev"),
+        )
+        .filter(F.col("lev") <= 2)
+        .collect()
+    )
+    assert fast == brute and len(fast) > 0
+
+
+def test_fuzzy_join_lev2_subset_relationship(spark):
+    # lev<=1 pairs are exactly the lev<=2 pairs with lev <= 1.
+    from corral_spark.operators.fuzzy import fuzzy_join
+
+    words = ["cat", "cut", "cart", "dart", "dark", "bark", "barks"]
+    df = spark.createDataFrame(list(enumerate(words)), ["id", "w"])
+    lev1 = {(r.id_a, r.id_b) for r in fuzzy_join(df, "w", "id", 1).collect()}
+    lev2 = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_join(df, "w", "id", 2).filter(F.col("lev") <= 1).collect()
+    }
+    assert lev1 == lev2
