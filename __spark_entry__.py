@@ -126,6 +126,7 @@ _DEMOTED = (
     "amplab1",  # scan+filter+projection: contained in amplab3/shipping_priority pipelines; pushdown plan-pinned by test_plans
     "unigram_logprob_docs",  # unigram LM: bigram_logprob_docs (in head) exercises a strict superset of the model-join machinery
     "doc_chunks",  # chunking: heavily property-tested (boundaries/overlap); segment family now carries the text-splitting driver rows
+    "lang_sampling_weights",  # weight derivation: temperature_sampled_docs (in head) recomputes the same weights AND applies them
 )
 
 

@@ -76,3 +76,80 @@ def stratified_sample(
         key < _hex_threshold(default_fraction)
     )
     return df.filter(cond | others if cond is not None else others)
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.3,
+    budget_fraction: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """APPLY temperature resampling: deterministically sample the
+    corpus so each group's share approaches its (n_g/N)^alpha
+    normalized weight, at an overall budget of ``budget_fraction`` of
+    all rows. Closes the loop on weight DERIVATION (the
+    lang_sampling_weights query): per-group keep-rate
+    r_g = min(1, budget * w_g * N / n_g), applied with the same
+    cross-engine md5 content-addressed rule as deterministic_sample —
+    so upsampled-to-cap rare groups keep everything and common groups
+    thin out, the same rows every run on every engine.
+
+    Rates are data-derived doubles; they quantize to 6 dp before the
+    threshold compare (registry float convention) so the oracle's pow()
+    agrees bit-for-bit after rounding. The comparison is numeric — the
+    md5 8-hex prefix parsed as a long against floor(rate * 2^32) —
+    because a per-row STRING threshold cannot use the precomputed-hex
+    trick of the fixed-fraction samplers.
+
+    Scale shape: one partial-aggregated group count (group-cardinality
+    rows, materialized — it feeds both the N/Z totals and the rate
+    table, and cutting lineage also avoids the self-join attribute
+    clash of joining a frame with its own aggregate), then one
+    broadcast join of the per-group rate onto the scan — no corpus
+    shuffle at any size.
+
+    Implementation note: the total column is ``__tot``, not "__N" —
+    Spark resolves column names CASE-INSENSITIVELY by default, so
+    "__N" aliases "__n" and withColumn("__N", ...) silently REPLACES
+    the per-group count (observed: every group's count became the
+    global total). Same-letter different-case names are a trap in any
+    derived-column chain.
+    """
+    from corral_spark.materialize import materialize
+
+    counts = materialize(
+        df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")),
+        eager=False,
+    )
+    total = counts.agg(F.sum("__n").alias("__tot"))
+    p = counts.crossJoin(F.broadcast(total)).withColumn(
+        "__pw",
+        F.pow(F.col("__n").cast("double") / F.col("__tot"), F.lit(alpha)),
+    )
+    z = p.agg(F.sum("__pw").alias("__z"))
+    rates = (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            group_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(budget_fraction)
+                    * (F.col("__pw") / F.col("__z"))
+                    * F.col("__tot")
+                    / F.col("__n"),
+                ),
+                6,
+            ).alias("__rate"),
+        )
+    )
+    key_num = F.conv(
+        sample_key(F.col(id_col), salt + ":"), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), on=group_col)
+        .filter(key_num < (F.col("__rate") * F.lit(float(1 << 32))).cast("long"))
+        .drop("__rate")
+    )

@@ -365,3 +365,43 @@ def boilerplate_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_words=10, max_df=2,
     )
     return out.orderBy("doc_id")
+
+
+@register(
+    "temperature_sampled_docs",
+    oracle="""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g FROM documents GROUP BY lang),
+    t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS total FROM c),
+    p AS (SELECT lang, n_g, pow(CAST(n_g AS DOUBLE) / total, 0.3) AS pw FROM c, t),
+    z AS (SELECT SUM(pw) AS z FROM p),
+    r AS (
+      SELECT p.lang,
+             round(least(1.0, 0.5 * (pw / z.z) * t.total / p.n_g), 6) AS rate
+      FROM p, z, t
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r USING (lang)
+    WHERE CAST('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          < CAST(r.rate * 4294967296.0 AS BIGINT)
+    ORDER BY d.doc_id
+    """,
+    tags=("sampling", "documents", "extension"),
+)
+def temperature_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling APPLIED (alpha=0.3, 50% budget): the
+    deterministic md5-bucketed sample whose per-language keep-rates
+    come from the same (n_l/N)^alpha weights that
+    lang_sampling_weights derives — rare languages keep (capped at)
+    everything, common ones thin to match the tempered distribution.
+    The oracle replays weight derivation, rate computation, and the
+    hash rule (operators.sampling.temperature_sample)."""
+    from corral_spark.operators.sampling import temperature_sample
+
+    out = temperature_sample(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        alpha=0.3,
+        budget_fraction=0.5,
+    )
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
