@@ -77,12 +77,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # longest-demoted queries back into the head and demote queries that
 # are double-green (r2 AND r3) so no oracled query's newest driver row
 # goes more than ~2 rounds stale. Round 4 net effect: all 17
-# round-1-wave demotions return to the head; 25 r2+r3-double-green
-# queries rotate out (20 in the first wave + 5 as the round's new
-# queries landed); the 8 new round-4 oracled queries enter
+# round-1-wave demotions return to the head; 26 r2+r3-double-green
+# queries rotate out (20 in the first wave + 6 as the round's new
+# queries landed); the 9 new round-4 oracled queries enter
 # (multimodal_features newly oracled, fuzzy_customer_pairs_lev2,
 # ann_ivf_probes, segment_dedup_docs, quality_score_docs,
-# bloom_new_docs, bigram_logprob_docs, boilerplate_removed_docs).
+# bloom_new_docs, bigram_logprob_docs, boilerplate_removed_docs,
+# temperature_sampled_docs).
 _DEMOTED = (
     # -- held over (r1-green; plan value separately pytest-pinned) --
     "salted_nation_revenue",  # skew salting: plan+equality pinned by test_plans; regional_revenue covers the agg
