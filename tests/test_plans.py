@@ -220,3 +220,21 @@ def test_ann_ivf_probes_broadcasts_centroids_and_queries(spark):
     assert "CartesianProduct" not in plan
     # Probed-cell scoring is an equi-join on the cell id.
     assert "cell" in plan
+
+
+def test_temperature_sample_rates_broadcast(spark):
+    # The per-group rate table must broadcast onto the corpus scan —
+    # a sort-merge join here would shuffle the whole corpus for a
+    # group-cardinality-sized build side.
+    plan = plan_of(spark, "temperature_sampled_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_hot_set_broadcast_anti(spark):
+    # The hot-segment set (the Zipf head) must be the broadcast build
+    # side of a LeftAnti join; the exploded corpus side never shuffles
+    # for the filter.
+    plan = plan_of(spark, "boilerplate_removed_docs")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
