@@ -44,6 +44,7 @@ def prepare_pretraining_corpus(
     near_dup: str = "estimate",
     benchmark: DataFrame | None = None,
     max_top_token_fraction: float | None = None,
+    boilerplate_max_df: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Returns (corpus, report): the cleaned/deduped/split corpus with
     columns (id_col, clean_text, n_words, split), plus per-stage
@@ -58,7 +59,12 @@ def prepare_pretraining_corpus(
     ``max_top_token_fraction`` adds the Gopher top-token repetition
     bound to the quality filter — computed in the SAME fused scan
     projection as the other quality signals, so it costs no extra
-    pass."""
+    pass; ``boilerplate_max_df`` runs C4-style segment boilerplate
+    removal (dedup.remove_boilerplate_segments) on the normalized text
+    BEFORE quality filtering, so template noise cannot carry a
+    low-quality document over the length threshold — docs emptied by
+    the removal fall out at the quality stage, and the word-count
+    signals score the cleaned text."""
 
     def _count(df: DataFrame) -> int:
         return df.count() if with_report else -1
@@ -77,6 +83,18 @@ def prepare_pretraining_corpus(
         F.col(id_col),
         redact_pii(normalize_text(F.col(text_col))).alias("clean_text"),
     )
+    # 1b. Optional boilerplate removal on the normalized text: drops
+    #     every copy of any segment in > boilerplate_max_df docs, so
+    #     the quality signals below score the de-templated content.
+    if boilerplate_max_df is not None:
+        from corral_spark.operators.dedup import remove_boilerplate_segments
+
+        clean = remove_boilerplate_segments(
+            clean, "clean_text", id_col, max_df=boilerplate_max_df
+        ).select(id_col, "clean_text")
+        report["after_boilerplate_removal"] = _count(
+            clean.filter(F.col("clean_text") != "")
+        )
     words = F.filter(F.split("clean_text", " "), lambda w: w != "")
     rep_cols = (
         [

@@ -84,3 +84,34 @@ def test_pipeline_hygiene_stages_drop_targeted_docs(spark):
     assert report["input"] == 3
     assert report["after_decontamination"] == 2
     assert report["after_quality_filter"] == 1
+
+
+def test_pipeline_boilerplate_stage_drops_templated_doc(spark):
+    # Doc 2 is a 10-word template (shared by 3 docs -> df=3 > max_df=2)
+    # plus filler that alone is under the 20-word floor; removing the
+    # template must drop doc 2 at the quality stage while docs with
+    # enough unique content survive with the template stripped.
+    template = "click here to subscribe to our newsletter for daily updates"
+    unique_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+               "lam mu nu xi omicron pi rho sigma tau upsilon"
+    unique_b = "one two three four five six seven eight nine ten " \
+               "eleven twelve thirteen fourteen fifteen sixteen " \
+               "seventeen eighteen nineteen twenty"
+    docs = spark.createDataFrame(
+        [
+            (1, template + " " + unique_a),
+            (2, template + " short filler only"),
+            (3, template + " " + unique_b),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus, report = prepare_pretraining_corpus(
+        docs, boilerplate_max_df=2, near_dup="verified"
+    )
+    kept = sorted(r.doc_id for r in corpus.select("doc_id").collect())
+    assert kept == [1, 3]
+    assert report["after_boilerplate_removal"] == 3  # all still non-empty
+    assert report["after_quality_filter"] == 2  # doc 2 fell under the floor
+    # The surviving text must not contain the template segment.
+    texts = {r.doc_id: r.clean_text for r in corpus.collect()}
+    assert "subscribe" not in texts[1] and "subscribe" not in texts[3]
