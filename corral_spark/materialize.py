@@ -34,6 +34,17 @@ CHECKPOINT_DIR_KEY = "spark.corral.checkpointDir"
 
 _MODES = ("localCheckpoint", "checkpoint", "persist")
 
+#: Last ckdir conf value this module actually bound, per SparkContext
+#: (keyed by id() — contexts are process-singletons in practice and a
+#: restarted context gets a fresh object). Spark appends a random
+#: subdir per setCheckpointDir call and may prepend a filesystem
+#: scheme, so the bound dir reported by getCheckpointDir() can't be
+#: string-compared against the conf; tracking the conf value we bound
+#: is the only reliable change detector (substring containment broke
+#: on /data/ck vs /data/ck-v2 — a conf change to a path that is a
+#: substring of the old binding was silently ignored).
+_BOUND_CKDIR: dict[int, str] = {}
+
 
 def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize ``df`` per the session's ``spark.corral.materialize``
@@ -49,13 +60,13 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
         ckdir = spark.conf.get(CHECKPOINT_DIR_KEY, None)
         bound = sc.getCheckpointDir()
         if ckdir is not None:
-            # Re-bind whenever the conf names a dir the context is not
-            # already under — a later stage may legitimately redirect
-            # (conf changes must never be silently ignored). Spark
-            # appends a random subdir per setCheckpointDir call and may
-            # prepend a filesystem scheme, so compare by containment.
-            if bound is None or ckdir.rstrip("/") not in bound:
+            # Re-bind whenever the conf VALUE changed from what we last
+            # bound (or the context has a binding we didn't make) — a
+            # later stage may legitimately redirect, and conf changes
+            # must never be silently ignored.
+            if bound is None or _BOUND_CKDIR.get(id(sc)) != ckdir:
                 sc.setCheckpointDir(ckdir)
+                _BOUND_CKDIR[id(sc)] = ckdir
         elif bound is None:
             raise ValueError(
                 f"{CONF_KEY}=checkpoint needs {CHECKPOINT_DIR_KEY} "

@@ -134,15 +134,17 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 QUALITY_WEIGHTS = (-1.0, 2.0, 1.5, 0.3, -0.2)
 
 
-def quality_logistic_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_logistic_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Per-document quality score: sigmoid of a fixed linear model
     over textanalysis.text_stats features. Scores are rounded to 6 dp
     so ranking/filtering is engine-stable; ``keep`` applies the 0.5
-    decision threshold. Output: (doc_id, score, keep)."""
+    decision threshold. Output: (id_col, score, keep)."""
     from corral_spark.operators.textanalysis import text_stats
 
     w0, w1, w2, w3, w4 = QUALITY_WEIGHTS
-    stats = text_stats(df, text_col)
+    stats = text_stats(df, text_col, id_col=id_col)
     z = (
         F.lit(w0)
         + F.lit(w1) * F.col("distinct_ratio")
@@ -152,7 +154,7 @@ def quality_logistic_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     return stats.select(
-        "doc_id",
+        id_col,
         score.alias("score"),
         (score >= F.lit(0.5)).alias("keep"),
     )

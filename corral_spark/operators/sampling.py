@@ -116,11 +116,20 @@ def temperature_sample(
     the per-group count (observed: every group's count became the
     global total). Same-letter different-case names are a trap in any
     derived-column chain.
+
+    NULL-group rows are EXCLUDED: they are filtered before counting
+    (so N, Z and every rate are computed over non-null groups only)
+    and the inner rate join drops them from the output. Without the
+    up-front filter they would inflate the totals while still being
+    dropped at the join, silently shrinking the effective budget
+    below ``budget_fraction``.
     """
     from corral_spark.materialize import materialize
 
     counts = materialize(
-        df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")),
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n")),
         eager=False,
     )
     total = counts.agg(F.sum("__n").alias("__tot"))
@@ -148,8 +157,16 @@ def temperature_sample(
     key_num = F.conv(
         sample_key(F.col(id_col), salt + ":"), 16, 10
     ).cast("long")
+    # Explicit floor on the threshold: cast(double -> long) truncates
+    # toward zero in Spark but rounds half-away in some SQL engines;
+    # floor() on BOTH sides (here and in the DuckDB oracle) removes the
+    # off-by-one at exact 2^32-boundary rates from the bit-for-bit
+    # contract. Rates are non-negative so floor == truncation.
     return (
         df.join(F.broadcast(rates), on=group_col)
-        .filter(key_num < (F.col("__rate") * F.lit(float(1 << 32))).cast("long"))
+        .filter(
+            key_num
+            < F.floor(F.col("__rate") * F.lit(float(1 << 32))).cast("long")
+        )
         .drop("__rate")
     )

@@ -38,7 +38,9 @@ def _words(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda w: w != "")
 
 
-def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Per-document quality statistics: word count, distinct-word
     count, mean word length, stopword ratio, and a composite quality
     score in [0,1]. All ratios are single IEEE divisions of integer
@@ -57,7 +59,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     stopword_ratio = n_stop.cast("double") / n_distinct
 
     return df.select(
-        "doc_id",
+        id_col,
         n_words.alias("n_words"),
         n_distinct.alias("n_distinct_words"),
         avg_word_len.alias("avg_word_len"),
@@ -231,7 +233,10 @@ def doc_fingerprint(
 
 
 def bigram_logprob(
-    df: DataFrame, text_col: str = "text", alpha: float = 0.5
+    df: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-document mean bigram log-probability under the corpus's own
     add-alpha-smoothed bigram model: P(w2|w1) = (c(w1 w2) + a) /
@@ -258,7 +263,7 @@ def bigram_logprob(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    big = df.select("doc_id", F.explode(bigrams).alias("bg"))
+    big = df.select(id_col, F.explode(bigrams).alias("bg"))
     toks = df.select(F.explode(words).alias("t"))
     vocab = toks.agg(F.count_distinct("t").cast("double").alias("V"))
 
@@ -277,7 +282,7 @@ def bigram_logprob(
         .crossJoin(F.broadcast(vocab))
         .select("bg", "c2", "c1", "V")
     )
-    scored = big.join(model, "bg").groupBy("doc_id").agg(
+    scored = big.join(model, "bg").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(
             F.avg(
@@ -290,10 +295,10 @@ def bigram_logprob(
         ).alias("mean_logprob"),
     )
     return (
-        df.select("doc_id")
-        .join(scored, "doc_id", "left")
+        df.select(id_col)
+        .join(scored, id_col, "left")
         .select(
-            "doc_id",
+            id_col,
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
             "mean_logprob",
         )

@@ -370,7 +370,8 @@ def boilerplate_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "temperature_sampled_docs",
     oracle="""
-    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g FROM documents GROUP BY lang),
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g
+               FROM documents WHERE lang IS NOT NULL GROUP BY lang),
     t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS total FROM c),
     p AS (SELECT lang, n_g, pow(CAST(n_g AS DOUBLE) / total, 0.3) AS pw FROM c, t),
     z AS (SELECT SUM(pw) AS z FROM p),
@@ -382,7 +383,7 @@ def boilerplate_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, d.lang, d.source
     FROM documents d JOIN r USING (lang)
     WHERE CAST('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-          < CAST(r.rate * 4294967296.0 AS BIGINT)
+          < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
     ORDER BY d.doc_id
     """,
     tags=("sampling", "documents", "extension"),

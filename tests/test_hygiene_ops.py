@@ -213,3 +213,57 @@ def test_rolling_range_agg_trailing_window_and_ties(spark):
     assert out[4] == (4, 15.0)
     assert out[5] == (5, 31.0)  # inclusive 1h boundary keeps event 1
     assert out[6] == (1, 100.0)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate hot-set broadcast guard (r4 verdict item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_over_threshold_same_output_no_broadcast(spark):
+    """Forcing the hot set over the broadcast threshold
+    (broadcast_rows=0) must switch the anti-join to a shuffle plan and
+    produce byte-identical output — the guard is a pure physical-plan
+    knob, never a semantic one."""
+    from corral_spark.operators.dedup import remove_boilerplate_segments
+
+    tpl = "the quick brown fox jumps over the lazy dog again"  # 10 words
+    rows = [(i, tpl + f" unique words only here doc {i} tail piece pad x")
+            for i in range(8)] + [(100, "totally novel text with no shared segment")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    kw = dict(text_col="text", id_col="doc_id", seg_words=10, max_df=2)
+    base = remove_boilerplate_segments(df, **kw)
+    forced = remove_boilerplate_segments(df, **kw, broadcast_rows=0)
+
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, forced.collect())
+    )
+    # The shared template segment really was dropped from every doc.
+    got = {r.doc_id: r for r in base.collect()}
+    assert all(tpl not in got[i].clean_text for i in range(8))
+    assert got[100].n_kept == got[100].n_total
+    # Over-threshold the guard must emit NO broadcast hint: with AQE's
+    # runtime size-based conversion off (at 100 TB the hot set would
+    # exceed that threshold anyway), the anti-join must plan as a
+    # shuffle join. The default path must still carry the hint.
+    conv = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    auto = "spark.sql.autoBroadcastJoinThreshold"
+    spark.conf.set(conv, "-1")
+    spark.conf.set(auto, "-1")
+    try:
+        plan = (
+            remove_boilerplate_segments(df, **kw, broadcast_rows=0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti and all("Broadcast" not in ln for ln in anti), plan
+        plan_b = (
+            remove_boilerplate_segments(df, **kw)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        anti_b = [ln for ln in plan_b.splitlines() if "LeftAnti" in ln]
+        assert anti_b and all("Broadcast" in ln for ln in anti_b), plan_b
+    finally:
+        spark.conf.unset(conv)
+        spark.conf.unset(auto)

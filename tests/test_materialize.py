@@ -77,6 +77,25 @@ def test_checkpoint_dir_conf_rebinds(spark, tmp_path, mode_conf):
         assert any(d.rglob("*")), f"no checkpoint data under {sub}"
 
 
+def test_checkpoint_dir_substring_rebinds(spark, tmp_path, mode_conf):
+    """Regression (r4 advice): the old rebind check used substring
+    containment, so switching the conf from /x/ck-v2 to /x/ck (a
+    substring of the bound path) was silently ignored and later
+    checkpoints kept landing in the old dir."""
+    mode_conf.set(CONF_KEY, "checkpoint")
+    long_dir = tmp_path / "ck-v2"
+    short_dir = tmp_path / "ck"
+    mode_conf.set(CHECKPOINT_DIR_KEY, str(long_dir))
+    materialize(spark.range(5).toDF("x")).count()
+    assert str(long_dir) in (spark.sparkContext.getCheckpointDir() or "")
+    mode_conf.set(CHECKPOINT_DIR_KEY, str(short_dir))
+    materialize(spark.range(5).toDF("x")).count()
+    bound = spark.sparkContext.getCheckpointDir() or ""
+    assert str(long_dir) not in bound, "substring conf change was ignored"
+    assert str(short_dir) in bound
+    assert any(short_dir.rglob("*")), "no checkpoint data in the new dir"
+
+
 def test_capstone_persist_mode_same_rows(spark, mode_conf):
     base = _capstone_rows(spark)
     mode_conf.set(CONF_KEY, "persist")

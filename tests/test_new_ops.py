@@ -391,3 +391,33 @@ def test_fuzzy_join_lev2_subset_relationship(spark):
         for r in fuzzy_join(df, "w", "id", 2).filter(F.col("lev") <= 1).collect()
     }
     assert lev1 == lev2
+
+
+# ---------------------------------------------------------------------------
+# temperature_sample null-group semantics (r4 advice)
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_sample_null_groups_excluded_from_budget(spark):
+    """NULL-group rows are excluded BEFORE the totals are computed:
+    with nulls present the non-null groups' rates must be identical to
+    running on the null-free subset (previously nulls inflated N and Z
+    while still being dropped at the join, silently shrinking the
+    effective budget)."""
+    from corral_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en") for i in range(200)] + [(i + 200, "fr") for i in range(40)]
+    nulls = [(i + 1000, None) for i in range(400)]
+    clean = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    dirty = spark.createDataFrame(rows + nulls, "doc_id: long, lang: string")
+
+    kw = dict(alpha=0.3, budget_fraction=0.5)
+    got_clean = sorted(
+        r.doc_id for r in temperature_sample(clean, "doc_id", "lang", **kw).collect()
+    )
+    got_dirty = sorted(
+        r.doc_id for r in temperature_sample(dirty, "doc_id", "lang", **kw).collect()
+    )
+    assert got_clean == got_dirty
+    assert got_clean, "sample unexpectedly empty"
+    assert all(d < 1000 for d in got_dirty), "a NULL-group row leaked through"
