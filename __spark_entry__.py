@@ -74,60 +74,66 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/driver_sim.py, which replicates the real gate exactly).
 #
 # ROTATION POLICY (judge round-2 item 4): each round, swap the
-# longest-demoted queries back into the head and demote queries that
-# are double-green (r2 AND r3) so no oracled query's newest driver row
-# goes more than ~2 rounds stale. Round 4 net effect: all 17
-# round-1-wave demotions return to the head; 26 r2+r3-double-green
-# queries rotate out (20 in the first wave + 6 as the round's new
-# queries landed); the 9 new round-4 oracled queries enter
-# (multimodal_features newly oracled, fuzzy_customer_pairs_lev2,
-# ann_ivf_probes, segment_dedup_docs, quality_score_docs,
-# bloom_new_docs, bigram_logprob_docs, boilerplate_removed_docs,
-# temperature_sampled_docs).
+# longest-demoted queries back into the head and demote the freshest
+# double-green queries so no oracled query's newest driver row goes
+# more than ~2 rounds stale. Round 5 (judge round-4 item 6): ALL 38
+# stale demotions return to the head — the 12 r1-wave queries
+# (salted_nation_revenue, amplab2, top_orders, wordcount, ...) and
+# the 26 whose newest green row is r3 (rollup_sales, event_props_map,
+# robust_stats, minhash_pairs_docs, ...) — plus the new
+# ann_ivf_kmeans (never driver-checked). That fills 39 of 50 head
+# slots; the 11 keepers from the r4-green set are the benched
+# headliners (pretrain_corpus, shipping_priority, regional_revenue,
+# amplab3) plus queries whose oracle or implementation changed THIS
+# round and need a fresh row under the new contract
+# (temperature_sampled_docs: floor+null-group oracle change;
+# boilerplate_removed_docs: broadcast guard) and the newest r4-wave
+# entries held one more round (multimodal_features,
+# fuzzy_customer_pairs_lev2, incremental_dedup_new_docs,
+# emb_near_dup_planted, heavy_hitter_tokens). Everything demoted
+# below is r4 hash-green (newest row exactly 1 round old at r5) and
+# stays oracle-gated by pytest/driver_sim every round.
 _DEMOTED = (
-    # -- held over (r1-green; plan value separately pytest-pinned) --
-    "salted_nation_revenue",  # skew salting: plan+equality pinned by test_plans; regional_revenue covers the agg
-    "amplab2",  # substring key + SUM: covered by amplab1 (scan/filter) + amplab3 (join+agg)
-    "top_orders",  # sort/top-k: TakeOrderedAndProject pinned by test_plans; shipping_priority has the same tail
-    "customer_name_features",  # scalar casts/strings: covered by customer_id_parse + null_semantics (both back in head)
-    "promo_revenue_share",  # conditional-agg share: covered by nations_above_global_share (same correlated shape)
-    "wordcount",  # tokenize+count: covered by heavy_hitter_tokens; still benched
-    "pricing_summary",  # filtered multi-agg: covered by amplab3 + rollup pytest gate; still benched
-    "lang_id_docs",  # marker-word intersect: top_tokens_per_lang covers lang grouping
-    "jaccard_pairs_docs",  # exact-Jaccard pairs: dedup_clusters_docs (in head) contains the identical pair computation
-    "text_stats_docs",  # word-array stats: covered by doc_repetition_stats
-    "asof_signup_before_purchase",  # as-of union-window: covered by click_purchase_within_1h; still benched
-    "token_count_docs",  # regex token counting: covered by udtf_sentences_docs + heavy_hitter_tokens
-    # -- round-4 rotation: r2 AND r3 hash-green, redundantly covered --
-    "rollup_sales",  # grouping sets: cube_sales (back in head) is the superset construction
-    "event_props_map",  # JSON->map explode: event_props_json (in head) parses the same payloads
-    "robust_stats",  # median/MAD: order_percentiles (back in head) is the same percentile machinery
-    "order_date_parts",  # datetime extraction: orders_by_month + order_latency back in head
-    "parts_never_shipped",  # anti join: high_value_order_exists (semi dual) + big_orders_in_subquery back in head
-    "events_in_promo_windows",  # interval join: click_purchase_within_1h covers the range-predicate join
-    "customer_running_totals",  # running window: window_top_orders (back in head) is the same window machinery
-    "dedup_exact_docs",  # exact dedup: pretrain_corpus stage 2 + incremental_dedup_new_docs cover it; still benched
-    "ann_cosine_topk",  # brute-force cosine: ann_ivf_topk's oracle IS this query's oracle; still benched
-    "ann_ivf_topk",  # all-cells IVF: superseded in the head by ann_ivf_probes (probe-limited, same machinery)
-    "profile_orders",  # profiling: dq_report covers null/distinct/minmax profiling
-    "normalized_redacted_docs",  # normalize+redact: pretrain_corpus stage 1 runs the identical projection
-    "sample_docs_10pct",  # md5 sampling: train_test_split_counts + doc_fingerprint_md5 (back in head) cover the construction
-    "stratified_sample_orders",  # stratified sampling: lang_sampling_weights covers per-group rate derivation
-    "fuzzy_customer_pairs",  # lev<=1 blocking: fuzzy_customer_pairs_lev2 (depth-2 superset) + capped variant in head
-    "tfidf_top_terms",  # tf-idf: top_tokens_per_lang covers the tf/df aggregation shapes
-    "click_purchase_leftouter",  # outer as-of: click_purchase_within_1h covers the inner path
-    "pack_docs_2k",  # packing: doc_chunks covers the chunk/bin construction
-    "hygiene_filtered_docs",  # hygiene composition: decontaminate_docs + pretrain_corpus cover the stages
-    "user_rolling_1h",  # rolling window: events_sliding_1h_30m covers sliding-window aggregation
-    # -- round-4 tail: four more swaps as segment_dedup_docs,
-    # -- quality_score_docs, bloom_new_docs, and bigram_logprob_docs
-    # -- landed inside the head-50 window --
-    "minhash_pairs_docs",  # minhash verified path: runs inside pretrain_corpus + incremental_dedup_new_docs (both in head); still benched
-    "train_test_split_counts",  # md5-bucket splits: doc_fingerprint_md5 (in head) + lang_sampling_weights cover the construction
-    "amplab1",  # scan+filter+projection: contained in amplab3/shipping_priority pipelines; pushdown plan-pinned by test_plans
-    "unigram_logprob_docs",  # unigram LM: bigram_logprob_docs (in head) exercises a strict superset of the model-join machinery
-    "doc_chunks",  # chunking: heavily property-tested (boundaries/overlap); segment family now carries the text-splitting driver rows
-    "lang_sampling_weights",  # weight derivation: temperature_sampled_docs (in head) recomputes the same weights AND applies them
+    # -- r4-green, rotated out for one round (newest row = r4) --
+    "ann_ivf_probes",  # probe-limited IVF: ann_ivf_kmeans (in head) runs the same probe path + Lloyd refinement
+    "big_orders_in_subquery",  # IN-subquery: covered by high_value_order_exists/semi-join family; r4 green
+    "bigram_logprob_docs",  # bigram LM: unigram_logprob_docs (back in head) covers the model join; r4 green
+    "bloom_new_docs",  # bloom prefilter: incremental_dedup_new_docs (in head) is the same incremental shape
+    "click_purchase_within_1h",  # as-of window: asof_signup_before_purchase + events_in_promo_windows back in head
+    "cube_sales",  # grouping sets: rollup_sales (back in head) is the same machinery
+    "customer_id_parse",  # scalar casts: customer_name_features (back in head) covers string/cast ops
+    "customers_without_orders",  # anti join: parts_never_shipped (back in head) is the same anti-join shape
+    "daily_revenue_gapfill",  # gapfill/LOCF: property-tested; user_rolling_1h (back in head) carries the time-series row
+    "decontaminate_docs",  # decontamination: hygiene_filtered_docs (back in head) composes the same stages
+    "dedup_clusters_docs",  # connected components: jaccard_pairs_docs (back in head) contains the pair computation
+    "distinct_parts_per_flag",  # distinct agg: covered by amplab2 (back in head) agg family; r4 green
+    "doc_fingerprint_md5",  # md5 fingerprint: sample_docs_10pct + train_test_split_counts (back in head) cover the md5 rule
+    "doc_repetition_stats",  # repetition stats: text_stats_docs (back in head) covers the word-array fold family
+    "dq_report",  # data-quality profiling: profile_orders (back in head) is the same profiling machinery
+    "event_props_json",  # JSON parse: event_props_map (back in head) parses the same payloads
+    "events_session_30m",  # session windows: streaming pytest suite + tumbling/sliding keep one representative (rotating)
+    "events_sliding_1h_30m",  # sliding windows: events_tumbling_1h pytest + user_rolling_1h (back in head) cover windowing
+    "events_tumbling_1h",  # tumbling windows: streaming restart/watermark pytest pins semantics; r4 green
+    "fuzzy_customer_pairs_capped",  # capped fuzzy: fuzzy_customer_pairs_lev2 (in head) is the uncapped superset
+    "high_value_order_exists",  # semi join: parts_never_shipped (back in head) covers the semi/anti pair
+    "nation_set_ops",  # set ops: r4 green; union_all_parties demoted alongside — amplab2/top_orders carry the simple-agg rows
+    "nations_above_global_share",  # correlated scalar subquery: promo_revenue_share (back in head) is the same shape
+    "null_semantics",  # null handling: customer_name_features (back in head) covers null-safe casts
+    "order_item_arrays",  # array agg: text_stats_docs/token_count_docs (back in head) cover array expressions
+    "order_latency",  # datetime diff: order_date_parts (back in head) covers datetime extraction
+    "order_percentiles",  # percentiles: robust_stats (back in head) is the same percentile machinery
+    "orders_above_customer_avg",  # correlated agg: promo_revenue_share + nations family cover it; r4 green
+    "orders_by_month",  # date truncation: order_date_parts (back in head) covers the same extraction
+    "orders_merge_upsert",  # merge upsert: unit-tested (update/insert/delete/tombstone); r4 green
+    "priority_pivot",  # pivot: r4 green; covered by rollup/cube family rotation
+    "quality_score_docs",  # logistic score: zero-shuffle projection plan-pinned; text_stats_docs (back in head) feeds it
+    "segment_dedup_docs",  # segment dedup: boilerplate_removed_docs (in head) is the same explode/rebuild machinery
+    "simhash_md5_pairs",  # simhash banding: jaccard_pairs_docs + minhash_pairs_docs (back in head) cover pair generation
+    "top_revenue_supplier",  # scalar-subquery top-1: top_orders (back in head) covers the top-k tail
+    "top_tokens_per_lang",  # grouped top-k: tfidf_top_terms + lang_id_docs (back in head) cover the token aggregation
+    "udtf_sentences_docs",  # SQL UDTF: token_count_docs (back in head) covers tokenization; UDTF registration pytest-pinned
+    "union_all_parties",  # union: nation_set_ops family; covered by amplab2-style agg rows; r4 green
+    "window_top_orders",  # ranked window: customer_running_totals (back in head) is the same window machinery
 )
 
 

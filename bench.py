@@ -69,16 +69,20 @@ def main() -> None:
 
     # min-of-3: a local[32] single-JVM host sees scheduler/JIT/GC noise
     # of up to 3x run-to-run (measured); the best of three runs is the
-    # engine's actual cost.
+    # engine's actual cost. ALL run times are recorded alongside the
+    # min (r4 verdict item 3) so round-over-round deltas can be judged
+    # against the host's actual variance instead of a single sample.
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name, q in sorted(bench_queries.items()):
-        best = float("inf")
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(round(time.perf_counter() - t0, 3))
             _clear_storage(spark)
-        timings[name] = round(best, 3)
+        all_runs[name] = runs
+        timings[name] = min(runs)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -86,6 +90,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": all_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -107,20 +112,59 @@ def main() -> None:
             with contextlib.redirect_stdout(sys.stderr):
                 scale(10, sf1_dir)
         sf1_timings: dict[str, float] = {}
+        sf1_runs: dict[str, list[float]] = {}
         for name in ("minhash_pairs_docs", "pretrain_corpus"):
-            best = float("inf")
+            runs = []
             for _ in range(2):  # min-of-2: first touch pays scan cache
                 t0 = time.perf_counter()
                 REGISTRY[name].spark(spark, sf1_dir).count()
-                best = min(best, time.perf_counter() - t0)
+                runs.append(round(time.perf_counter() - t0, 3))
                 _clear_storage(spark)
-            sf1_timings[name] = round(best, 3)
+            sf1_runs[name] = runs
+            sf1_timings[name] = min(runs)
+        # Noise-free linearity evidence (r4 verdict item 1): candidate
+        # and verified-pair COUNTS at both scales. The sf1 corpus is
+        # token-renamed disjoint replicas, so true pairs are exactly
+        # 10x and candidates must be ~10x; a superlinear candidates
+        # ratio is a real O(n^2) LSH artifact, while a superlinear
+        # TIMING with linear counts is host noise (page cache / JIT).
+        from corral_spark.operators.dedup import minhash_pair_counts
+        from corral_spark.sources.tables import load_table
+
+        counts = {}
+        for label, d in (("base", sf_dir), ("sf1", sf1_dir)):
+            counts[label] = minhash_pair_counts(
+                load_table(spark, d, "documents"), "text", "doc_id",
+                threshold=0.5,
+            )
+            _clear_storage(spark)
         out["sf1"] = {
             "queries": sf1_timings,
+            "runs": sf1_runs,
             "ratio_vs_base": {
                 n: round(sf1_timings[n] / max(timings.get(n, 0.0), 1e-9), 1)
                 for n in sf1_timings
                 if n in timings
+            },
+            "minhash_counts": {
+                "candidates": {
+                    "base": counts["base"]["candidates"],
+                    "sf1": counts["sf1"]["candidates"],
+                    "ratio": round(
+                        counts["sf1"]["candidates"]
+                        / max(counts["base"]["candidates"], 1),
+                        1,
+                    ),
+                },
+                "pairs": {
+                    "base": counts["base"]["pairs"],
+                    "sf1": counts["sf1"]["pairs"],
+                    "ratio": round(
+                        counts["sf1"]["pairs"]
+                        / max(counts["base"]["pairs"], 1),
+                        1,
+                    ),
+                },
             },
         }
 

@@ -50,14 +50,30 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_real(payload: bytes, media_type: str):  # pragma: no cover
-    """Where a real decoder would go (PIL.Image.open / torchaudio /
-    pyav frame sampling). Deliberately unimplemented in this
-    container."""
-    raise NotImplementedError(
-        "media decode requires image/audio libraries not present here; "
-        "decode_fake provides the deterministic test double"
-    )
+def decode_real(payload: bytes, media_type: str = "image") -> tuple[int, int]:
+    """The real-decoder SEAM: decode image dimensions via PIL when an
+    image library is importable, raise NotImplementedError otherwise
+    (this container ships no media libs — charter limit).
+
+    The import happens HERE, lazily, per process: on a cluster with
+    Pillow installed the same pickled function resolves the real
+    library inside each executor worker, with zero engine changes.
+    The seam's contract (payload-in, (width, height)-out, usable as
+    ``extract_features``'s decoder) is pinned by a pytest that ships a
+    fake PIL module through ``addPyFile`` — proving the batch/schema
+    plumbing end-to-end without media libs."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — the seam IS the lazy import
+    except ImportError as exc:
+        raise NotImplementedError(
+            "media decode requires image/audio libraries not present "
+            "here; decode_fake provides the deterministic test double"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        width, height = im.size
+        return int(width), int(height)
 
 
 def decode_fake(payload: bytes) -> tuple[int, int]:
@@ -101,18 +117,24 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract_features(assets: DataFrame) -> DataFrame:
+def extract_features(assets: DataFrame, decoder=None) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` streams record batches through Python once —
     payload bytes never round-trip row-at-a-time. At scale this is the
     pattern for any CPU-bound media op: batch in, batch out, stateless,
     so Spark can fuse it after the scan with no extra shuffle.
+
+    ``decoder``: ``bytes -> (width, height)``; defaults to
+    ``decode_fake``. Pass ``decode_real`` on a cluster with image
+    libraries installed — the decoder reference is pickled into the
+    UDF and resolved per worker process.
     """
+    decode = decoder if decoder is not None else decode_fake
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dims = pdf["payload"].map(decode_fake)
+            dims = pdf["payload"].map(lambda b: decode(bytes(b)))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

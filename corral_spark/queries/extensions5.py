@@ -127,6 +127,59 @@ def ann_ivf_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_kmeans",
+    oracle=f"""
+    WITH blocked AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), i ->
+               CASE WHEN (i - 1) // {_BS} = vec_id % {_NBLOCKS}
+                    THEN abs(CAST(embedding[i] AS DOUBLE)) + 0.5
+                    ELSE 0.0 END) AS e
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, e AS qv FROM blocked WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, b.vec_id,
+             round(list_cosine_similarity(q.qv, b.e), 4) AS sim
+      FROM q CROSS JOIN blocked b
+      WHERE b.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, sim, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """,
+    tags=("similarity", "extension"),
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 with LLOYD-REFINED centroids (kmeans_iters=2) probing
+    2 of 8 cells, against the exact brute-force oracle (r4 verdict
+    item 4 — the kmeans path exercised under the driver gate, not just
+    pytest). Exactness is by construction, and survives refinement:
+    init centroids (first 8 by id) land one per dim-block; every Lloyd
+    assignment is block-pure (cross-block cosine is exactly 0,
+    same-block >= ~0.11), so each refined centroid is a mean of
+    same-block vectors and keeps that block's disjoint support with
+    components >= 0.5 — refinement can move centroids WITHIN a block
+    but can never merge, swap, or empty blocks. Each query therefore
+    still probes its own block's cell first and its true top-10 is
+    fully scored at nprobe=2 < ncells=8."""
+    corpus = _blocked_emb(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        corpus, queries, ncells=_NBLOCKS, nprobe=2, k=10, kmeans_iters=2
+    ).orderBy("query_id", "rnk")
+
+
+@register(
     "segment_dedup_docs",
     oracle="""
     WITH toks AS (

@@ -295,3 +295,97 @@ def test_deterministic_sample_stable_and_sized(spark, docs):
     # Nested property: a smaller fraction is a subset of a larger one.
     c = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
     assert c <= a
+
+
+def test_minhash_pair_counts_consistent_with_verified_pairs(spark):
+    """The scaling diagnostic must count the SAME pipeline it reports
+    on: pairs == minhash_verified_pairs row count, candidates >= pairs
+    (verification only ever filters candidates)."""
+    from corral_spark.operators.dedup import (
+        minhash_pair_counts,
+        minhash_verified_pairs,
+    )
+    from corral_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    counts = minhash_pair_counts(docs, "text", "doc_id", threshold=0.5)
+    n_pairs = minhash_verified_pairs(docs, "text", "doc_id", threshold=0.5).count()
+    assert counts["pairs"] == n_pairs
+    assert counts["candidates"] >= counts["pairs"]
+
+
+def test_multimodal_decode_seam_with_injected_pil(spark, tmp_path, docs):
+    """r4 verdict item 8: decode_real stays a stub in this container,
+    but the SEAM is contract-tested — a fake PIL module shipped via
+    addPyFile must flow through the same lazy per-worker import,
+    batch iteration, and FEATURE_SCHEMA output that a real Pillow
+    install would, end-to-end through mapInPandas on executors."""
+    import subprocess
+    import sys
+    import zipfile
+
+    from corral_spark.operators.multimodal import decode_real
+
+    # A fake PIL package: Image.open(fp) -> object with .size derived
+    # deterministically from the payload bytes.
+    pkg = tmp_path / "PIL"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "Image.py").write_text(
+        "class _Img:\n"
+        "    def __init__(self, data):\n"
+        "        self.size = ((len(data) % 97) + 1, (data[0] if data else 0) + 1)\n"
+        "    def __enter__(self):\n"
+        "        return self\n"
+        "    def __exit__(self, *a):\n"
+        "        return False\n"
+        "\n"
+        "def open(fp):\n"
+        "    return _Img(fp.read())\n"
+    )
+    zpath = tmp_path / "fakepil.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for f in sorted(pkg.rglob("*.py")):
+            zf.write(f, f.relative_to(tmp_path))
+
+    # Without the fake, the seam raises (proves no silent fallback) —
+    # in a clean interpreter, since addPyFile side effects below stick
+    # to this session.
+    probe = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from corral_spark.operators.multimodal import decode_real\n"
+            "try:\n"
+            "    decode_real(b'x')\n"
+            "except NotImplementedError:\n"
+            "    print('STUB-OK')\n",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert "STUB-OK" in probe.stdout, probe.stderr
+
+    spark.sparkContext.addPyFile(str(zpath))
+    try:
+        assets = assets_from_documents(docs.limit(16))
+        feats = (
+            extract_features(assets, decoder=decode_real)
+            .orderBy("asset_id")
+            .collect()
+        )
+        assert len(feats) == 16
+        payloads = {
+            r.asset_id: bytes(r.payload)
+            for r in assets.orderBy("asset_id").collect()
+        }
+        for r in feats:
+            data = payloads[r.asset_id]
+            assert r.width == (len(data) % 97) + 1
+            assert r.height == (data[0] if data else 0) + 1
+            assert len(r.sha256) == 64
+    finally:
+        sys.path[:] = [p for p in sys.path if "fakepil" not in p]
+        sys.modules.pop("PIL.Image", None)
+        sys.modules.pop("PIL", None)

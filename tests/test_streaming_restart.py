@@ -57,3 +57,115 @@ def test_restart_with_checkpoint_is_exactly_once(spark, tmp_path):
     # Third restart with NO new data: a no-op, still no duplication.
     run_once()
     assert spark.read.parquet(sink).count() == events.count()
+
+
+def test_interval_join_left_outer_restart_equivalence(spark, tmp_path):
+    """r4 verdict item 7: the stateful op most sensitive to watermark
+    replay — a left_outer stream-stream interval join — stopped after
+    the first file and restarted from its checkpoint must emit exactly
+    the single-run output: the inner match once, the proven-unmatched
+    click null-padded once, and the still-withheld tail clicks never.
+    A checkpoint that dropped join/watermark state would either lose
+    the pending outer row or re-emit the inner match."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datetime import datetime
+
+    from corral_spark.streaming.ops import interval_join_stream
+
+    src_dir = tmp_path / "ev"
+    src_dir.mkdir()
+
+    def _write(name, rows, mtime):
+        ids, users, types, tss = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "user_id": pa.array(users, pa.int64()),
+                    "event_type": pa.array(types, pa.string()),
+                    "ts": pa.array(list(tss), pa.timestamp("us")),
+                }
+            ),
+            str(src_dir / name),
+        )
+        os.utime(src_dir / name, (mtime, mtime))
+
+    d = lambda h, m: datetime(2026, 1, 1, h, m)  # noqa: E731
+
+    def run_once(sink, ckpt):
+        src = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+        )
+        q = (
+            interval_join_stream(
+                src.filter(F.col("event_type") == "click").withWatermark(
+                    "ts", "10 minutes"
+                ),
+                src.filter(F.col("event_type") == "purchase").withWatermark(
+                    "ts", "10 minutes"
+                ),
+                how="left_outer",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    # Run 1: matched click 1 / unmatched click 2 / purchase 3 only.
+    _write(
+        "f1.parquet",
+        [
+            (1, 1, "click", d(10, 0)),
+            (2, 2, "click", d(10, 5)),
+            (3, 1, "purchase", d(10, 30)),
+        ],
+        1_000_000,
+    )
+    run_once(sink, ckpt)
+
+    # Query down; late files land. Both sentinel files carry BOTH
+    # event types (the global watermark is the min over sides), f2
+    # advances the watermark past click2_ts + 1h, f3 makes the
+    # eviction observable.
+    time.sleep(1.1)
+    _write(
+        "f2.parquet",
+        [(90, 9, "click", d(20, 0)), (80, 8, "purchase", d(20, 0))],
+        1_000_010,
+    )
+    _write(
+        "f3.parquet",
+        [(91, 9, "click", d(20, 1)), (81, 8, "purchase", d(20, 1))],
+        1_000_020,
+    )
+    run_once(sink, ckpt)  # restart from checkpoint
+
+    got = sorted(
+        (r.click_id, r.purchase_id)
+        for r in spark.read.parquet(sink).collect()
+    )
+    # Identical to the single-run output pinned by
+    # test_interval_join_stream_left_outer_emits_null_rows: (1,3)
+    # inner exactly once, (2,None) outer exactly once, 90/91 withheld.
+    assert got == [(1, 3), (2, None)]
+
+    # Third restart with no new data: still exactly-once.
+    run_once(sink, ckpt)
+    got2 = sorted(
+        (r.click_id, r.purchase_id)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got2 == [(1, 3), (2, None)]
