@@ -95,6 +95,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # stays oracle-gated by pytest/driver_sim every round.
 _DEMOTED = (
     # -- r4-green, rotated out for one round (newest row = r4) --
+    "multimodal_features",  # Arrow decode plumbing: r4 green; the new PIL-seam pytest now pins the batch/schema contract too
+    "heavy_hitter_tokens",  # MG 2-pass heavy hitters: r4 green; wordcount + top_tokens family (back in head) cover token aggregation
     "ann_ivf_probes",  # probe-limited IVF: ann_ivf_kmeans (in head) runs the same probe path + Lloyd refinement
     "big_orders_in_subquery",  # IN-subquery: covered by high_value_order_exists/semi-join family; r4 green
     "bigram_logprob_docs",  # bigram LM: unigram_logprob_docs (back in head) covers the model join; r4 green

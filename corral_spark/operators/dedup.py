@@ -681,6 +681,108 @@ def segment_dedup(
     )
 
 
+def sliding_gram_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Exact SUBSTRING dedup over sliding k-word windows — the
+    distributed approximation of suffix-array substring deduplication
+    (the "train-data dedup" family): any k-gram already seen earlier
+    in the corpus is redundant text, and a token survives only if at
+    least one window covering it is a global FIRST occurrence (or no
+    window covers it at all — docs shorter than ``k`` are untouched).
+    First occurrence is min (doc_id, pos) lexicographically, so the
+    result is deterministic and engine-independent. Complements the
+    fixed-boundary operators: segment_dedup dedups aligned segments,
+    remove_boilerplate drops corpus-hot segments, and this removes
+    UNALIGNED repeats a shifted copy would hide from both.
+
+    Scale shape — everything is bounded and linear in corpus tokens:
+    one window explode (~n rows/doc), one partial-aggregated min-
+    struct per distinct gram (vocabulary-sized, same discipline as
+    segment_dedup's min-winner — hot grams never serialize to one
+    task), one gram-keyed join back, a k-way coverage explode
+    (k * n rows, k is a small constant), one (doc, pos) aggregate, and
+    a doc-keyed rebuild. No windows over the corpus, no all-pairs, no
+    driver-side state.
+
+    Output: (id_col, clean_text, n_kept, n_total), row-complete.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = materialize(
+        df.select(
+            F.col(id_col).alias("__id"),
+            words.alias("__w"),
+            F.size(words).cast("int").alias("n_total"),
+        ),
+        eager=False,
+    )
+    wins = base.filter(F.col("n_total") >= k).select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_total") - k),
+                lambda j: F.concat_ws(" ", F.slice(F.col("__w"), j + 1, k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    firsts = wins.groupBy("gram").agg(
+        F.min(F.struct(F.col("__id"), F.col("pos"))).alias("__f")
+    )
+    occ = wins.join(firsts, on="gram").select(
+        "__id",
+        "pos",
+        (
+            ~(
+                (F.col("__id") == F.col("__f.__id"))
+                & (F.col("pos") == F.col("__f.pos"))
+            )
+        ).alias("__dup"),
+    )
+    # A token is removed iff covered by >=1 window and ALL covering
+    # windows are duplicates: min(dup) over the k positions each
+    # window covers.
+    removed = (
+        occ.select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("i"),
+            "__dup",
+        )
+        .groupBy("__id", "i")
+        .agg(F.min(F.col("__dup").cast("int")).alias("__all_dup"))
+        .filter(F.col("__all_dup") == 1)
+        .select("__id", "i")
+    )
+    toks = base.select(
+        "__id", F.posexplode("__w").alias("i", "w"), "n_total"
+    )
+    kept = toks.join(removed, on=["__id", "i"], how="left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))),
+                lambda s: s.getField("w"),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )
+    return (
+        base.select("__id", "n_total")
+        .join(rebuilt, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.col("n_total"),
+        )
+    )
+
+
 def remove_boilerplate_segments(
     df: DataFrame,
     text_col: str,

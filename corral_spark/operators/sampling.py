@@ -78,6 +78,39 @@ def stratified_sample(
     return df.filter(cond | others if cond is not None else others)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group row cap (the RefinedWeb/CommonCrawl
+    per-DOMAIN cap: no single source may contribute more than ``cap``
+    documents to the corpus). Rows are ranked inside each group by
+    md5(salt || id) — content-addressed, so the survivors are the same
+    rows every run on every engine, and adding new rows to a group
+    never evicts a previously-kept row unless the newcomer hashes
+    earlier (stable under incremental ingest).
+
+    Scale shape: one row_number window partitioned by group.  Spark's
+    WindowGroupLimit pushes ``rank <= cap`` below the exchange — each
+    map task keeps at most ``cap`` rows per group locally before
+    shuffling — so a hot domain with 10^9 pages moves O(cap * tasks)
+    rows, not 10^9, through the exchange (same plan discipline as
+    sketches.grouped_top_k, pinned in tests/test_plans.py).
+    """
+    from pyspark.sql.window import Window
+
+    key = sample_key(F.col(id_col), salt + ":")
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     id_col: str,

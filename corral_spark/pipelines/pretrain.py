@@ -45,6 +45,7 @@ def prepare_pretraining_corpus(
     benchmark: DataFrame | None = None,
     max_top_token_fraction: float | None = None,
     boilerplate_max_df: int | None = None,
+    gram_dedup_k: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Returns (corpus, report): the cleaned/deduped/split corpus with
     columns (id_col, clean_text, n_words, split), plus per-stage
@@ -64,7 +65,11 @@ def prepare_pretraining_corpus(
     BEFORE quality filtering, so template noise cannot carry a
     low-quality document over the length threshold — docs emptied by
     the removal fall out at the quality stage, and the word-count
-    signals score the cleaned text."""
+    signals score the cleaned text; ``gram_dedup_k`` additionally runs
+    sliding k-gram exact-substring dedup (dedup.sliding_gram_dedup) at
+    the same point — after boilerplate removal when both are on, since
+    corpus-hot templates should be dropped everywhere rather than kept
+    once at their accidental first occurrence."""
 
     def _count(df: DataFrame) -> int:
         return df.count() if with_report else -1
@@ -93,6 +98,19 @@ def prepare_pretraining_corpus(
             clean, "clean_text", id_col, max_df=boilerplate_max_df
         ).select(id_col, "clean_text")
         report["after_boilerplate_removal"] = _count(
+            clean.filter(F.col("clean_text") != "")
+        )
+    # 1c. Optional sliding-gram substring dedup: unaligned repeats of
+    #     any k-word window keep only their corpus-global first
+    #     occurrence; like 1b it runs pre-quality so the word-count
+    #     signals score the deduplicated content.
+    if gram_dedup_k is not None:
+        from corral_spark.operators.dedup import sliding_gram_dedup
+
+        clean = sliding_gram_dedup(
+            clean, "clean_text", id_col, k=gram_dedup_k
+        ).select(id_col, "clean_text")
+        report["after_gram_dedup"] = _count(
             clean.filter(F.col("clean_text") != "")
         )
     words = F.filter(F.split("clean_text", " "), lambda w: w != "")

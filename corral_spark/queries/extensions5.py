@@ -127,6 +127,37 @@ def ann_ivf_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_capped_docs",
+    oracle="""
+    SELECT doc_id, source, lang
+    FROM (
+      SELECT d.doc_id, d.source, d.lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY substr(md5('cap:' || CAST(d.doc_id AS VARCHAR)), 1, 8),
+                        d.doc_id) AS rn
+      FROM documents d)
+    WHERE rn <= 10
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "documents", "extension"),
+)
+def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-DOMAIN cap: at most 10 documents per
+    source, chosen by content-addressed md5 rank so the survivors are
+    identical on every engine/run (operators.sampling.cap_per_group).
+    The WindowGroupLimit plan shape (rank bound pushed below the
+    exchange) is pinned by test_plans — a hot domain never serializes
+    through one task."""
+    from corral_spark.operators.sampling import cap_per_group
+
+    out = cap_per_group(
+        load_table(spark, sf_dir, "documents"), "source", "doc_id", cap=10
+    )
+    return out.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
+@register(
     "ann_ivf_kmeans",
     oracle=f"""
     WITH blocked AS (
@@ -416,6 +447,72 @@ def boilerplate_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = remove_boilerplate_segments(
         load_table(spark, sf_dir, "documents"), "text", "doc_id",
         seg_words=10, max_df=2,
+    )
+    return out.orderBy("doc_id")
+
+
+@register(
+    "gram_dedup_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, words, CAST(len(words) AS INT) AS n FROM toks
+    ),
+    tok AS (
+      SELECT doc_id, CAST(i AS INT) AS i, words[CAST(i AS INT) + 1] AS w, n
+      FROM base, unnest(range(0, n)) AS t(i)
+    ),
+    wins AS (
+      SELECT doc_id, CAST(j AS INT) AS pos,
+             array_to_string(list_slice(words, CAST(j AS INT) + 1,
+                                        CAST(j AS INT) + 8), ' ') AS gram
+      FROM base, unnest(range(0, n - 8 + 1)) AS t(j)
+      WHERE n >= 8
+    ),
+    occ AS (
+      SELECT doc_id, pos,
+             (ROW_NUMBER() OVER (PARTITION BY gram
+                                 ORDER BY doc_id, pos) > 1) AS dup
+      FROM wins
+    ),
+    removed AS (
+      SELECT doc_id, CAST(pos + c AS INT) AS i
+      FROM occ, unnest(range(0, 8)) AS t(c)
+      GROUP BY doc_id, CAST(pos + c AS INT)
+      HAVING bool_and(dup)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.i, t.w FROM tok t
+      ANTI JOIN removed r ON t.doc_id = r.doc_id AND t.i = r.i
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text,
+             CAST(COUNT(*) AS INT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           b.n AS n_total
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    tags=("dedup", "text", "extension"),
+)
+def gram_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 8-gram exact-substring dedup
+    (operators.dedup.sliding_gram_dedup): a token survives only if
+    some 8-word window covering it is the corpus-global FIRST
+    occurrence of that window — removing unaligned repeats that
+    segment-aligned dedup cannot see. The oracle replays first-
+    occurrence ranking, k-way coverage, and reassembly exactly."""
+    from corral_spark.operators.dedup import sliding_gram_dedup
+
+    out = sliding_gram_dedup(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", k=8
     )
     return out.orderBy("doc_id")
 

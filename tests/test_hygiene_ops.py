@@ -267,3 +267,65 @@ def test_boilerplate_over_threshold_same_output_no_broadcast(spark):
     finally:
         spark.conf.unset(conv)
         spark.conf.unset(auto)
+
+
+# ---------------------------------------------------------------------------
+# sliding-gram substring dedup & per-source cap (round-5 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_sliding_gram_dedup_crafted(spark):
+    """Crafted semantics: an unaligned repeat of an earlier doc's
+    window is removed even mid-document; a token survives if ANY
+    covering window is a global first occurrence; short docs are
+    untouched."""
+    from corral_spark.operators.dedup import sliding_gram_dedup
+
+    d1 = "a b c d"                       # first occurrence of 'a b c d'
+    d2 = "x a b c d y"                   # repeat shifted by 1, flanked
+    d3 = "p q"                           # shorter than k -> untouched
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in sliding_gram_dedup(df, "text", "doc_id", k=4).collect()
+    }
+    # doc 1 owns the first occurrence: fully kept.
+    assert out[1].clean_text == d1 and out[1].n_kept == 4
+    # doc 2: windows are 'x a b c', 'a b c d' (dup), 'b c d y'.
+    # 'a b c d' is a dup, but every one of its tokens is also covered
+    # by a first-occurrence window ('x a b c' covers a,b,c; 'b c d y'
+    # covers b,c,d) -> nothing removable.
+    assert out[2].clean_text == d2 and out[2].n_kept == 6
+    # doc 3: no window covers it.
+    assert out[3].clean_text == d3 and out[3].n_kept == 2
+
+    # A pure unflanked repeat IS removed wholesale.
+    df2 = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
+        ["doc_id", "text"],
+    )
+    out2 = {
+        r.doc_id: r
+        for r in sliding_gram_dedup(df2, "text", "doc_id", k=4).collect()
+    }
+    assert out2[1].n_kept == 8
+    assert out2[2].n_kept == 0 and out2[2].clean_text == ""
+
+
+def test_cap_per_group_deterministic_and_plan(spark):
+    from corral_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = cap_per_group(df, "source", "doc_id", cap=5)
+    got = sorted(r.doc_id for r in out.collect())
+    assert len(got) == 15
+    assert got == sorted(r.doc_id for r in out.collect())  # stable
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] == 5 for r in per)
+    # Hot groups must not serialize through one task: the rank bound
+    # is pushed below the exchange (WindowGroupLimit).
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

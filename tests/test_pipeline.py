@@ -115,3 +115,38 @@ def test_pipeline_boilerplate_stage_drops_templated_doc(spark):
     # The surviving text must not contain the template segment.
     texts = {r.doc_id: r.clean_text for r in corpus.collect()}
     assert "subscribe" not in texts[1] and "subscribe" not in texts[3]
+
+
+def test_pipeline_gram_dedup_stage_strips_unaligned_repeat(spark):
+    # Doc 2 embeds a 20-word run from doc 1 mid-document at an offset
+    # no fixed segment boundary would align with. With k=8, tokens
+    # within k-1 of the repeat's edges are protected by mixed windows
+    # (unique flank context makes those windows first occurrences), so
+    # only the strictly-interior tokens — offsets [k-1, L-k] = [7, 12]
+    # of the 20-word run, including the "zanzibar" marker at offset 9
+    # — are removable; a repeat shorter than 2k-1 loses nothing.
+    shared = (
+        "the quick brown fox jumps over a lazy dog zanzibar sleeps "
+        "while birds sing sweet songs above the green meadow"
+    )  # 20 words, marker at offset 9
+    unique_1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    unique_2a = "one two three four five six seven eight nine ten"
+    unique_2b = "eleven twelve thirteen fourteen fifteen sixteen " \
+                "seventeen eighteen nineteen twenty"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " " + unique_1),
+            (2, unique_2a + " " + shared + " " + unique_2b),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus, report = prepare_pretraining_corpus(
+        docs, gram_dedup_k=8, near_dup="verified"
+    )
+    texts = {r.doc_id: r.clean_text for r in corpus.collect()}
+    assert sorted(texts) == [1, 2]
+    assert "zanzibar" in texts[1]  # first occurrence untouched
+    assert "zanzibar" not in texts[2]  # interior of the repeat stripped
+    assert "the quick brown fox" in texts[2]  # edge tokens protected
+    assert "one two three" in texts[2] and "twenty" in texts[2]
+    assert report["after_gram_dedup"] == 2
