@@ -238,3 +238,22 @@ def test_boilerplate_hot_set_broadcast_anti(spark):
     plan = plan_of(spark, "boilerplate_removed_docs")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gram_dedup_no_window_no_cartesian(spark):
+    # Sliding-gram substring dedup must stay bounded aggregates and
+    # equi-joins: no corpus-wide Window (the first-occurrence rank is
+    # a partial-aggregated min-struct, not a sort), no cross join, and
+    # the gram-frequency side must never be a broadcast hint (it is
+    # vocabulary-sized and grows with the corpus).
+    plan = plan_of(spark, "gram_dedup_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan.replace("WindowGroupLimit", "")
+
+
+def test_source_cap_window_group_limit(spark):
+    # The per-domain cap must push the rank bound below the exchange:
+    # a hot domain moves O(cap * tasks) rows, never its full row set.
+    plan = plan_of(spark, "source_capped_docs")
+    assert "WindowGroupLimit" in plan

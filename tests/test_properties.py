@@ -120,3 +120,53 @@ def test_packing_invariants_any_weights(spark, weights, budget):
     # pack ids are nondecreasing in row order (contiguous fills)
     ids = [r.pack_id for r in out]
     assert ids == sorted(ids)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from("a b c d e".split()), min_size=0, max_size=24
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=5),
+)
+def test_sliding_gram_dedup_matches_bruteforce(spark, corpus, k):
+    """sliding_gram_dedup vs an independent brute-force reference:
+    tiny alphabet + short docs force dense window collisions (within
+    and across docs), exercising first-occurrence ordering, coverage
+    votes, whole-doc erasure, and sub-k docs."""
+    from corral_spark.operators.dedup import sliding_gram_dedup
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(corpus)]
+
+    # Brute force: global first occurrence per gram by (doc, pos);
+    # token kept iff some covering window is first, or uncovered.
+    firsts: dict[tuple[str, ...], tuple[int, int]] = {}
+    for d, ws in enumerate(corpus):
+        for j in range(len(ws) - k + 1):
+            g = tuple(ws[j : j + k])
+            if g not in firsts:
+                firsts[g] = (d, j)
+    expected = {}
+    for d, ws in enumerate(corpus):
+        kept = []
+        for i, w in enumerate(ws):
+            covering = [
+                j
+                for j in range(max(0, i - k + 1), min(i, len(ws) - k) + 1)
+            ]
+            if not covering or any(
+                firsts[tuple(ws[j : j + k])] == (d, j) for j in covering
+            ):
+                kept.append(w)
+        expected[d] = (" ".join(kept), len(kept), len(ws))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_total)
+        for r in sliding_gram_dedup(df, "text", "doc_id", k=k).collect()
+    }
+    assert got == expected
