@@ -500,6 +500,7 @@ def boilerplate_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base b LEFT JOIN rebuilt r USING (doc_id)
     ORDER BY b.doc_id
     """,
+    headline=True,
     tags=("dedup", "text", "extension"),
 )
 def gram_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
