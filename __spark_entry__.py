@@ -80,22 +80,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # stale demotions return to the head — the 12 r1-wave queries
 # (salted_nation_revenue, amplab2, top_orders, wordcount, ...) and
 # the 26 whose newest green row is r3 (rollup_sales, event_props_map,
-# robust_stats, minhash_pairs_docs, ...) — plus the new
-# ann_ivf_kmeans (never driver-checked). That fills 39 of 50 head
-# slots; the 11 keepers from the r4-green set are the benched
+# robust_stats, minhash_pairs_docs, ...) — plus the four NEW round-5
+# oracled queries (ann_ivf_kmeans, gram_dedup_docs,
+# source_capped_docs, cms_bigram_counts). That fills 42 of 50 head
+# slots; the 8 keepers from the r4-green set are the benched
 # headliners (pretrain_corpus, shipping_priority, regional_revenue,
-# amplab3) plus queries whose oracle or implementation changed THIS
-# round and need a fresh row under the new contract
+# amplab3), queries whose oracle or implementation changed THIS round
+# and need a fresh row under the new contract
 # (temperature_sampled_docs: floor+null-group oracle change;
-# boilerplate_removed_docs: broadcast guard) and the newest r4-wave
-# entries held one more round (multimodal_features,
-# fuzzy_customer_pairs_lev2, incremental_dedup_new_docs,
-# emb_near_dup_planted, heavy_hitter_tokens). Everything demoted
-# below is r4 hash-green (newest row exactly 1 round old at r5) and
-# stays oracle-gated by pytest/driver_sim every round.
+# boilerplate_removed_docs: broadcast guard), and the newest r4-wave
+# entries held one more round (fuzzy_customer_pairs_lev2,
+# incremental_dedup_new_docs). Everything demoted below is r4
+# hash-green (newest row exactly 1 round old at r5) and stays
+# oracle-gated by pytest/driver_sim every round.
 _DEMOTED = (
     # -- r4-green, rotated out for one round (newest row = r4) --
     "multimodal_features",  # Arrow decode plumbing: r4 green; the new PIL-seam pytest now pins the batch/schema contract too
+    "emb_near_dup_planted",  # sign-LSH near-dup: r4 green; ann_ivf_kmeans + ann family (in head) cover the embedding machinery
     "heavy_hitter_tokens",  # MG 2-pass heavy hitters: r4 green; wordcount + top_tokens family (back in head) cover token aggregation
     "ann_ivf_probes",  # probe-limited IVF: ann_ivf_kmeans (in head) runs the same probe path + Lloyd refinement
     "big_orders_in_subquery",  # IN-subquery: covered by high_value_order_exists/semi-join family; r4 green

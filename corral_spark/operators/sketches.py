@@ -285,3 +285,88 @@ def bloom_new_rows(
         how="left_anti",
     )
     return definitely_new.unionByName(verified_new)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (expression-native, cross-engine-replayable)
+# ---------------------------------------------------------------------------
+#
+# The frequency-estimation sibling of the Bloom filter above: a
+# depth x width counter grid where each key increments one counter per
+# row (depth independent hashes) and is estimated by the MINIMUM of its
+# depth counters — always an overestimate, within eps*N with
+# probability 1-delta for width=e/eps, depth=ln(1/delta) (Cormode &
+# Muthukrishnan). Unlike Misra-Gries (exact top-k via 2-pass verify,
+# above) a CMS answers point queries for ANY key from a fixed-size
+# summary, the shape a 100 TB profile/monitoring pass wants: the sketch
+# is a (depth*width)-row table built by ONE partial-aggregated groupBy
+# over depth probe rows per item — map-side combine collapses the Zipf
+# head before the exchange — and estimation broadcasts the tiny grid.
+#
+# Probes use the md5 trick from operators/sampling.py (first 8 hex
+# chars as an integer) rather than xxhash64, so a DuckDB oracle can
+# replay the sketch BIT-EXACTLY — the same engine-portability
+# discipline as the sampling and fingerprint families.
+
+
+def _cms_pos(key, i: int, width: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), key)), 1, 8), 16, 10
+        ).cast("long")
+        % width
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min Sketch of ``df[key_col]`` as a (d, pos, cnt) table
+    (at most depth*width rows — only touched counters materialize;
+    an absent (d, pos) row IS the zero counter)."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("d"),
+                _cms_pos(F.col(key_col), i, width).alias("pos"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(probes).alias("p"))
+        .select("p.d", "p.pos")
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """``keys`` plus an ``est_cnt`` column: the CMS estimate
+    min_d(counter[d][pos_d(key)]) for each row's key. The sketch is
+    broadcast (depth*width rows by construction); estimation is one
+    explode + broadcast join + min aggregate, no corpus shuffle."""
+    probed = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        _cms_pos(F.col(key_col), i, width).alias("pos"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "p.d", "p.pos")
+    joined = probed.join(F.broadcast(sketch), on=["d", "pos"], how="left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt")
+    )

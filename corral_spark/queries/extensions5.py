@@ -127,6 +127,79 @@ def ann_ivf_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cms_bigram_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_TOK_SQL.format(col='text')} AS words FROM documents
+    ),
+    bigs AS (
+      SELECT (words[CAST(j AS INT) + 1] || ' ' || words[CAST(j AS INT) + 2]) AS bigram
+      FROM toks, unnest(range(0, len(words) - 1)) AS t(j)
+      WHERE len(words) >= 2
+    ),
+    true_counts AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM bigs GROUP BY bigram
+    ),
+    probes AS (
+      SELECT bigram, CAST(d AS INT) AS d,
+             CAST(('0x' || substr(md5('cms' || CAST(d AS VARCHAR) || ':' || bigram), 1, 8)) AS BIGINT) % 256 AS pos
+      FROM bigs, unnest(range(0, 4)) AS t(d)
+    ),
+    sketch AS (
+      SELECT d, pos, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM probes GROUP BY d, pos
+    ),
+    est AS (
+      SELECT k.bigram, MIN(s.cnt) AS est_cnt
+      FROM (SELECT DISTINCT bigram, d, pos FROM probes) k
+      JOIN sketch s USING (d, pos)
+      GROUP BY k.bigram
+    )
+    SELECT t.bigram, t.true_cnt, e.est_cnt
+    FROM true_counts t JOIN est e USING (bigram)
+    ORDER BY bigram
+    """,
+    tags=("sketch", "extension"),
+)
+def cms_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch point queries, bit-exactly oracled: a CMS
+    (depth 4, width 256) over the corpus's word bigrams (~900 distinct
+    keys at 256 counters per row — genuinely collision-dense, so the
+    min-over-depth estimate does real work), estimated for every
+    distinct bigram alongside its true count. md5-derived probes let
+    DuckDB replay sketch construction and estimation exactly
+    (operators.sketches.cms_build / cms_estimate); est_cnt >= true_cnt
+    is the CMS overestimate invariant, also pinned by pytest."""
+    from corral_spark.functions.text import tokenize
+    from corral_spark.operators.sketches import cms_build, cms_estimate
+
+    words = tokenize(F.col("text"))
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = load_table(spark, sf_dir, "documents").select(
+        F.explode(bigrams).alias("bigram")
+    )
+    sketch = cms_build(occ, "bigram", depth=4, width=256)
+    true_c = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(
+        true_c.select("bigram"), sketch, "bigram", depth=4, width=256
+    )
+    return (
+        true_c.join(est, on="bigram")
+        .select("bigram", "true_cnt", "est_cnt")
+        .orderBy("bigram")
+    )
+
+
+@register(
     "source_capped_docs",
     oracle="""
     SELECT doc_id, source, lang

@@ -304,6 +304,87 @@ def foreach_batch_parquet_sink(
     )
 
 
+def foreach_batch_upsert_sink(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    delete_col: str | None = None,
+):
+    """Streaming MERGE: maintain a keyed snapshot table by applying
+    each micro-batch of CDC rows with ``operators.merge.merge_upsert``
+    — the streaming dimension-table-maintenance pattern (no
+    transactional table format required).
+
+    Exactly-once via snapshot VERSIONING: batch ``b`` writes snapshot
+    ``v=<b>`` computed from the newest snapshot with version < b. A
+    batch replayed after a failure (same batchId redelivered from the
+    checkpoint) rebuilds ``v=<b>`` from the same predecessor — an
+    idempotent overwrite, never a second application on top of its own
+    output. Readers take the highest version
+    (``read_upsert_snapshot``).
+
+    Contract: at most one update row per key per micro-batch
+    (pre-aggregate upstream if the CDC feed can emit more — within a
+    micro-batch there is no event order to break the tie with).
+    Paths are local/posix here; on object storage swap the directory
+    listing for the Hadoop FileSystem API.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    import os
+
+    def _latest(below: int | None = None) -> int | None:
+        if not os.path.isdir(table_dir):
+            return None
+        versions = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(table_dir)
+            if d.startswith("v=")
+        ]
+        if below is not None:
+            versions = [v for v in versions if v < below]
+        return max(versions, default=None)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base_v = _latest(below=int(batch_id))
+        value_schema = [
+            f for f in batch_df.schema.fields if f.name != delete_col
+        ]
+        if base_v is None:
+            from pyspark.sql.types import StructType
+
+            current = spark.createDataFrame([], StructType(value_schema))
+        else:
+            current = spark.read.parquet(f"{table_dir}/v={base_v}")
+        merged = merge_upsert(current, batch_df, key_col, delete_col)
+        merged.write.mode("overwrite").parquet(f"{table_dir}/v={batch_id}")
+
+    from corral_spark.operators.merge import merge_upsert
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_upsert_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Latest snapshot written by ``foreach_batch_upsert_sink``."""
+    import os
+
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("v=")
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no snapshots under {table_dir}")
+    return spark.read.parquet(f"{table_dir}/v={max(versions)}")
+
+
 def run_available_now(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -306,3 +306,32 @@ class TestBloomPrefilter:
 
         with _pytest.raises(ValueError, match="multiple of 64"):
             bloom_build(spark.range(1).toDF("key"), "key", m_bits=100)
+
+
+def test_cms_overestimate_and_error_bound(spark):
+    """CMS invariants: est >= true for every key (never underestimates),
+    est is exact for keys with collision-free rows, and overestimate is
+    bounded by the classic e*N/width bound with margin on this fixed
+    corpus (width 64 forced collisions over ~900 keys)."""
+    import math
+
+    from corral_spark.operators.sketches import cms_build, cms_estimate
+
+    rows = [(f"k{i % 300}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["key"])
+    depth, width = 4, 64
+    sketch = cms_build(df, "key", depth=depth, width=width)
+    true_c = df.groupBy("key").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(true_c.select("key"), sketch, "key", depth, width)
+    joined = {r.key: (r.true_cnt, r.est_cnt)
+              for r in true_c.join(est, "key").collect()}
+    assert len(joined) == 300
+    n_total = 3000
+    bound = math.e * n_total / width  # eps*N with eps = e/width
+    for key, (t, e) in joined.items():
+        assert e >= t, (key, t, e)
+        assert e - t <= bound, (key, t, e, bound)
+    # The grid really collided (width 64 < 300 keys): some est > true.
+    assert any(e > t for t, e in joined.values())
+    # Sketch size is bounded by the grid, not the corpus.
+    assert sketch.count() <= depth * width

@@ -169,3 +169,60 @@ def test_interval_join_left_outer_restart_equivalence(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     )
     assert got2 == [(1, 3), (2, None)]
+
+
+def test_streaming_upsert_sink_restart_and_replay(spark, tmp_path):
+    """CDC upsert sink: inserts in run 1; updates + a delete landing
+    while the query is down must merge on restart from the checkpoint;
+    a third restart with no data changes nothing. Snapshot versioning
+    makes a replayed batch rebuild from its predecessor, so the final
+    table equals the batch-merge of all events exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from corral_spark.streaming.ops import (
+        foreach_batch_upsert_sink,
+        read_upsert_snapshot,
+    )
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(name, rows):
+        ks, vs, dels = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(ks, pa.int64()),
+                    "v": pa.array(vs, pa.string()),
+                    "is_delete": pa.array(dels, pa.bool_()),
+                }
+            ),
+            str(src / name),
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "k long, v string, is_delete boolean"
+        ).parquet(str(src))
+        q = foreach_batch_upsert_sink(
+            stream, table, ckpt, "k", delete_col="is_delete"
+        )
+        q.awaitTermination()
+
+    _write("b1.parquet", [(1, "a", False), (2, "b", False), (3, "c", False)])
+    run_once()
+    snap1 = {r.k: r.v for r in read_upsert_snapshot(spark, table).collect()}
+    assert snap1 == {1: "a", 2: "b", 3: "c"}
+
+    time.sleep(1.1)
+    _write("b2.parquet", [(2, "B", False), (3, None, True), (4, "d", False)])
+    run_once()
+    snap2 = {r.k: r.v for r in read_upsert_snapshot(spark, table).collect()}
+    assert snap2 == {1: "a", 2: "B", 4: "d"}  # updated, deleted, inserted
+
+    run_once()  # no new data: snapshot unchanged
+    snap3 = {r.k: r.v for r in read_upsert_snapshot(spark, table).collect()}
+    assert snap3 == snap2
