@@ -117,7 +117,9 @@ _DEMOTED = (
     "events_session_30m",  # session windows: streaming pytest suite + tumbling/sliding keep one representative (rotating)
     "events_sliding_1h_30m",  # sliding windows: events_tumbling_1h pytest + user_rolling_1h (back in head) cover windowing
     "events_tumbling_1h",  # tumbling windows: streaming restart/watermark pytest pins semantics; r4 green
-    "fuzzy_customer_pairs_capped",  # capped fuzzy: fuzzy_customer_pairs_lev2 (in head) is the uncapped superset
+    "fuzzy_customer_pairs_capped",  # capped fuzzy: same blocking path as lev2; pytest-pinned determinism
+    "fuzzy_customer_pairs_lev2",  # depth-2 fuzzy: r4 green (newest row 1 round old); blocking completeness is pytest/hypothesis-pinned; slot ceded to the new hll_distinct_parts row
+    "incremental_dedup_new_docs",  # incremental dedup: r4 green; bloom_new_docs (same incremental shape) + pretrain_corpus's exact-dedup stage (in head) cover it; slot ceded to the new bottomk_doc_stats row
     "high_value_order_exists",  # semi join: parts_never_shipped (back in head) covers the semi/anti pair
     "nation_set_ops",  # set ops: r4 green; union_all_parties demoted alongside — amplab2/top_orders carry the simple-agg rows
     "nations_above_global_share",  # correlated scalar subquery: promo_revenue_share (back in head) is the same shape

@@ -370,3 +370,268 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog, expression-native and engine-portable.
+#
+# Reference parity note: the reference engine has no sketch layer at all
+# (its only aggregation is the exact reducer loop, word_count.go:48-57);
+# HLL is part of the mandated extension surface — THE constant-memory
+# distinct counter a 100 TB profile pass needs (exact count-distinct of
+# l_partkey at 100 TB is a full shuffle of every distinct value; an HLL
+# register file is 2^b rows per group, mergeable across days/partitions).
+#
+# Spark ships approx_count_distinct (HLL++), and `approx_distinct_parts`
+# exposes it — but its sketch is engine-internal, so that row is gated
+# rows-only. This implementation trades HLL++'s bias tables for the
+# CLASSIC Flajolet HLL estimator built from md5-derived expressions, so
+# a DuckDB oracle replays the register file and the raw estimate
+# BIT-EXACTLY (same discipline as cms_build above):
+#
+#   bucket = first 16 hash bits mod m       (m = 2^b registers)
+#   rho    = leading-zero count of the next 48 bits + 1   (1..49)
+#
+# rho is computed from the hex STRING (leading-'0' run length * 4 plus a
+# 4-way CASE on the first non-zero nibble) — no float log2 on the hot
+# path, so there is no cross-engine floor(log2()) ulp hazard. The
+# register sum is kept as the exact integer sum(2^(49-rho)) (each term a
+# power of two <= 2^48, total <= m*2^49 < 2^63 — order-independent, no
+# float accumulation), and the one double op — alpha*m^2*2^49/sum — is a
+# single correctly-rounded IEEE division, identical in every engine.
+# ---------------------------------------------------------------------------
+
+HLL_B = 10  #: default register-index bits (m=1024 -> ~3.25% std error)
+
+
+def _hll_alpha_num(m: int) -> float:
+    """alpha_m * m^2 * 2^49 as ONE python double, embedded verbatim in
+    both the Spark plan and any SQL oracle so both engines divide the
+    same numerator (repr round-trips doubles exactly)."""
+    return 0.7213 / (1.0 + 1.079 / m) * m * m * float(2**49)
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: tuple = (), b: int = HLL_B
+) -> DataFrame:
+    """HLL register file for ``key_col`` per group: (group_cols...,
+    bucket, rho) with at most 2^b rows per group. One partial-aggregated
+    groupBy — map-side max collapses each partition's registers before
+    the exchange, so the shuffle is O(m) per group regardless of input
+    size. Registers are MERGEABLE: union + max-per-bucket == sketch of
+    the union (see hll_merge), the property that lets 100 TB be
+    sketched per-partition/per-day and combined."""
+    m = 1 << b
+    h = F.md5(F.concat(F.lit("hll:"), F.col(key_col).cast("string")))
+    bucket = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % m
+    ).alias("bucket")
+    hex12 = F.substring(h, 5, 12)
+    stripped = F.regexp_replace(hex12, "^0*", "")
+    lead_nibble = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
+    nib_lz = (
+        F.when(lead_nibble >= 8, 0)
+        .when(lead_nibble >= 4, 1)
+        .when(lead_nibble >= 2, 2)
+        .otherwise(3)
+    )
+    rho = (
+        F.when(F.length(stripped) == 0, F.lit(49))
+        .otherwise((12 - F.length(stripped)) * 4 + nib_lz + 1)
+        .alias("rho")
+    )
+    return (
+        df.select(*group_cols, bucket, rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*register_dfs: DataFrame) -> DataFrame:
+    """Merge register files built by hll_registers over the SAME
+    (group_cols, b): union + max per bucket. Exactly equals the sketch
+    of the concatenated inputs (max is associative/commutative/
+    idempotent), so partial sketches compose without rescanning."""
+    out = register_dfs[0]
+    for nxt in register_dfs[1:]:
+        out = out.unionByName(nxt)
+    keys = [c for c in out.columns if c != "rho"]
+    return out.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: tuple = (), b: int = HLL_B
+) -> DataFrame:
+    """Cardinality per group from a register file: exact-integer
+    columns (filled register count, 2^(49-rho) register sum including
+    the m-filled empty-bucket mass) plus the classic HLL estimate with
+    the small-range linear-counting correction (E <= 2.5m and empty
+    buckets -> m*ln(m/V)). `hll_raw` (floor of one IEEE division) is
+    the bit-portable contract; `hll_est` adds the ln()-based correction
+    whose last-ulp behavior is libm-specific, so oracled queries pin
+    hll_raw and pytest bounds hll_est against exact counts."""
+    m = 1 << b
+    num = _hll_alpha_num(m)
+    per_group = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("filled"),
+        F.sum(F.pow(F.lit(2.0), 49 - F.col("rho")).cast("long")).alias(
+            "reg_sum_filled"
+        ),
+    )
+    total = F.col("reg_sum_filled") + (m - F.col("filled")) * F.lit(2**49)
+    raw = F.floor(F.lit(num) / total.cast("double")).cast("long")
+    v = m - F.col("filled")
+    lc = F.floor(F.lit(float(m)) * F.log(F.lit(float(m)) / v)).cast("long")
+    est = F.when((raw <= int(2.5 * m)) & (v > 0), lc).otherwise(raw)
+    return per_group.select(
+        *group_cols,
+        "filled",
+        total.alias("reg_sum"),
+        raw.alias("hll_raw"),
+        est.alias("hll_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) sketch: a mergeable, DETERMINISTIC uniform sample.
+#
+# The k smallest md5-ranked distinct keys are simultaneously (a) a
+# uniform-without-replacement sample of the distinct keys — usable for
+# sampled quantiles/means of any per-key statistic — and (b) a
+# cardinality estimator: if the k-th smallest of D hashes uniform on
+# [0, 2^32) is h_k, then D ~ (k-1) * 2^32 / h_k (the classic KMV / k-th
+# minimum value estimator). Unlike a Bernoulli sample, the sketch has a
+# HARD size bound (k rows per group, no matter the input), and unlike a
+# reservoir it is deterministic and MERGEABLE: bottom-k of a union ==
+# bottom-k of the merged per-partition bottom-k's, so 100 TB can be
+# sampled per-partition/per-day and combined without rescanning —
+# the same composability contract as hll_merge above.
+#
+# Everything is md5-derived integer arithmetic plus ONE IEEE double
+# division, so a DuckDB oracle replays the sketch and the estimate
+# bit-exactly (the discipline shared by cms_build / hll_registers).
+# ---------------------------------------------------------------------------
+
+
+def bottomk_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = 256,
+    group_cols: tuple = (),
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """The k distinct keys with the smallest md5 rank per group:
+    (group_cols..., key_col, keep_cols..., h, rnk). ``keep_cols`` ride
+    along for sampled statistics (must be functionally determined by
+    the key, e.g. per-doc token counts keyed by doc_id). The rank
+    filter compiles to WindowGroupLimit — partial top-k per partition
+    BEFORE the exchange, so the shuffle carries at most k rows per
+    group per map task, never the corpus."""
+    from pyspark.sql.window import Window
+
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bk:"), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    distinct = df.select(*group_cols, key_col, *keep_cols).distinct()
+    # tie-break on the key itself: a 32-bit hash collision at the k
+    # boundary must not make the sample order engine-dependent
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        "h", key_col
+    )
+    return (
+        distinct.select("*", h)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def bottomk_merge(
+    k: int, *sketches: DataFrame, group_cols: tuple = ()
+) -> DataFrame:
+    """Merge bottom-k sketches over the SAME (key, group, k): union,
+    drop exact-duplicate keys, re-rank, keep k. Exactly equals the
+    sketch of the concatenated inputs (the k smallest of a union are
+    among the union of each part's k smallest)."""
+    from pyspark.sql.window import Window
+
+    out = sketches[0]
+    for nxt in sketches[1:]:
+        out = out.unionByName(nxt)
+    dedup = out.drop("rnk").distinct()
+    keyish = [c for c in dedup.columns if c not in ("h",) and c not in group_cols]
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        "h", *keyish
+    )
+    return dedup.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
+def bottomk_distinct_estimate(
+    sketch: DataFrame, k: int, group_cols: tuple = ()
+) -> DataFrame:
+    """Distinct-key count per group from a bottom-k sketch: exact when
+    the group holds fewer than k keys (the sketch IS the key set),
+    else the KMV estimator floor((k-1) * 2^32 / h_k). One double
+    division — bit-portable across engines."""
+    per_group = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("sample_n"),
+        F.max(F.when(F.col("rnk") == k, F.col("h"))).alias("h_k"),
+    )
+    est = (
+        F.when(F.col("sample_n") < k, F.col("sample_n"))
+        .otherwise(
+            F.floor(
+                F.lit(float((k - 1) * 2**32)) / F.col("h_k").cast("double")
+            )
+        )
+        .cast("long")
+    )
+    return per_group.select(*group_cols, "sample_n", est.alias("est_distinct"))
+
+
+def sampled_quantiles(
+    sketch: DataFrame,
+    value_col: str,
+    qs: tuple = (0.5, 0.9),
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Deterministic lower-interpolation quantiles of ``value_col``
+    over the sample: sort by (value, h), pick index floor(q*(n-1)).
+    Because the bottom-k keys are a uniform sample of the distinct
+    keys, these estimate the population quantiles with the usual
+    order-statistic error (~1/sqrt(k)); because everything is integer
+    ranks over md5-fixed rows, an oracle replays them bit-exactly."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col(value_col), F.col("h")
+    )
+    n = Window.partitionBy(*[F.col(c) for c in group_cols])
+    ranked = sketch.select(
+        *group_cols,
+        value_col,
+        F.row_number().over(w).alias("vr"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("vr")
+                == F.floor(F.lit(q) * (F.col("n") - 1)).cast("int") + 1,
+                F.col(value_col),
+            )
+        ).alias(f"q{int(q * 100)}")
+        for q in qs
+    ]
+    return ranked.groupBy(*group_cols).agg(*picks)

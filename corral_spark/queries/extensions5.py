@@ -630,3 +630,166 @@ def temperature_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_fraction=0.5,
     )
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@register(
+    "hll_distinct_parts",
+    oracle="""
+    WITH hashed AS (
+      SELECT l_returnflag AS flag,
+             md5('hll:' || CAST(l_partkey AS VARCHAR)) AS h
+      FROM lineitem
+    ),
+    rb AS (
+      SELECT flag,
+             CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 1024 AS bucket,
+             regexp_replace(substr(h, 5, 12), '^0*', '') AS s
+      FROM hashed
+    ),
+    rr AS (
+      SELECT flag, bucket,
+             CASE WHEN length(s) = 0 THEN 49
+                  ELSE (12 - length(s)) * 4
+                       + CASE WHEN CAST(('0x' || substr(s, 1, 1)) AS BIGINT) >= 8 THEN 0
+                              WHEN CAST(('0x' || substr(s, 1, 1)) AS BIGINT) >= 4 THEN 1
+                              WHEN CAST(('0x' || substr(s, 1, 1)) AS BIGINT) >= 2 THEN 2
+                              ELSE 3 END + 1
+             END AS rho
+      FROM rb
+    ),
+    regs AS (
+      SELECT flag, bucket, MAX(rho) AS rho FROM rr GROUP BY flag, bucket
+    ),
+    agg AS (
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS filled,
+             CAST(SUM(CAST(POWER(2, 49 - rho) AS BIGINT)) AS BIGINT)
+               + (1024 - COUNT(*)) * 562949953421312 AS reg_sum
+      FROM regs GROUP BY flag
+    ),
+    exact AS (
+      SELECT l_returnflag AS flag,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS true_parts
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT a.flag AS l_returnflag, a.filled, a.reg_sum,
+           CAST(FLOOR(4.253321908301858e+20 / CAST(a.reg_sum AS DOUBLE)) AS BIGINT) AS hll_raw,
+           e.true_parts
+    FROM agg a JOIN exact e USING (flag)
+    ORDER BY l_returnflag
+    """,
+    tags=("sketch", "approx", "extension"),
+)
+def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-l_partkey per return flag, bit-exactly
+    oracled: the md5-derived register file (sketches.hll_registers,
+    m=1024), its exact-integer 2^(49-rho) mass, and the floor'd raw
+    Flajolet estimate, alongside the true distinct count. Complements
+    the rows-only `approx_distinct_parts` (Spark's internal HLL++):
+    THIS row proves the whole sketch pipeline — bucketing, leading-zero
+    rank, register max, estimator division — against an independent
+    engine, the check an engine-internal sketch cannot have. Register
+    files are mergeable (sketches.hll_merge, pytest-pinned), the
+    property that lets a 100 TB corpus be sketched per-partition and
+    combined without rescanning."""
+    from corral_spark.operators.sketches import hll_estimate, hll_registers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    regs = hll_registers(li, "l_partkey", ("l_returnflag",))
+    est = hll_estimate(regs, ("l_returnflag",)).drop("hll_est")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("true_parts")
+    )
+    return est.join(exact, "l_returnflag").orderBy("l_returnflag")
+
+
+@register(
+    "bottomk_doc_stats",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5('bk:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM documents
+    ),
+    sk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rnk FROM hashed
+      ) WHERE rnk <= 256
+    ),
+    est AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS sample_n,
+             CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+                  ELSE FLOOR(1095216660480.0 / CAST(MAX(CASE WHEN rnk = 256 THEN h END) AS DOUBLE))
+                  END AS BIGINT) AS est_docs
+      FROM sk
+    ),
+    sq AS (
+      SELECT MAX(CASE WHEN vr = CAST(FLOOR(0.5 * (n - 1)) AS INT) + 1 THEN n_chars END) AS s_p50,
+             MAX(CASE WHEN vr = CAST(FLOOR(0.9 * (n - 1)) AS INT) + 1 THEN n_chars END) AS s_p90
+      FROM (SELECT n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars, h) AS vr,
+                   COUNT(*) OVER () AS n
+            FROM sk)
+    ),
+    tq AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS true_docs,
+             MAX(CASE WHEN vr = CAST(FLOOR(0.5 * (n - 1)) AS INT) + 1 THEN n_chars END) AS t_p50,
+             MAX(CASE WHEN vr = CAST(FLOOR(0.9 * (n - 1)) AS INT) + 1 THEN n_chars END) AS t_p90
+      FROM (SELECT n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS vr,
+                   COUNT(*) OVER () AS n
+            FROM documents)
+    )
+    SELECT est.sample_n, est.est_docs, sq.s_p50, sq.s_p90,
+           tq.true_docs, tq.t_p50, tq.t_p90
+    FROM est, sq, tq
+    """,
+    tags=("sketch", "approx", "sampling", "extension"),
+)
+def bottomk_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) sketch of the corpus, bit-exactly oracled: the
+    256 smallest md5-ranked doc_ids are a deterministic uniform sample
+    AND a cardinality estimator. One row: the KMV distinct-doc
+    estimate (floor((k-1)*2^32/h_k)), sampled p50/p90 of n_chars by
+    lower-interpolation order statistics, and the true count and true
+    percentiles under the SAME rule for calibration. The truth columns
+    scan the full table (fine under the gate); the sketch columns are
+    the 100 TB path — a hard k-row summary per group, mergeable across
+    partitions/days (sketches.bottomk_merge, pytest-pinned) exactly
+    like hll_merge."""
+    from pyspark.sql.window import Window
+
+    from corral_spark.operators.sketches import (
+        bottomk_distinct_estimate,
+        bottomk_sketch,
+        sampled_quantiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sk = bottomk_sketch(docs, "doc_id", k=256, keep_cols=("n_chars",))
+    est = bottomk_distinct_estimate(sk, 256).withColumnRenamed(
+        "est_distinct", "est_docs"
+    )
+    sq = (
+        sampled_quantiles(sk, "n_chars", (0.5, 0.9))
+        .withColumnRenamed("q50", "s_p50")
+        .withColumnRenamed("q90", "s_p90")
+    )
+    wq = Window.orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy()
+    ranked = docs.select(
+        "n_chars",
+        F.row_number().over(wq).alias("vr"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("vr") == F.floor(F.lit(q) * (F.col("n") - 1)).cast("int") + 1,
+            F.col("n_chars"),
+        )
+    )
+    truth = ranked.agg(
+        F.max("n").alias("true_docs"),
+        pick(0.5).alias("t_p50"),
+        pick(0.9).alias("t_p90"),
+    )
+    return est.crossJoin(sq).crossJoin(truth)

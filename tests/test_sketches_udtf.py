@@ -335,3 +335,112 @@ def test_cms_overestimate_and_error_bound(spark):
     assert any(e > t for t, e in joined.values())
     # Sketch size is bounded by the grid, not the corpus.
     assert sketch.count() <= depth * width
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (expression-native, md5-derived)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_within_error_bound(spark):
+    from corral_spark.operators.sketches import hll_estimate, hll_registers
+
+    # 5000 distinct keys with heavy repetition (3 rows each) across two
+    # groups — repetition must not move the estimate (HLL is a distinct
+    # counter), and m=1024 gives ~3.25% std error, so assert 10%.
+    rows = [(f"g{i % 2}", f"key-{i}") for i in range(5000) for _ in range(3)]
+    df = spark.createDataFrame(rows, ["grp", "k"]).repartition(8)
+    est = hll_estimate(
+        hll_registers(df, "k", ("grp",)), ("grp",)
+    ).collect()
+    assert len(est) == 2
+    for r in est:
+        true = 2500
+        assert abs(r["hll_est"] - true) / true < 0.10, r
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    from corral_spark.operators.sketches import hll_estimate, hll_registers
+
+    # 60 distinct << m: raw Flajolet floor is ~alpha*m (useless); the
+    # corrected estimate must fall back to linear counting and land
+    # close to the truth.
+    df = spark.createDataFrame([(f"k{i}",) for i in range(60)], ["k"])
+    r = hll_estimate(hll_registers(df, "k")).collect()[0]
+    assert r["hll_raw"] > 500  # the raw floor, documenting WHY lc exists
+    assert abs(r["hll_est"] - 60) <= 6
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    from corral_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(0, 800)], ["k"])
+    b = spark.createDataFrame([(f"k{i}",) for i in range(400, 1200)], ["k"])
+    merged = hll_merge(hll_registers(a, "k"), hll_registers(b, "k"))
+    direct = hll_registers(a.unionByName(b), "k")
+    # register-file equality (bucket -> rho), not just estimate equality
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # and the merged estimate counts the union's 1200 distincts
+    est = hll_estimate(merged).collect()[0]["hll_est"]
+    assert abs(est - 1200) / 1200 < 0.10
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) sketch
+# ---------------------------------------------------------------------------
+
+
+def test_bottomk_merge_equals_sketch_of_union(spark):
+    from corral_spark.operators.sketches import bottomk_merge, bottomk_sketch
+
+    a = spark.createDataFrame(
+        [(f"k{i}", i % 7) for i in range(0, 900)], ["k", "v"]
+    )
+    b = spark.createDataFrame(
+        [(f"k{i}", i % 7) for i in range(600, 1500)], ["k", "v"]
+    )
+    merged = bottomk_merge(
+        64, bottomk_sketch(a, "k", 64, keep_cols=("v",)),
+        bottomk_sketch(b, "k", 64, keep_cols=("v",)),
+    )
+    direct = bottomk_sketch(a.unionByName(b), "k", 64, keep_cols=("v",))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_bottomk_distinct_estimate_accuracy_and_exact_small(spark):
+    from corral_spark.operators.sketches import (
+        bottomk_distinct_estimate,
+        bottomk_sketch,
+    )
+
+    # 4000 distinct keys, k=256 -> KMV std error ~1/sqrt(255) ~ 6%.
+    big = spark.createDataFrame([(f"k{i}",) for i in range(4000)], ["k"])
+    est = bottomk_distinct_estimate(
+        bottomk_sketch(big, "k", 256), 256
+    ).collect()[0]
+    assert est["sample_n"] == 256
+    assert abs(est["est_distinct"] - 4000) / 4000 < 0.20
+    # under-filled sketch IS the key set: estimate must be exact
+    small = spark.createDataFrame([(f"k{i}",) for i in range(40)], ["k"])
+    est2 = bottomk_distinct_estimate(
+        bottomk_sketch(small, "k", 256), 256
+    ).collect()[0]
+    assert est2["est_distinct"] == 40
+
+
+def test_bottomk_sample_is_duplicate_insensitive(spark):
+    from corral_spark.operators.sketches import bottomk_sketch
+
+    once = spark.createDataFrame([(f"k{i}", i) for i in range(500)], ["k", "v"])
+    tripled = once.unionByName(once).unionByName(once)
+    s1 = sorted(map(tuple, bottomk_sketch(once, "k", 32, keep_cols=("v",)).collect()))
+    s3 = sorted(map(tuple, bottomk_sketch(tripled, "k", 32, keep_cols=("v",)).collect()))
+    assert s1 == s3  # distinct-key semantics: repetition cannot bias the sample
