@@ -192,9 +192,25 @@ def grouped_top_k(
 # have no false negatives) and skip the shuffle entirely — only the
 # ~fpp fraction of "maybe" rows pays the exact anti-join, so shuffle
 # volume drops from O(incoming + corpus) to O(corpus_keys + fpp *
-# incoming). The m/64-word array passes through the driver once
-# (bounded by the filter SIZE, independent of data size — same
-# contract as the Misra-Gries summary above).
+# incoming). The dense word array is assembled ENTIRELY JVM-side (one
+# bit_or aggregation folded into a map, then a sequence/transform
+# projection — the driver never materializes the words) and its size
+# is bounded by the filter, independent of data size.
+#
+# Sizing ceiling: m_bits must grow with the build set's cardinality to
+# hold the fpp (~ -n*ln(p)/ln(2)^2 bits: 10^9 keys @1% ≈ 2^33 bits),
+# and past BLOOM_DENSE_MAX_BITS a single-row array is the broadcast /
+# task-memory ceiling. Above it the filter lives as a DISTRIBUTED
+# register file — (word-index, word) rows, the hll_registers
+# discipline — and probing becomes a word-index equi-join instead of a
+# broadcast lookup (k*incoming probe rows + m/64 register rows — still
+# far below the corpus-key shuffle it replaces whenever the filter is
+# smaller than the corpus, which is the definition of a useful Bloom
+# filter). Exactness of bloom_new_rows is preserved either way by the
+# anti-join verification of "maybe" rows.
+
+BLOOM_DENSE_MAX_BITS = 1 << 27  #: 128 Mbit = 16 MB/row — past this the
+#: filter is a register-file DataFrame, never a single array row.
 
 
 def _shl1(bits):
@@ -213,12 +229,51 @@ def bloom_build(
     df: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 5
 ) -> DataFrame:
     """One-row DataFrame (bf: array<long>, m_bits, k) encoding a Bloom
-    filter of ``df[key_col]``. m_bits must be a multiple of 64."""
+    filter of ``df[key_col]``. m_bits must be a multiple of 64 and at
+    most BLOOM_DENSE_MAX_BITS (use bloom_build_registers above that —
+    a single dense row past ~16 MB is the broadcast ceiling). The
+    dense array never touches the driver: the touched words fold into
+    a map aggregate and a sequence/transform projection expands it to
+    the full array, all JVM-side."""
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
-    spark = df.sparkSession
+    if m_bits > BLOOM_DENSE_MAX_BITS:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds BLOOM_DENSE_MAX_BITS="
+            f"{BLOOM_DENSE_MAX_BITS}; use bloom_build_registers / "
+            "bloom_new_rows (which auto-selects the register-file path)"
+        )
+    nwords = m_bits // 64
+    return (
+        _bloom_sparse_words(df, key_col, m_bits, k)
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "m"))
+            ).alias("__wm")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(nwords - 1).cast("long")),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__wm"), i), F.lit(0).cast("long")
+                ),
+            ).alias("bf"),
+            F.lit(m_bits).cast("long").alias("m_bits"),
+            F.lit(k).cast("int").alias("k"),
+        )
+    )
+
+
+def _bloom_sparse_words(
+    df: DataFrame, key_col: str, m_bits: int, k: int
+) -> DataFrame:
+    """(w, m) rows — word index and OR-folded 64-bit word — for every
+    word touched by some key's probes. Partial-aggregated bit_or, so
+    the exchange carries at most min(k * keys, m/64) rows per map
+    task."""
     probes = F.array(*_bloom_probes(F.col(key_col), m_bits, k))
-    sparse = (
+    return (
         df.select(F.explode(probes).alias("p"))
         .select(
             (F.col("p") / 64).cast("long").alias("w"),
@@ -226,13 +281,69 @@ def bloom_build(
         )
         .groupBy("w")
         .agg(F.bit_or("m").alias("m"))
-        .collect()
     )
-    words = [0] * (m_bits // 64)
-    for row in sparse:
-        words[row["w"]] = row["m"]
-    return spark.createDataFrame(
-        [(words, m_bits, k)], "bf: array<long>, m_bits: long, k: int"
+
+
+def bloom_build_registers(
+    df: DataFrame, key_col: str, m_bits: int, k: int = 5
+) -> DataFrame:
+    """Register-file form of the Bloom filter: (w, m) rows, DISTRIBUTED
+    — no single-row array, no driver materialization, no broadcast
+    ceiling, so m_bits can be sized for 10^9+ keys. Probe with
+    bloom_might_contain_registers. Mergeable like hll_registers:
+    union + bit_or-per-word == filter of the union."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    return _bloom_sparse_words(df, key_col, m_bits, k)
+
+
+def bloom_might_contain_registers(
+    regs: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """``df`` plus ``__might``, probing a register-file filter via a
+    word-index equi-join: explode each row's k probe words, left-join
+    the register file (absent word == all-zero word == certain miss),
+    and AND the k hit bits back per row. Shuffle volume is k rows per
+    probed key plus the m/64 register rows — independent of the build
+    corpus's row count, which is the whole point at 100 TB."""
+    base = materialize(
+        df.withColumn("__rid", F.monotonically_increasing_id()),
+        eager=False,
+    )
+    pr = base.select(
+        "__rid",
+        F.explode(F.array(*_bloom_probes(F.col(key_col), m_bits, k))).alias(
+            "p"
+        ),
+    ).select(
+        "__rid",
+        (F.col("p") / 64).cast("long").alias("w"),
+        _shl1(F.col("p") % 64).alias("m"),
+    )
+    hits = (
+        pr.join(regs.withColumnRenamed("m", "__word"), on="w", how="left")
+        .select(
+            "__rid",
+            (
+                F.coalesce(F.col("__word"), F.lit(0).cast("long")).bitwiseAND(
+                    F.col("m")
+                )
+                != 0
+            )
+            .cast("int")
+            .alias("__hit"),
+        )
+        .groupBy("__rid")
+        .agg(F.min("__hit").alias("__allhit"))
+    )
+    return (
+        base.join(hits, on="__rid")
+        .withColumn("__might", F.col("__allhit") == 1)
+        .drop("__allhit", "__rid")
     )
 
 
@@ -274,9 +385,22 @@ def bloom_new_rows(
     definitely-new rows (probe miss) bypass the shuffle; only "maybe"
     rows are exact-checked with a left_anti join. The union is exactly
     the anti-join result, so the operator is oracle-checkable while
-    the plan scales like the filter, not like the corpus."""
-    bf = bloom_build(existing, key_col, m_bits, k)
-    flagged = bloom_might_contain(bf, incoming, key_col, m_bits, k)
+    the plan scales like the filter, not like the corpus.
+
+    m_bits above BLOOM_DENSE_MAX_BITS automatically switches from the
+    broadcast dense-array filter to the distributed register-file
+    form (bloom_build_registers + word-index join probing) — same
+    bits, same result, no single-row ceiling."""
+    if m_bits > BLOOM_DENSE_MAX_BITS:
+        regs = materialize(
+            bloom_build_registers(existing, key_col, m_bits, k), eager=False
+        )
+        flagged = bloom_might_contain_registers(
+            regs, incoming, key_col, m_bits, k
+        )
+    else:
+        bf = bloom_build(existing, key_col, m_bits, k)
+        flagged = bloom_might_contain(bf, incoming, key_col, m_bits, k)
     definitely_new = flagged.filter(~F.col("__might")).drop("__might")
     maybe = flagged.filter(F.col("__might")).drop("__might")
     verified_new = maybe.join(
@@ -401,7 +525,9 @@ def cms_estimate(
 # single correctly-rounded IEEE division, identical in every engine.
 # ---------------------------------------------------------------------------
 
-HLL_B = 10  #: default register-index bits (m=1024 -> ~3.25% std error)
+HLL_B = 10  #: default register-index bits (m=1024 -> ~3.25% std error);
+#: valid range is 1..16 — the bucket index is carved from the first 16
+#: hash bits, so hll_registers rejects anything larger.
 
 
 def _hll_alpha_num(m: int) -> float:
@@ -420,8 +546,18 @@ def hll_registers(
     the exchange, so the shuffle is O(m) per group regardless of input
     size. Registers are MERGEABLE: union + max-per-bucket == sketch of
     the union (see hll_merge), the property that lets 100 TB be
-    sketched per-partition/per-day and combined."""
+    sketched per-partition/per-day and combined.
+
+    NULL keys are excluded (standard HLL semantics — a NULL would
+    otherwise mint a phantom (NULL, NULL) register that inflates
+    ``filled`` and skews the linear-counting branch). ``b`` is capped
+    at 16 because the bucket index is derived from the first 16 hash
+    bits (substring(h, 1, 4)); a larger ``b`` would silently alias
+    buckets and bias the estimator."""
+    if not 1 <= b <= 16:
+        raise ValueError("b must be in [1, 16]: bucket uses 16 hash bits")
     m = 1 << b
+    df = df.filter(F.col(key_col).isNotNull())
     h = F.md5(F.concat(F.lit("hll:"), F.col(key_col).cast("string")))
     bucket = (
         F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % m
@@ -523,10 +659,22 @@ def bottomk_sketch(
     """The k distinct keys with the smallest md5 rank per group:
     (group_cols..., key_col, keep_cols..., h, rnk). ``keep_cols`` ride
     along for sampled statistics (must be functionally determined by
-    the key, e.g. per-doc token counts keyed by doc_id). The rank
-    filter compiles to WindowGroupLimit — partial top-k per partition
-    BEFORE the exchange, so the shuffle carries at most k rows per
-    group per map task, never the corpus."""
+    the key, e.g. per-doc token counts keyed by doc_id). NULL keys are
+    excluded (they carry no md5 rank and would otherwise sort
+    engine-dependently at the k boundary).
+
+    Build shuffle is bounded at k rows per group PER PARTITION: a
+    narrow Arrow ``mapInPandas`` pass (the Misra-Gries discipline
+    above) dedups each input partition locally and keeps only its
+    local bottom-k per group, so the exchange that follows carries at
+    most k * num_partitions rows per group — never the full distinct
+    key set. (A global ``.distinct()`` first — the naive plan — costs
+    the same exchange as an exact count-distinct, the workload the
+    sketch exists to avoid.) The global merge is then the operator's
+    own merge law (``bottomk_merge``): the k smallest of a union are
+    among the union of each part's k smallest, so distinct + re-rank
+    over the tiny local summaries is EXACTLY the sketch of the full
+    input — same rows, same ranks, independent of partitioning."""
     from pyspark.sql.window import Window
 
     h = (
@@ -542,14 +690,47 @@ def bottomk_sketch(
         .cast("long")
         .alias("h")
     )
-    distinct = df.select(*group_cols, key_col, *keep_cols).distinct()
+    slim = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, key_col, *keep_cols)
+        .select("*", h)
+    )
+    gl = list(group_cols)
+    sort_cols = gl + ["h", key_col]
+
+    def local_bottomk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Incremental fold: state never exceeds k rows per group seen
+        # so far plus one Arrow batch, regardless of partition size.
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = (
+                pdf
+                if acc is None
+                else pd.concat([acc, pdf], ignore_index=True)
+            )
+            cur = cur.drop_duplicates()
+            cur = cur.sort_values(sort_cols, kind="mergesort")
+            if gl:
+                cur = cur.groupby(gl, sort=False).head(k)
+            else:
+                cur = cur.head(k)
+            acc = cur
+        if acc is not None:
+            yield acc
+
+    local = slim.mapInPandas(local_bottomk, schema=slim.schema)
+    # Cross-partition duplicates of one key survive the local pass
+    # (each partition dedups only itself) — drop them before ranking
+    # or row_number would count a key once per partition it appears
+    # in. Both the distinct and the window run over <= k * partitions
+    # rows per group.
     # tie-break on the key itself: a 32-bit hash collision at the k
     # boundary must not make the sample order engine-dependent
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
         "h", key_col
     )
     return (
-        distinct.select("*", h)
+        local.distinct()
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
@@ -588,11 +769,18 @@ def bottomk_distinct_estimate(
         F.count(F.lit(1)).alias("sample_n"),
         F.max(F.when(F.col("rnk") == k, F.col("h"))).alias("h_k"),
     )
+    # greatest(h_k, 1): h ranges over [0, 2^32) INCLUDING 0, and a
+    # division by zero diverges across engines (Spark non-ANSI
+    # saturates the long cast at Long.MaxValue, DuckDB errors). With
+    # h_k clamped to 1 the estimate degrades to (k-1)*2^32 — the
+    # correct order of magnitude when the k-th smallest hash really
+    # is 0 — and both engines compute the identical value.
     est = (
         F.when(F.col("sample_n") < k, F.col("sample_n"))
         .otherwise(
             F.floor(
-                F.lit(float((k - 1) * 2**32)) / F.col("h_k").cast("double")
+                F.lit(float((k - 1) * 2**32))
+                / F.greatest(F.col("h_k"), F.lit(1)).cast("double")
             )
         )
         .cast("long")

@@ -718,13 +718,13 @@ def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     est AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS sample_n,
              CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
-                  ELSE FLOOR(1095216660480.0 / CAST(MAX(CASE WHEN rnk = 256 THEN h END) AS DOUBLE))
+                  ELSE FLOOR(1095216660480.0 / CAST(GREATEST(MAX(CASE WHEN rnk = 256 THEN h END), 1) AS DOUBLE))
                   END AS BIGINT) AS est_docs
       FROM sk
     ),
     sq AS (
-      SELECT MAX(CASE WHEN vr = CAST(FLOOR(0.5 * (n - 1)) AS INT) + 1 THEN n_chars END) AS s_p50,
-             MAX(CASE WHEN vr = CAST(FLOOR(0.9 * (n - 1)) AS INT) + 1 THEN n_chars END) AS s_p90
+      SELECT MAX(CASE WHEN vr = CAST(FLOOR(CAST(0.5 AS DOUBLE) * (n - 1)) AS INT) + 1 THEN n_chars END) AS s_p50,
+             MAX(CASE WHEN vr = CAST(FLOOR(CAST(0.9 AS DOUBLE) * (n - 1)) AS INT) + 1 THEN n_chars END) AS s_p90
       FROM (SELECT n_chars,
                    ROW_NUMBER() OVER (ORDER BY n_chars, h) AS vr,
                    COUNT(*) OVER () AS n
@@ -732,8 +732,8 @@ def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tq AS (
       SELECT CAST(MAX(n) AS BIGINT) AS true_docs,
-             MAX(CASE WHEN vr = CAST(FLOOR(0.5 * (n - 1)) AS INT) + 1 THEN n_chars END) AS t_p50,
-             MAX(CASE WHEN vr = CAST(FLOOR(0.9 * (n - 1)) AS INT) + 1 THEN n_chars END) AS t_p90
+             MAX(CASE WHEN vr = CAST(FLOOR(CAST(0.5 AS DOUBLE) * (n - 1)) AS INT) + 1 THEN n_chars END) AS t_p50,
+             MAX(CASE WHEN vr = CAST(FLOOR(CAST(0.9 AS DOUBLE) * (n - 1)) AS INT) + 1 THEN n_chars END) AS t_p90
       FROM (SELECT n_chars,
                    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS vr,
                    COUNT(*) OVER () AS n

@@ -257,3 +257,21 @@ def test_source_cap_window_group_limit(spark):
     # a hot domain moves O(cap * tasks) rows, never its full row set.
     plan = plan_of(spark, "source_capped_docs")
     assert "WindowGroupLimit" in plan
+
+
+def test_bottomk_build_exchange_bounded_by_local_pass(spark):
+    # The bottom-k build must NEVER exchange the full distinct key
+    # set (that is the exact-count-distinct shuffle the sketch exists
+    # to avoid). The local Arrow pass keeps <= k rows per group per
+    # partition, so every Exchange in the plan sits ABOVE the
+    # MapInPandas node (treeString prints root-first, leaves last:
+    # nothing after the MapInPandas line may be an Exchange).
+    from corral_spark.operators.sketches import bottomk_sketch
+    from corral_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    sk = bottomk_sketch(docs, "doc_id", k=256, keep_cols=("n_chars",))
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    leafward = plan[plan.index("MapInPandas"):]
+    assert "Exchange" not in leafward, "exchange below the local bottom-k"

@@ -444,3 +444,113 @@ def test_bottomk_sample_is_duplicate_insensitive(spark):
     s1 = sorted(map(tuple, bottomk_sketch(once, "k", 32, keep_cols=("v",)).collect()))
     s3 = sorted(map(tuple, bottomk_sketch(tripled, "k", 32, keep_cols=("v",)).collect()))
     assert s1 == s3  # distinct-key semantics: repetition cannot bias the sample
+
+
+def test_hll_rejects_oversized_b_and_ignores_nulls(spark):
+    # b > 16 would alias buckets (the index is carved from 16 hash
+    # bits) and NULL keys would mint a phantom register that skews the
+    # linear-counting branch — both are guarded at the API.
+    import pytest as _pytest
+
+    from corral_spark.operators.sketches import hll_registers
+
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",)], "k string"
+    )
+    with _pytest.raises(ValueError):
+        hll_registers(df, "k", b=17)
+    regs = hll_registers(df, "k").collect()
+    assert len(regs) == 2  # NULL minted no register
+    assert all(r["bucket"] is not None and r["rho"] is not None for r in regs)
+
+
+def test_bottomk_ignores_null_keys_and_matches_naive(spark):
+    # The local-pass build must equal the naive global
+    # distinct-then-rank definition on any partitioning, and NULL
+    # keys must not occupy sample slots.
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from corral_spark.operators.sketches import bottomk_sketch
+
+    rows = [(i % 50 if i % 7 else None,) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k int").repartition(8)
+    sk = bottomk_sketch(df, "k", k=10)
+    got = [(r["k"], r["rnk"]) for r in sk.orderBy("rnk").collect()]
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("bk:"), F.col("k").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    naive = (
+        df.filter(F.col("k").isNotNull()).select("k").distinct()
+        .select("k", h.alias("h"))
+        .withColumn("rnk", F.row_number().over(Window.orderBy("h", "k")))
+        .filter(F.col("rnk") <= 10)
+    )
+    want = [(r["k"], r["rnk"]) for r in naive.orderBy("rnk").collect()]
+    assert got == want
+    assert all(k is not None for k, _ in got)
+
+
+class TestBloomRegisterFile:
+    """Large-m Bloom path (r5 verdict item 3): the filter lives as a
+    distributed (w, m) register file — no driver collect, no
+    single-row broadcast — and bloom_new_rows auto-selects it past
+    BLOOM_DENSE_MAX_BITS."""
+
+    def test_dense_build_rejects_oversized_m(self, spark):
+        import pytest as _pytest
+
+        from corral_spark.operators.sketches import (
+            BLOOM_DENSE_MAX_BITS,
+            bloom_build,
+        )
+
+        df = spark.range(10).selectExpr("cast(id as string) as key")
+        with _pytest.raises(ValueError):
+            bloom_build(df, "key", m_bits=BLOOM_DENSE_MAX_BITS * 2)
+
+    def test_register_probe_no_false_negatives_and_exact_new_rows(
+        self, spark
+    ):
+        # m_bits = 2^28 > the 2^27 dense ceiling: the register-file
+        # path must kick in and bloom_new_rows must still be EXACT
+        # anti-join semantics.
+        from pyspark.sql import functions as F
+
+        from corral_spark.operators.sketches import (
+            bloom_build_registers,
+            bloom_might_contain_registers,
+            bloom_new_rows,
+        )
+
+        m, k = 1 << 28, 5
+        existing = spark.range(0, 3000).select(
+            F.concat(F.lit("d"), (F.col("id") % 2000)).alias("key"),
+            F.col("id").alias("v"),
+        )
+        incoming = spark.range(1000, 5000).select(
+            F.concat(F.lit("d"), F.col("id")).alias("key"),
+            (F.col("id") * 10).alias("v"),
+        )
+        regs = bloom_build_registers(existing, "key", m, k)
+        flagged = bloom_might_contain_registers(
+            regs, existing.select("key").distinct(), "key", m, k
+        )
+        assert flagged.filter(~F.col("__might")).count() == 0
+
+        got = sorted(
+            map(
+                tuple,
+                bloom_new_rows(existing, incoming, "key", m_bits=m).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                incoming.join(
+                    existing.select("key").distinct(), "key", "left_anti"
+                ).collect(),
+            )
+        )
+        assert got == want
