@@ -310,56 +310,100 @@ def foreach_batch_upsert_sink(
     checkpoint_dir: str,
     key_col: str,
     delete_col: str | None = None,
+    n_buckets: int = 16,
 ):
     """Streaming MERGE: maintain a keyed snapshot table by applying
     each micro-batch of CDC rows with ``operators.merge.merge_upsert``
     — the streaming dimension-table-maintenance pattern (no
     transactional table format required).
 
-    Exactly-once via snapshot VERSIONING: batch ``b`` writes snapshot
-    ``v=<b>`` computed from the newest snapshot with version < b. A
-    batch replayed after a failure (same batchId redelivered from the
+    INCREMENTAL by hash bucket (r5 verdict item 2): the snapshot is
+    hash-clustered into ``n_buckets`` buckets on ``key_col`` (the
+    `sources/layout.py` write-clustering discipline, hash flavor), and
+    a micro-batch rewrites ONLY the buckets its keys land in. I/O per
+    batch is O(touched buckets), not O(table) — a 10 MB CDC batch
+    against a 10 TB snapshot moves ~batch-sized data, never the
+    snapshot. Untouched buckets' files are not copied, moved, or
+    rewritten: the new version's manifest simply keeps pointing at the
+    version directory that last wrote them (byte-identical by
+    construction — pytest-pinned in test_streaming_restart).
+
+    Layout: ``v=<b>/__bucket=<i>/*.parquet`` holds the buckets batch
+    ``b`` rewrote, and ``v=<b>/manifest.json`` — written LAST via an
+    atomic rename, so a manifest's presence is the version's commit
+    mark — maps every live bucket to the version that owns its current
+    data. ``n_buckets`` is pinned by the first manifest; later batches
+    read it from there, so the constructor value only matters at table
+    creation.
+
+    Exactly-once via snapshot VERSIONING, as before: batch ``b``
+    computes from the newest COMMITTED manifest with version < b, so a
+    replay after failure (same batchId redelivered from the
     checkpoint) rebuilds ``v=<b>`` from the same predecessor — an
     idempotent overwrite, never a second application on top of its own
-    output. Readers take the highest version
+    output. Readers assemble the newest manifest's bucket set
     (``read_upsert_snapshot``).
 
     Contract: at most one update row per key per micro-batch
     (pre-aggregate upstream if the CDC feed can emit more — within a
     micro-batch there is no event order to break the tie with).
     Paths are local/posix here; on object storage swap the directory
-    listing for the Hadoop FileSystem API.
+    listing / rename for the Hadoop FileSystem API.
 
     Returns the started StreamingQuery (availableNow trigger).
     """
-    import os
-
-    def _latest(below: int | None = None) -> int | None:
-        if not os.path.isdir(table_dir):
-            return None
-        versions = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(table_dir)
-            if d.startswith("v=")
-        ]
-        if below is not None:
-            versions = [v for v in versions if v < below]
-        return max(versions, default=None)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         spark = batch_df.sparkSession
-        base_v = _latest(below=int(batch_id))
-        value_schema = [
-            f for f in batch_df.schema.fields if f.name != delete_col
+        base = _latest_manifest(table_dir, below=int(batch_id))
+        nb = base["n_buckets"] if base else n_buckets
+        bucket_of = F.pmod(
+            F.xxhash64(F.col(key_col).cast("string")), F.lit(nb)
+        ).cast("int")
+        touched = sorted(
+            r["b"]
+            for r in batch_df.select(bucket_of.alias("b"))
+            .distinct()
+            .collect()
+        )
+        owned = base["buckets"] if base else {}
+        cur_paths = [
+            f"{table_dir}/v={owned[str(b)]}/__bucket={b}"
+            for b in touched
+            if str(b) in owned
         ]
-        if base_v is None:
+        if cur_paths:
+            current = spark.read.parquet(*cur_paths)
+        else:
             from pyspark.sql.types import StructType
 
+            value_schema = [
+                f for f in batch_df.schema.fields if f.name != delete_col
+            ]
             current = spark.createDataFrame([], StructType(value_schema))
-        else:
-            current = spark.read.parquet(f"{table_dir}/v={base_v}")
         merged = merge_upsert(current, batch_df, key_col, delete_col)
-        merged.write.mode("overwrite").parquet(f"{table_dir}/v={batch_id}")
+        out_dir = f"{table_dir}/v={batch_id}"
+        (
+            merged.withColumn("__bucket", bucket_of)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(out_dir)
+        )
+        # A touched bucket whose merge result is empty (all keys
+        # deleted) writes no directory: it must drop out of the
+        # manifest, so list what was actually written.
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(out_dir)
+            if d.startswith("__bucket=")
+        }
+        buckets = {
+            b: v for b, v in owned.items() if int(b) not in set(touched)
+        }
+        buckets.update({str(b): int(batch_id) for b in written})
+        _commit_manifest(out_dir, {"n_buckets": nb, "buckets": buckets})
 
     from corral_spark.operators.merge import merge_upsert
 
@@ -371,18 +415,60 @@ def foreach_batch_upsert_sink(
     )
 
 
-def read_upsert_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Latest snapshot written by ``foreach_batch_upsert_sink``."""
+def _commit_manifest(version_dir: str, manifest: dict) -> None:
+    import json
     import os
 
-    versions = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(table_dir)
-        if d.startswith("v=")
+    tmp = os.path.join(version_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(version_dir, "manifest.json"))
+
+
+def _latest_manifest(table_dir: str, below: int | None = None):
+    """Newest COMMITTED manifest (dict with its ``version`` added), or
+    None. Version dirs without a manifest.json are uncommitted debris
+    from a crashed batch and are ignored — the replay overwrites
+    them."""
+    import json
+    import os
+
+    if not os.path.isdir(table_dir):
+        return None
+    best = None
+    for d in os.listdir(table_dir):
+        if not d.startswith("v="):
+            continue
+        v = int(d.split("=", 1)[1])
+        if below is not None and v >= below:
+            continue
+        if not os.path.isfile(os.path.join(table_dir, d, "manifest.json")):
+            continue
+        if best is None or v > best:
+            best = v
+    if best is None:
+        return None
+    with open(os.path.join(table_dir, f"v={best}", "manifest.json")) as f:
+        m = json.load(f)
+    m["version"] = best
+    return m
+
+
+def read_upsert_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Latest snapshot written by ``foreach_batch_upsert_sink``: the
+    union of every bucket the newest committed manifest points at
+    (each read from the version directory that last wrote it)."""
+    m = _latest_manifest(table_dir)
+    if m is None:
+        raise FileNotFoundError(f"no committed snapshots under {table_dir}")
+    paths = [
+        f"{table_dir}/v={v}/__bucket={b}" for b, v in m["buckets"].items()
     ]
-    if not versions:
-        raise FileNotFoundError(f"no snapshots under {table_dir}")
-    return spark.read.parquet(f"{table_dir}/v={max(versions)}")
+    if not paths:
+        raise FileNotFoundError(
+            f"snapshot v={m['version']} under {table_dir} is empty"
+        )
+    return spark.read.parquet(*paths)
 
 
 def run_available_now(

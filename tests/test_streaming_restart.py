@@ -226,3 +226,84 @@ def test_streaming_upsert_sink_restart_and_replay(spark, tmp_path):
     run_once()  # no new data: snapshot unchanged
     snap3 = {r.k: r.v for r in read_upsert_snapshot(spark, table).collect()}
     assert snap3 == snap2
+
+
+def test_streaming_upsert_incremental_touches_only_owned_buckets(
+    spark, tmp_path
+):
+    """r5 verdict item 2: a batch touching 1 of N buckets must rewrite
+    ONLY that bucket — every other bucket's files stay byte-identical
+    (they are not even copied: the new manifest keeps pointing at the
+    version directory that wrote them)."""
+    import hashlib
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from corral_spark.streaming.ops import (
+        foreach_batch_upsert_sink,
+        read_upsert_snapshot,
+    )
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(name, rows):
+        ks, vs = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.string())}
+            ),
+            str(src / name),
+        )
+
+    def run_once():
+        stream = spark.readStream.schema("k long, v string").parquet(str(src))
+        q = foreach_batch_upsert_sink(stream, table, ckpt, "k", n_buckets=8)
+        q.awaitTermination()
+
+    _write("b1.parquet", [(i, f"v{i}") for i in range(200)])
+    run_once()
+
+    def _digest(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                with open(p, "rb") as f:
+                    out[os.path.relpath(p, root)] = hashlib.md5(
+                        f.read()
+                    ).hexdigest()
+        return out
+
+    v0 = os.path.join(table, "v=0")
+    before = _digest(v0)
+    with open(os.path.join(v0, "manifest.json")) as f:
+        m0 = json.load(f)
+    assert m0["n_buckets"] == 8 and len(m0["buckets"]) == 8
+
+    time.sleep(1.1)
+    _write("b2.parquet", [(7, "UPDATED")])
+    run_once()
+
+    # v=0 files untouched, byte for byte.
+    assert _digest(v0) == before
+
+    v1 = os.path.join(table, "v=1")
+    written = [d for d in os.listdir(v1) if d.startswith("__bucket=")]
+    assert len(written) == 1, f"batch of one key rewrote {written}"
+    touched_bucket = written[0].split("=", 1)[1]
+    with open(os.path.join(v1, "manifest.json")) as f:
+        m1 = json.load(f)
+    assert m1["buckets"][touched_bucket] == 1
+    others = {b: v for b, v in m1["buckets"].items() if b != touched_bucket}
+    assert len(others) == 7 and set(others.values()) == {0}
+
+    snap = {r.k: r.v for r in read_upsert_snapshot(spark, table).collect()}
+    want = {i: f"v{i}" for i in range(200)}
+    want[7] = "UPDATED"
+    assert snap == want
