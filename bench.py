@@ -113,7 +113,11 @@ def main() -> None:
                 scale(10, sf1_dir)
         sf1_timings: dict[str, float] = {}
         sf1_runs: dict[str, list[float]] = {}
-        for name in ("minhash_pairs_docs", "pretrain_corpus"):
+        for name in (
+            "minhash_pairs_docs",
+            "pretrain_corpus",
+            "gram_dedup_docs",
+        ):
             runs = []
             for _ in range(2):  # min-of-2: first touch pays scan cache
                 t0 = time.perf_counter()
@@ -128,14 +132,27 @@ def main() -> None:
         # 10x and candidates must be ~10x; a superlinear candidates
         # ratio is a real O(n^2) LSH artifact, while a superlinear
         # TIMING with linear counts is host noise (page cache / JIT).
-        from corral_spark.operators.dedup import minhash_pair_counts
+        from corral_spark.operators.dedup import (
+            gram_dedup_counts,
+            minhash_pair_counts,
+        )
         from corral_spark.sources.tables import load_table
 
         counts = {}
+        gcounts = {}
         for label, d in (("base", sf_dir), ("sf1", sf1_dir)):
             counts[label] = minhash_pair_counts(
                 load_table(spark, d, "documents"), "text", "doc_id",
                 threshold=0.5,
+            )
+            _clear_storage(spark)
+            # Same noise-free discipline for the sliding-gram dedup
+            # headliner (r5 verdict item 4): its k-way coverage
+            # explode is the largest intermediate in the engine, so
+            # its row counts — not the wall clock — are the
+            # superlinearity tripwire.
+            gcounts[label] = gram_dedup_counts(
+                load_table(spark, d, "documents"), "text", "doc_id", k=8
             )
             _clear_storage(spark)
         out["sf1"] = {
@@ -166,6 +183,48 @@ def main() -> None:
                     ),
                 },
             },
+            "gram_counts": {
+                metric: {
+                    "base": gcounts["base"][metric],
+                    "sf1": gcounts["sf1"][metric],
+                    "ratio": round(
+                        gcounts["sf1"][metric]
+                        / max(gcounts["base"][metric], 1),
+                        1,
+                    ),
+                }
+                for metric in ("windows", "coverage_rows", "distinct_grams")
+            },
+        }
+        # gram_dedup_docs is ROW-COMPLETE (one output row per input
+        # doc), so count() lets Catalyst prune the unique-key rebuild
+        # join and the timing above measures little. Time the VALUE
+        # path through the noop sink (full plan executes, nothing is
+        # written or collected) at both scales so its timing ratio is
+        # real, recorded under a separate key to keep the primary
+        # metric comparable across rounds.
+        vp: dict[str, float] = {}
+        vp_runs: dict[str, list[float]] = {}
+        for label, d in (("base", sf_dir), ("sf1", sf1_dir)):
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                (
+                    REGISTRY["gram_dedup_docs"]
+                    .spark(spark, d)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                runs.append(round(time.perf_counter() - t0, 3))
+                _clear_storage(spark)
+            vp_runs[label] = runs
+            vp[label] = min(runs)
+        out["sf1"]["gram_dedup_value_path"] = {
+            "base": vp["base"],
+            "sf1": vp["sf1"],
+            "runs": vp_runs,
+            "ratio": round(vp["sf1"] / max(vp["base"], 1e-9), 1),
         }
 
     print(json.dumps(out))

@@ -783,6 +783,47 @@ def sliding_gram_dedup(
     )
 
 
+def gram_dedup_counts(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> dict:
+    """Intermediate-size canary for ``sliding_gram_dedup`` (the same
+    noise-free linearity discipline as ``minhash_pair_counts``): the
+    operator's two largest intermediates, counted exactly.
+
+    ``windows`` is the sliding-window explode row count (one row per
+    k-gram occurrence); ``coverage_rows`` is the k-way coverage
+    explode that follows it — exactly ``windows * k`` by construction
+    (every occurrence votes on the k token positions it covers), the
+    largest frame in the whole engine; ``distinct_grams`` is the
+    vocabulary the min-winner aggregate shuffles. On a disjoint-
+    replica 10x corpus all three must grow ~10x — any superlinear
+    ratio is an engine artifact, not noise.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        words.alias("__w"),
+        F.size(words).cast("int").alias("n_total"),
+    )
+    wins = base.filter(F.col("n_total") >= k).select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_total") - k),
+                lambda j: F.concat_ws(" ", F.slice(F.col("__w"), j + 1, k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    agg = wins.agg(
+        F.count(F.lit(1)).alias("windows"),
+        F.count_distinct("gram").alias("distinct_grams"),
+    ).collect()[0]
+    return {
+        "windows": agg["windows"],
+        "coverage_rows": agg["windows"] * k,
+        "distinct_grams": agg["distinct_grams"],
+    }
+
+
 def remove_boilerplate_segments(
     df: DataFrame,
     text_col: str,

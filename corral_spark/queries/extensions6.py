@@ -1,0 +1,357 @@
+"""Round-6 extension wave: the fully-composed hygiene capstone.
+
+``pretrain_corpus`` oracle-checks the base five-stage funnel; the
+optional hygiene stages (benchmark decontamination, C4 boilerplate
+removal, sliding-gram substring dedup, Gopher repetition bound) were
+each individually oracled but their COMPOSITION was pytest-only (r5
+verdict item 6). ``pretrain_corpus_full`` runs the pipeline with every
+stage enabled and replays the entire composed funnel in one DuckDB
+statement, stage order and all — the stage CTEs are the already-green
+component oracles chained in the pipeline's order.
+
+No reference analog — the reference's closest surface is the
+word_count example (examples/word_count/word_count.go); the composed
+corpus-prep pipeline is SURVEY §2.4 extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corral_spark.queries.extensions4 import _max_run_sql
+from corral_spark.queries.registry import register
+from corral_spark.sources.tables import load_table
+
+# Stage order replayed below (must match pipelines.pretrain):
+#   decontaminate (raw text, 5-gram vs the src0 slice)
+#   -> normalize + redact
+#   -> boilerplate removal (10-word segments, max_df=2)
+#   -> sliding 8-gram substring dedup
+#   -> quality filter (n_words >= 20, distinct_ratio >= 0.3,
+#      top_token_fraction <= 0.2)
+#   -> exact dedup (min-id winner)
+#   -> verified near-dup (5-gram Jaccard >= 0.5) -> components -> reps
+#   -> md5 split
+_FULL_ORACLE = """
+    WITH RECURSIVE
+    cand AS (
+      SELECT doc_id, text FROM documents WHERE source <> 'src0'
+    ),
+    dw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(
+               regexp_replace(text, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+'),
+               x -> x <> '') AS words
+      FROM cand
+    ),
+    bw AS (
+      SELECT list_filter(string_split_regex(trim(lower(
+               regexp_replace(text, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+'),
+               x -> x <> '') AS words
+      FROM documents WHERE source = 'src0'
+    ),
+    btok AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 4, 1) + 1),
+               i -> array_to_string(list_slice(words, i, i + 4), ' ')))) AS gram
+      FROM bw WHERE len(words) > 0
+    ),
+    ctok AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 4, 1) + 1),
+               i -> array_to_string(list_slice(words, i, i + 4), ' ')))) AS gram
+      FROM dw WHERE len(words) > 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id FROM ctok c JOIN btok USING (gram)
+    ),
+    decon AS (
+      SELECT c.doc_id, c.text FROM cand c
+      ANTI JOIN contaminated x ON c.doc_id = x.doc_id
+    ),
+    clean AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g')) AS t
+      FROM decon
+    ),
+    bbase AS (
+      SELECT doc_id,
+             list_filter(string_split(t, ' '), x -> x <> '') AS words,
+             CAST(ceil(len(list_filter(string_split(t, ' '), x -> x <> ''))
+                       / 10.0) AS INT) AS nseg
+      FROM clean
+    ),
+    bsegs AS (
+      SELECT doc_id, CAST(j AS INT) AS seg_idx,
+             array_to_string(list_slice(words, j*10 + 1, j*10 + 10), ' ') AS seg
+      FROM bbase, unnest(range(0, nseg)) AS t1(j)
+    ),
+    bhot AS (
+      SELECT seg FROM bsegs GROUP BY seg HAVING COUNT(DISTINCT doc_id) > 2
+    ),
+    bkept AS (
+      SELECT s.* FROM bsegs s WHERE s.seg NOT IN (SELECT seg FROM bhot)
+    ),
+    bp AS (
+      SELECT b.doc_id, COALESCE(r.ct, '') AS t
+      FROM bbase b LEFT JOIN (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS ct
+        FROM bkept GROUP BY doc_id
+      ) r USING (doc_id)
+    ),
+    gbase AS (
+      SELECT doc_id,
+             list_filter(string_split(t, ' '), x -> x <> '') AS words,
+             CAST(len(list_filter(string_split(t, ' '), x -> x <> ''))
+                  AS INT) AS n
+      FROM bp
+    ),
+    gtok AS (
+      SELECT doc_id, CAST(i AS INT) AS i, words[CAST(i AS INT) + 1] AS w
+      FROM gbase, unnest(range(0, n)) AS t2(i)
+    ),
+    gwins AS (
+      SELECT doc_id, CAST(j AS INT) AS pos,
+             array_to_string(list_slice(words, CAST(j AS INT) + 1,
+                                        CAST(j AS INT) + 8), ' ') AS gram
+      FROM gbase, unnest(range(0, n - 8 + 1)) AS t3(j)
+      WHERE n >= 8
+    ),
+    gocc AS (
+      SELECT doc_id, pos,
+             (ROW_NUMBER() OVER (PARTITION BY gram
+                                 ORDER BY doc_id, pos) > 1) AS dup
+      FROM gwins
+    ),
+    gremoved AS (
+      SELECT doc_id, CAST(pos + c AS INT) AS i
+      FROM gocc, unnest(range(0, 8)) AS t4(c)
+      GROUP BY doc_id, CAST(pos + c AS INT)
+      HAVING bool_and(dup)
+    ),
+    gkept AS (
+      SELECT t.doc_id, t.i, t.w FROM gtok t
+      ANTI JOIN gremoved r ON t.doc_id = r.doc_id AND t.i = r.i
+    ),
+    gd AS (
+      SELECT b.doc_id, COALESCE(r.ct, '') AS clean_text
+      FROM gbase b LEFT JOIN (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS ct
+        FROM gkept GROUP BY doc_id
+      ) r USING (doc_id)
+    ),
+    qs AS (
+      SELECT doc_id, clean_text,
+             len(list_filter(string_split(clean_text, ' '), x -> x <> '')) AS n,
+             CAST(len(list_distinct(list_filter(string_split(clean_text, ' '),
+               x -> x <> ''))) AS DOUBLE)
+               / NULLIF(len(list_filter(string_split(clean_text, ' '),
+                 x -> x <> '')), 0) AS dr,
+             list_sort(list_filter(string_split(clean_text, ' '),
+               x -> x <> '')) AS sw
+      FROM gd
+    ),
+    filtered AS (
+      SELECT doc_id, clean_text, CAST(n AS INT) AS n_words
+      FROM qs
+      WHERE n >= 20 AND dr >= 0.3
+        AND round(CAST(__MAXRUN__ AS DOUBLE) / n, 4) <= 0.2
+    ),
+    exact AS (
+      SELECT doc_id, clean_text, n_words FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY clean_text) AS keep
+        FROM filtered
+      ) WHERE doc_id = keep
+    ),
+    w2 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(
+               regexp_replace(clean_text, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+'),
+               x -> x <> '') AS words
+      FROM exact
+    ),
+    tok2 AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 4, 1) + 1),
+               i -> array_to_string(list_slice(words, i, i + 4), ' ')))) AS token
+      FROM w2 WHERE len(words) > 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok2 a JOIN tok2 b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION
+      SELECT id_b AS u, id_a AS v FROM edges
+    ),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM exact
+      UNION
+      SELECT s.v, r.root FROM reach r JOIN sym s ON s.u = r.node
+    ),
+    reps AS (
+      SELECT node AS doc_id FROM reach GROUP BY node
+      HAVING MIN(root) = node
+    )
+    SELECT e.doc_id, e.clean_text, e.n_words,
+           CASE WHEN substring(md5('split:' || CAST(e.doc_id AS VARCHAR)), 1, 8)
+                     < 'e6666666'
+                THEN 'train' ELSE 'test' END AS split
+    FROM exact e JOIN reps USING (doc_id)
+    ORDER BY e.doc_id
+""".replace("__MAXRUN__", _max_run_sql("sw", "n"))
+
+
+def _hll_regs_sql(src_filter: str) -> str:
+    """Register-file CTE chain for lineitem l_partkey per l_returnflag
+    (the extensions5.hll_distinct_parts oracle's rb/rr/regs stages,
+    parameterized by a slice predicate so merged-sketch queries can
+    replay each slice's register build independently)."""
+    return f"""
+      SELECT flag, bucket, MAX(rho) AS rho FROM (
+        SELECT flag, bucket,
+               CASE WHEN length(s) = 0 THEN 49
+                    ELSE (12 - length(s)) * 4
+                         + CASE WHEN CAST(('0x' || substr(s, 1, 1)) AS BIGINT) >= 8 THEN 0
+                                WHEN CAST(('0x' || substr(s, 1, 1)) AS BIGINT) >= 4 THEN 1
+                                WHEN CAST(('0x' || substr(s, 1, 1)) AS BIGINT) >= 2 THEN 2
+                                ELSE 3 END + 1
+               END AS rho
+        FROM (
+          SELECT l_returnflag AS flag,
+                 CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 1024 AS bucket,
+                 regexp_replace(substr(h, 5, 12), '^0*', '') AS s
+          FROM (
+            SELECT l_returnflag,
+                   md5('hll:' || CAST(l_partkey AS VARCHAR)) AS h
+            FROM lineitem WHERE {src_filter}
+          )
+        )
+      ) GROUP BY flag, bucket
+    """
+
+
+@register(
+    "hll_merged_slices",
+    oracle=f"""
+    WITH ra AS ({_hll_regs_sql("l_linestatus = 'O'")}),
+    rb AS ({_hll_regs_sql("l_linestatus = 'F'")}),
+    merged AS (
+      SELECT flag, bucket, MAX(rho) AS rho
+      FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+      GROUP BY flag, bucket
+    ),
+    agg AS (
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS filled,
+             CAST(SUM(CAST(POWER(2, 49 - rho) AS BIGINT)) AS BIGINT)
+               + (1024 - COUNT(*)) * 562949953421312 AS reg_sum
+      FROM merged GROUP BY flag
+    ),
+    fa AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS filled_o FROM ra GROUP BY flag),
+    fb AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS filled_f FROM rb GROUP BY flag)
+    SELECT a.flag AS l_returnflag,
+           COALESCE(fa.filled_o, 0) AS filled_o,
+           COALESCE(fb.filled_f, 0) AS filled_f,
+           a.filled, a.reg_sum,
+           CAST(FLOOR(4.253321908301858e+20 / CAST(a.reg_sum AS DOUBLE)) AS BIGINT) AS hll_raw
+    FROM agg a LEFT JOIN fa USING (flag) LEFT JOIN fb USING (flag)
+    ORDER BY l_returnflag
+    """,
+    tags=("sketch", "approx", "extension"),
+)
+def hll_merged_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB HLL composition pattern as a driver-oracled row:
+    sketch each slice of the fact table INDEPENDENTLY (here the 'O'
+    and 'F' l_linestatus slices standing in for per-day partitions),
+    then hll_merge (union + max-per-bucket) and estimate — never
+    rescanning the union. The oracle replays both per-slice register
+    files, the merge, and the merged estimator bit-exactly; the merge
+    law itself (merged == sketch of the union) is pytest-pinned in
+    test_sketches_udtf. Output carries each slice's filled-register
+    count so the row proves per-slice sketches existed, not just the
+    final estimate."""
+    from corral_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ra = hll_registers(
+        li.filter(F.col("l_linestatus") == "O"), "l_partkey", ("l_returnflag",)
+    )
+    rb = hll_registers(
+        li.filter(F.col("l_linestatus") == "F"), "l_partkey", ("l_returnflag",)
+    )
+    merged = hll_merge(ra, rb)
+    est = hll_estimate(merged, ("l_returnflag",)).drop("hll_est")
+    fa = ra.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("filled_o")
+    )
+    fb = rb.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("filled_f")
+    )
+    return (
+        est.join(fa, "l_returnflag", "left")
+        .join(fb, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            F.coalesce("filled_o", F.lit(0)).alias("filled_o"),
+            F.coalesce("filled_f", F.lit(0)).alias("filled_f"),
+            "filled",
+            "reg_sum",
+            "hll_raw",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "pretrain_corpus_full",
+    oracle=_FULL_ORACLE,
+    tags=("pipeline", "dedup", "quality", "sampling", "extension"),
+)
+def pretrain_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone pipeline with EVERY hygiene stage enabled
+    (pipelines.prepare_pretraining_corpus): 5-gram decontamination
+    against the corpus's src0 slice as the stand-in benchmark, then
+    normalize+redact, C4 boilerplate removal (10-word segments,
+    max_df=2), sliding 8-gram substring dedup, the quality filter
+    extended with the Gopher top-token repetition bound (<= 0.2),
+    min-id exact dedup, verified MinHash near-dedup (Jaccard >= 0.5)
+    with connected-component reps, and the reproducible md5 split.
+    Each stage's oracle was already green standalone; this row proves
+    the COMPOSITION — same stage order, same parameters — end to end
+    against DuckDB."""
+    from corral_spark.pipelines import prepare_pretraining_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    cands = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    corpus, _report = prepare_pretraining_corpus(
+        cands,
+        with_report=False,
+        near_dup="verified",
+        benchmark=bench,
+        max_top_token_fraction=0.2,
+        boilerplate_max_df=2,
+        gram_dedup_k=8,
+    )
+    return corpus.orderBy("doc_id")

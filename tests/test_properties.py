@@ -170,3 +170,61 @@ def test_sliding_gram_dedup_matches_bruteforce(spark, corpus, k):
         for r in sliding_gram_dedup(df, "text", "doc_id", k=k).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),  # key (dups likely)
+            st.sampled_from(["g1", "g2", "g3"]),  # group
+        ),
+        min_size=0,
+        max_size=200,
+    ),
+    k=st.integers(min_value=1, max_value=12),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_bottomk_grouped_local_pass_matches_naive(spark, rows, k, nparts):
+    # The bounded build (per-partition Arrow local bottom-k + global
+    # distinct/re-rank) must equal the naive global
+    # distinct-then-rank definition for ANY data, grouping, k, and
+    # partitioning — the merge law the operator's exchange bound
+    # rests on.
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from corral_spark.operators.sketches import bottomk_sketch
+
+    df = spark.createDataFrame(
+        [(key, grp, key * 10) for key, grp in rows] or [(None, "gx", None)],
+        "k int, grp string, v int",
+    ).repartition(nparts)
+    got = sorted(
+        (r["grp"], r["rnk"], r["k"], r["v"])
+        for r in bottomk_sketch(
+            df, "k", k=k, group_cols=("grp",), keep_cols=("v",)
+        ).collect()
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bk:"), F.col("k").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    naive = (
+        df.filter(F.col("k").isNotNull())
+        .select("grp", "k", "v")
+        .distinct()
+        .select("*", h.alias("h"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("grp").orderBy("h", "k")),
+        )
+        .filter(F.col("rnk") <= k)
+    )
+    want = sorted(
+        (r["grp"], r["rnk"], r["k"], r["v"]) for r in naive.collect()
+    )
+    assert got == want

@@ -307,3 +307,79 @@ def test_streaming_upsert_incremental_touches_only_owned_buckets(
     want = {i: f"v{i}" for i in range(200)}
     want[7] = "UPDATED"
     assert snap == want
+
+
+def test_streaming_upsert_bucket_emptied_by_deletes_drops_from_manifest(
+    spark, tmp_path
+):
+    """A delete batch that empties an entire bucket must drop that
+    bucket from the new manifest (an empty merge result writes no
+    directory) — the reader never points at a missing path."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from corral_spark.streaming.ops import (
+        foreach_batch_upsert_sink,
+        read_upsert_snapshot,
+    )
+
+    nb = 4
+    keys = list(range(40))
+    bucket_of = {
+        r["k"]: r["b"]
+        for r in spark.createDataFrame([(k,) for k in keys], "k long")
+        .select(
+            "k",
+            F.pmod(F.xxhash64(F.col("k").cast("string")), F.lit(nb))
+            .cast("int")
+            .alias("b"),
+        )
+        .collect()
+    }
+    target = 0
+    victims = [k for k in keys if bucket_of[k] == target]
+    assert victims, "no keys landed in bucket 0"
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(name, rows):
+        ks, vs, dels = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(ks, pa.int64()),
+                    "v": pa.array(vs, pa.string()),
+                    "is_delete": pa.array(dels, pa.bool_()),
+                }
+            ),
+            str(src / name),
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "k long, v string, is_delete boolean"
+        ).parquet(str(src))
+        q = foreach_batch_upsert_sink(
+            stream, table, ckpt, "k", delete_col="is_delete", n_buckets=nb
+        )
+        q.awaitTermination()
+
+    _write("b1.parquet", [(k, f"v{k}", False) for k in keys])
+    run_once()
+    time.sleep(1.1)
+    _write("b2.parquet", [(k, None, True) for k in victims])
+    run_once()
+
+    with open(os.path.join(table, "v=1", "manifest.json")) as f:
+        m1 = json.load(f)
+    assert str(target) not in m1["buckets"], m1
+    snap = {r.k for r in read_upsert_snapshot(spark, table).collect()}
+    assert snap == set(keys) - set(victims)
