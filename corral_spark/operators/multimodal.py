@@ -2,12 +2,20 @@
 
 North-star extension (SURVEY §2.4). The engine treats image/audio/
 video as ``binary`` columns with a metadata struct, processed by
-Arrow-batched pandas functions via ``mapInPandas`` — the decode step
-itself is STUBBED (no image/audio libraries in this container): decode
-is a deterministic fake keyed on the payload bytes, and
-``decode_real`` raises NotImplementedError where PIL/ffmpeg would be
-called. The Spark-side contract — schema, batch iteration, partition
-behavior, UDF signatures — is real and tested.
+Arrow-batched pandas functions via ``mapInPandas``.
+
+Decode status: UNCOMPRESSED formats decode FOR REAL with zero
+dependencies — binary PPM (P6) and BMP images (``decode_ppm`` /
+``decode_bmp`` / ``decode_auto``) and RIFF/WAVE PCM audio incl. exact
+integer RMS over the samples (``decode_wav_meta`` /
+``extract_audio_features``). Compressed codecs (JPEG/PNG/mp3/...)
+remain charter-limited: ``decode_real`` is the lazy-import PIL seam
+that raises NotImplementedError in this container and resolves the
+real library per executor process on a cluster that has it (seam
+contract pinned by an injected-fake-PIL pytest). ``decode_fake`` is
+the deterministic digest-keyed test double. The Spark-side contract —
+schema, batch iteration, partition behavior, UDF signatures — is real
+and tested throughout.
 """
 
 from __future__ import annotations
@@ -74,6 +82,109 @@ def decode_real(payload: bytes, media_type: str = "image") -> tuple[int, int]:
     with Image.open(io.BytesIO(payload)) as im:
         width, height = im.size
         return int(width), int(height)
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int]:
+    """REAL image decode for binary PPM (P6) — pure stdlib, no media
+    library needed, so this path works in ANY container. Parses the
+    magic, comment-tolerant whitespace-separated header (width,
+    height, maxval) and validates the pixel payload length. Raises
+    ValueError on malformed input.
+
+    This is not a stub: a P6 file produced by any imaging tool decodes
+    here. Compressed formats (JPEG/PNG) still go through the
+    ``decode_real`` PIL seam — the charter limit is the codec, not the
+    plumbing."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    fields: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(fields) < 3:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i : i + 1] == b"#":  # comment to EOL
+            while i < n and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+            continue
+        j = i
+        while j < n and payload[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[i:j]))
+        i = j
+    width, height, maxval = fields
+    if not (0 < maxval < 65536):
+        raise ValueError(f"PPM maxval {maxval} out of range")
+    bpp = 3 if maxval < 256 else 6
+    i += 1  # single whitespace byte after maxval, per spec
+    if n - i < width * height * bpp:
+        raise ValueError("PPM pixel payload truncated")
+    return width, height
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int]:
+    """REAL image decode for BMP (BITMAPINFOHEADER and newer) — pure
+    stdlib: dimensions live at fixed offsets 18/22 as little-endian
+    int32 (height may be negative for top-down rows)."""
+    import struct
+
+    if not payload.startswith(b"BM") or len(payload) < 26:
+        raise ValueError("not a BMP payload")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    if width <= 0 or height == 0:
+        raise ValueError("malformed BMP dimensions")
+    return width, abs(height)
+
+
+def decode_wav_meta(payload: bytes) -> dict:
+    """REAL audio metadata decode for RIFF/WAVE (PCM) — pure stdlib
+    chunk walk: returns sample_rate, channels, bits_per_sample,
+    n_frames, duration_ms. Raises ValueError on malformed input."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    fmt = None
+    data_size = None
+    while i + 8 <= n:
+        cid, csize = payload[i : i + 4], struct.unpack_from("<I", payload, i + 4)[0]
+        body = i + 8
+        if cid == b"fmt " and body + 16 <= n:
+            (_audio_fmt, channels, rate, _brate, block_align, bits) = (
+                struct.unpack_from("<HHIIHH", payload, body)
+            )
+            fmt = (channels, rate, block_align, bits)
+        elif cid == b"data":
+            data_size = min(csize, n - body)
+        i = body + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    channels, rate, block_align, bits = fmt
+    if block_align == 0 or rate == 0:
+        raise ValueError("malformed WAVE fmt chunk")
+    n_frames = data_size // block_align
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // rate,
+    }
+
+
+def decode_auto(payload: bytes) -> tuple[int, int]:
+    """Image decode dispatcher: uncompressed formats (PPM, BMP) decode
+    NATIVELY — real parsing, zero dependencies; anything else falls
+    through to the ``decode_real`` PIL seam (charter-limited in this
+    container)."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
+    return decode_real(payload)
 
 
 def decode_fake(payload: bytes) -> tuple[int, int]:
@@ -206,3 +317,68 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(batches, schema=schema)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bits_per_sample", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms", LongType(), True),
+    ]
+)
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """REAL audio feature extraction for RIFF/WAVE PCM payloads —
+    header metadata via decode_wav_meta plus an integer RMS over the
+    16-bit samples (numpy frombuffer; exact integer sqrt floor, so the
+    value is engine-independent). Arrow-batched mapInPandas, same
+    scale shape as extract_features; malformed payloads yield NULL
+    features instead of failing the batch (corpus ingest reality)."""
+    import math
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rows["asset_id"].append(aid)
+                try:
+                    b = bytes(payload)
+                    meta = decode_wav_meta(b)
+                    rms = None
+                    if meta["bits_per_sample"] == 16:
+                        off = b.index(b"data") + 8
+                        usable = meta["n_frames"] * meta["channels"]
+                        pcm = np.frombuffer(
+                            b, dtype="<i2", count=usable, offset=off
+                        ).astype(np.int64)
+                        rms = (
+                            math.isqrt(int((pcm * pcm).sum()) // len(pcm))
+                            if len(pcm)
+                            else 0
+                        )
+                    rows["sample_rate"].append(meta["sample_rate"])
+                    rows["channels"].append(meta["channels"])
+                    rows["bits_per_sample"].append(meta["bits_per_sample"])
+                    rows["n_frames"].append(meta["n_frames"])
+                    rows["duration_ms"].append(meta["duration_ms"])
+                    rows["rms"].append(rms)
+                except (ValueError, IndexError):
+                    for k in (
+                        "sample_rate",
+                        "channels",
+                        "bits_per_sample",
+                        "n_frames",
+                        "duration_ms",
+                        "rms",
+                    ):
+                        rows[k].append(None)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)

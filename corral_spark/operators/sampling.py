@@ -203,3 +203,42 @@ def temperature_sample(
         )
         .drop("__rate")
     )
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    rate_at_max: float = 1.0,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Deterministic IMPORTANCE-weighted Bernoulli sample: each row is
+    kept with probability ``rate_at_max * w / max(w)`` — the standard
+    quality/length-proportional corpus thinning rule — under the same
+    content-addressed md5 discipline as deterministic_sample, so the
+    kept set is reproducible and cross-engine replayable.
+
+    Integer-exact keep rule (no float rounding in the comparison):
+
+        keep  iff  u32 * max_w  <  w * floor(rate_at_max * 2^32)
+
+    with u32 the row's md5 8-hex prefix as a long. Both products are
+    exact BIGINT arithmetic, so a DuckDB oracle reproduces the sample
+    bit-for-bit. Weights must be non-negative integers with
+    max_w * 2^32 < 2^63 (max_w < 2^31 — any realistic doc-length or
+    score-bucket weight); zero-weight rows are never kept.
+
+    Scale shape: one max() aggregate (a scalar) broadcast back over
+    the scan, then a pure projection filter — no shuffle of the data.
+    """
+    maxw = df.agg(F.max(F.col(weight_col)).cast("long").alias("__maxw"))
+    u32 = F.conv(sample_key(F.col(id_col), salt + ":"), 16, 10).cast("long")
+    r = int(rate_at_max * float(1 << 32))
+    return (
+        df.crossJoin(F.broadcast(maxw))
+        .filter(
+            (u32 * F.col("__maxw"))
+            < (F.col(weight_col).cast("long") * F.lit(r))
+        )
+        .drop("__maxw")
+    )

@@ -219,6 +219,95 @@ _FULL_ORACLE = """
 """.replace("__MAXRUN__", _max_run_sql("sw", "n"))
 
 
+@register(
+    "multimodal_ppm_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(8 + n_chars % 24 AS INT) AS width,
+           CAST(4 + doc_id % 16 AS INT) AS height,
+           CAST(9 + length(CAST(8 + n_chars % 24 AS VARCHAR))
+                  + length(CAST(4 + doc_id % 16 AS VARCHAR))
+                  + (8 + n_chars % 24) * (4 + doc_id % 16) * 3
+                AS BIGINT) AS n_bytes
+    FROM documents
+    ORDER BY asset_id
+    """,
+    tags=("multimodal", "extension"),
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode in the driver gate: manufacture a binary PPM
+    (P6) payload per document (dims derived from row data, pixel body
+    sized to match), push it through the SAME Arrow mapInPandas
+    feature extractor as the fake-decode row — but with the native
+    zero-dependency P6 parser (multimodal.decode_ppm via decode_auto)
+    — and emit the parsed width/height plus the payload byte length.
+    The oracle recomputes the encoded dimensions and the exact header
+    + 3wh byte length arithmetically: a hash match proves the parser
+    EXTRACTED what the payload ENCODED, end to end through Spark.
+    Compressed codecs stay behind the charter-limited PIL seam; this
+    row retires the 'decode is stubbed' caveat for uncompressed
+    formats."""
+    from corral_spark.operators.multimodal import (
+        decode_auto,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.lit(8) + F.col("n_chars") % 24).cast("int")
+    h = (F.lit(4) + F.col("doc_id") % 16).cast("int")
+    payload = F.encode(
+        F.concat(
+            F.lit("P6\n"),
+            w.cast("string"),
+            F.lit(" "),
+            h.cast("string"),
+            F.lit("\n255\n"),
+            F.repeat(F.lit("x"), w * h * 3),
+        ),
+        "UTF-8",
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image/ppm").alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+    return (
+        extract_features(assets, decoder=decode_auto)
+        .select("asset_id", "width", "height", "n_bytes")
+        .orderBy("asset_id")
+    )
+
+
+@register(
+    "weighted_sampled_docs",
+    oracle="""
+    WITH m AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS maxw FROM documents)
+    SELECT doc_id, n_chars, source
+    FROM documents, m
+    WHERE CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            * maxw
+          < CAST(n_chars AS BIGINT) * 3006477107
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "documents", "extension"),
+)
+def weighted_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus thinning APPLIED: keep each document
+    with probability 0.7 * n_chars / max(n_chars) — longer documents
+    proportionally more likely to survive, the standard
+    length/quality-weighted sampling rule
+    (operators.sampling.weighted_bernoulli_sample). The keep decision
+    is integer-exact (u32 * max_w < w * floor(0.7 * 2^32)), so the
+    oracle replays the sample bit-for-bit — no float boundary hazard
+    at any weight."""
+    from corral_spark.operators.sampling import weighted_bernoulli_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_bernoulli_sample(docs, "doc_id", "n_chars", 0.7)
+    return out.select("doc_id", "n_chars", "source").orderBy("doc_id")
+
+
 def _hll_regs_sql(src_filter: str) -> str:
     """Register-file CTE chain for lineitem l_partkey per l_returnflag
     (the extensions5.hll_distinct_parts oracle's rb/rr/regs stages,
