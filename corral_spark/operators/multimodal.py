@@ -159,6 +159,7 @@ def decode_wav_meta(payload: bytes) -> dict:
             fmt = (channels, rate, block_align, bits)
         elif cid == b"data":
             data_size = min(csize, n - body)
+            data_off = body
         i = body + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data_size is None:
         raise ValueError("WAVE missing fmt/data chunk")
@@ -172,6 +173,10 @@ def decode_wav_meta(payload: bytes) -> dict:
         "bits_per_sample": bits,
         "n_frames": n_frames,
         "duration_ms": n_frames * 1000 // rate,
+        # chunk-walk offset of the PCM bytes — consumers must not
+        # substring-search for b"data", which can legally appear
+        # inside an earlier chunk's body (LIST/INFO metadata)
+        "data_offset": data_off,
     }
 
 
@@ -353,7 +358,7 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
                     meta = decode_wav_meta(b)
                     rms = None
                     if meta["bits_per_sample"] == 16:
-                        off = b.index(b"data") + 8
+                        off = meta["data_offset"]
                         usable = meta["n_frames"] * meta["channels"]
                         pcm = np.frombuffer(
                             b, dtype="<i2", count=usable, offset=off

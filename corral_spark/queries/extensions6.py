@@ -279,6 +279,94 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _le16(col):
+    """Little-endian 2-byte hex of a 0..65535 column (RIFF fields are
+    LE; Spark's hex() is big-endian, so swap the byte pairs)."""
+    h = F.lpad(F.hex(col), 4, "0")
+    return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+
+def _le32(col):
+    h = F.lpad(F.hex(col), 8, "0")
+    return F.concat(
+        F.substring(h, 7, 2),
+        F.substring(h, 5, 2),
+        F.substring(h, 3, 2),
+        F.substring(h, 1, 2),
+    )
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(16 AS INT) AS bits_per_sample,
+           CAST(4 + doc_id % 64 AS BIGINT) AS n_frames,
+           CAST((4 + doc_id % 64) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(n_chars % 1024 AS BIGINT) AS rms
+    FROM documents
+    ORDER BY asset_id
+    """,
+    tags=("multimodal", "extension"),
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the driver gate, the WAV sibling of
+    multimodal_ppm_decode: Spark assembles a valid RIFF/WAVE PCM
+    payload per document from hex expressions (LE chunk sizes, 16-bit
+    mono at 8 kHz, n = 4 + doc_id % 64 constant-amplitude samples of
+    c = n_chars % 1024), and the native chunk-walk parser + exact
+    integer RMS (multimodal.decode_wav_meta / extract_audio_features)
+    recovers every field through the Arrow extractor. Constant
+    amplitude makes the RMS exactly c (isqrt(n*c^2/n) = c), so the
+    oracle recomputes the full feature row — rate, channels, bits,
+    frames, duration, RMS — arithmetically from the doc columns. A
+    hash match proves byte-level WAV parsing AND the PCM sample math,
+    end to end."""
+    from corral_spark.operators.multimodal import extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = (F.lit(4) + F.col("doc_id") % 64).cast("long")
+    c = (F.col("n_chars") % 1024).cast("long")
+    payload_hex = F.concat(
+        F.lit("52494646"),  # "RIFF"
+        _le32(F.lit(36) + n * 2),  # riff size = 36 + data bytes
+        F.lit("57415645"),  # "WAVE"
+        F.lit("666D7420"),  # "fmt "
+        _le32(F.lit(16)),
+        _le16(F.lit(1)),  # PCM
+        _le16(F.lit(1)),  # mono
+        _le32(F.lit(8000)),  # sample rate
+        _le32(F.lit(16000)),  # byte rate
+        _le16(F.lit(2)),  # block align
+        _le16(F.lit(16)),  # bits
+        F.lit("64617461"),  # "data"
+        _le32(n * 2),
+        F.repeat(_le16(c), n.cast("int")),
+    )
+    payload = F.unhex(payload_hex)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio/wav").alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+    return (
+        extract_audio_features(assets)
+        .select(
+            "asset_id",
+            "sample_rate",
+            "channels",
+            "bits_per_sample",
+            "n_frames",
+            "duration_ms",
+            "rms",
+        )
+        .orderBy("asset_id")
+    )
+
+
 @register(
     "weighted_sampled_docs",
     oracle="""

@@ -474,13 +474,15 @@ class TestNativeMediaDecode:
         samples = [0, 1000, -1000, 500, -500, 250, -250, 0]
         wav = self._wav(8000, samples)
         meta = decode_wav_meta(wav)
-        assert meta == {
+        assert {k: meta[k] for k in meta if k != "data_offset"} == {
             "sample_rate": 8000,
             "channels": 1,
             "bits_per_sample": 16,
             "n_frames": 8,
             "duration_ms": 1,
         }
+        assert wav[meta["data_offset"] - 8 : meta["data_offset"] - 4] == b"data"
+
         want_rms = math.isqrt(sum(s * s for s in samples) // len(samples))
 
         assets = spark.createDataFrame(

@@ -228,3 +228,37 @@ def test_bottomk_grouped_local_pass_matches_naive(spark, rows, k, nparts):
         (r["grp"], r["rnk"], r["k"], r["v"]) for r in naive.collect()
     )
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    weights=st.lists(
+        st.integers(min_value=0, max_value=5000), min_size=1, max_size=60
+    ),
+    rate=st.sampled_from([0.0, 0.25, 0.5, 0.7, 1.0]),
+)
+def test_weighted_bernoulli_sample_matches_integer_rule(spark, weights, rate):
+    # The Spark sample must equal the pure-Python integer keep rule
+    # (u32 * max_w < w * floor(rate * 2^32)) for any weights and rate
+    # — the exactness contract the DuckDB oracle relies on. Also: zero
+    # weights are never kept, and rate=1.0 keeps every max-weight row.
+    import hashlib
+
+    from corral_spark.operators.sampling import weighted_bernoulli_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "id int, w int"
+    )
+    got = {r["id"] for r in weighted_bernoulli_sample(df, "id", "w", rate).collect()}
+    maxw = max(weights)
+    r_int = int(rate * float(1 << 32))
+    want = {
+        i
+        for i, w in enumerate(weights)
+        if int(hashlib.md5(f"wsamp:{i}".encode()).hexdigest()[:8], 16) * maxw
+        < w * r_int
+    }
+    assert got == want
+    assert not any(weights[i] == 0 for i in got)
+    if rate == 1.0 and maxw > 0:
+        assert all(i in got for i, w in enumerate(weights) if w == maxw)
