@@ -84,15 +84,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # entry() smoke-runs the flagship every round regardless). Head
 # keepers: bottomk_doc_stats (implementation AND oracle changed THIS
 # round — local bottom-k build pass + h_k clamp, NULL-key filter — so
-# it needs a fresh row under the new contract) plus the FOUR new
+# it needs a fresh row under the new contract) plus the FIVE new
 # round-6 rows taking their first driver rows: pretrain_corpus_full
 # (all-stages hygiene capstone), hll_merged_slices (also replays this
 # round's changed HLL register path bit-exactly, once per slice),
-# multimodal_ppm_decode (REAL native P6 decode through the Arrow
-# extractor), and weighted_sampled_docs (integer-exact importance
-# sampling). Everything demoted below is r5 hash-green (newest row
-# exactly 1 round old at r6) and stays oracle-gated by
-# pytest/driver_sim every round.
+# multimodal_ppm_decode and multimodal_wav_decode (REAL native P6 /
+# WAV decode through the Arrow extractors), and weighted_sampled_docs
+# (integer-exact importance sampling). Everything demoted below is r5
+# hash-green except multimodal_features (r4-green, held at the 2-round
+# limit — see its entry) and stays oracle-gated by pytest/driver_sim
+# every round.
 _DEMOTED = (
     # -- r5-green, rotated out for one round (newest row = r5) --
     "wordcount",  # reference word-count regex semantics; token_count_docs family returns to head

@@ -127,11 +127,19 @@ def decode_ppm(payload: bytes) -> tuple[int, int]:
 def decode_bmp(payload: bytes) -> tuple[int, int]:
     """REAL image decode for BMP (BITMAPINFOHEADER and newer) — pure
     stdlib: dimensions live at fixed offsets 18/22 as little-endian
-    int32 (height may be negative for top-down rows)."""
+    int32 (height may be negative for top-down rows). Legacy OS/2
+    BITMAPCOREHEADER files (DIB header size < 40, 16-bit dims at
+    different offsets) are REJECTED rather than misparsed — the
+    header-size field at offset 14 is checked first."""
     import struct
 
     if not payload.startswith(b"BM") or len(payload) < 26:
         raise ValueError("not a BMP payload")
+    (dib_size,) = struct.unpack_from("<I", payload, 14)
+    if dib_size < 40:
+        raise ValueError(
+            f"unsupported legacy BMP DIB header (size {dib_size} < 40)"
+        )
     width, height = struct.unpack_from("<ii", payload, 18)
     if width <= 0 or height == 0:
         raise ValueError("malformed BMP dimensions")
@@ -354,6 +362,8 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 rows["asset_id"].append(aid)
                 try:
+                    if payload is None:
+                        raise ValueError("NULL payload")
                     b = bytes(payload)
                     meta = decode_wav_meta(b)
                     rms = None
@@ -374,7 +384,7 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
                     rows["n_frames"].append(meta["n_frames"])
                     rows["duration_ms"].append(meta["duration_ms"])
                     rows["rms"].append(rms)
-                except (ValueError, IndexError):
+                except (ValueError, IndexError, TypeError):
                     for k in (
                         "sample_rate",
                         "channels",

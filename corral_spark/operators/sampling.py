@@ -234,11 +234,25 @@ def weighted_bernoulli_sample(
     maxw = df.agg(F.max(F.col(weight_col)).cast("long").alias("__maxw"))
     u32 = F.conv(sample_key(F.col(id_col), salt + ":"), 16, 10).cast("long")
     r = int(rate_at_max * float(1 << 32))
+    # ENFORCE the documented bound, don't just document it: under the
+    # session's non-ANSI mode an overflowing BIGINT product would wrap
+    # silently and invert keep decisions for an arbitrary subset of
+    # rows. The guard lives inside the comparison expression itself so
+    # it cannot be pruned away, and costs one branch on a broadcast
+    # scalar.
+    lhs = F.when(
+        F.col("__maxw") < F.lit(1 << 31),
+        u32 * F.col("__maxw"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "weighted_bernoulli_sample: max(weight) must be < 2^31 "
+                "(BIGINT product would overflow); rescale the weights"
+            )
+        ).cast("long")
+    )
     return (
         df.crossJoin(F.broadcast(maxw))
-        .filter(
-            (u32 * F.col("__maxw"))
-            < (F.col(weight_col).cast("long") * F.lit(r))
-        )
+        .filter(lhs < (F.col(weight_col).cast("long") * F.lit(r)))
         .drop("__maxw")
     )

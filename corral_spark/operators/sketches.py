@@ -390,7 +390,14 @@ def bloom_new_rows(
     m_bits above BLOOM_DENSE_MAX_BITS automatically switches from the
     broadcast dense-array filter to the distributed register-file
     form (bloom_build_registers + word-index join probing) — same
-    bits, same result, no single-row ceiling."""
+    bits, same result, no single-row ceiling.
+
+    NULL-key incoming rows bypass the probe entirely and are emitted
+    as new: a NULL never equi-joins, so the plain left_anti keeps such
+    rows — whereas a NULL probe would make ``__might`` NULL and the
+    row would silently match NEITHER filter branch."""
+    null_rows = incoming.filter(F.col(key_col).isNull())
+    incoming = incoming.filter(F.col(key_col).isNotNull())
     if m_bits > BLOOM_DENSE_MAX_BITS:
         regs = materialize(
             bloom_build_registers(existing, key_col, m_bits, k), eager=False
@@ -408,7 +415,7 @@ def bloom_new_rows(
         on=key_col,
         how="left_anti",
     )
-    return definitely_new.unionByName(verified_new)
+    return definitely_new.unionByName(verified_new).unionByName(null_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -659,9 +666,13 @@ def bottomk_sketch(
     """The k distinct keys with the smallest md5 rank per group:
     (group_cols..., key_col, keep_cols..., h, rnk). ``keep_cols`` ride
     along for sampled statistics (must be functionally determined by
-    the key, e.g. per-doc token counts keyed by doc_id). NULL keys are
-    excluded (they carry no md5 rank and would otherwise sort
-    engine-dependently at the k boundary).
+    the key, e.g. per-doc token counts keyed by doc_id, and must be
+    SCALAR columns — the local pass dedups with pandas, which cannot
+    hash array/map values). NULL keys are excluded (they carry no md5
+    rank and would otherwise sort engine-dependently at the k
+    boundary). Key ordering is consistent across the pandas local pass
+    and the JVM global rank for strings too: UTF-8 byte order equals
+    code-point order, which is Python's str order.
 
     Build shuffle is bounded at k rows per group PER PARTITION: a
     narrow Arrow ``mapInPandas`` pass (the Misra-Gries discipline
@@ -711,7 +722,10 @@ def bottomk_sketch(
             cur = cur.drop_duplicates()
             cur = cur.sort_values(sort_cols, kind="mergesort")
             if gl:
-                cur = cur.groupby(gl, sort=False).head(k)
+                # dropna=False: a NULL GROUP is a legitimate group (only
+                # NULL KEYS are excluded, by the filter above) — pandas'
+                # default dropna=True would silently erase its rows.
+                cur = cur.groupby(gl, sort=False, dropna=False).head(k)
             else:
                 cur = cur.head(k)
             acc = cur

@@ -350,39 +350,74 @@ def foreach_batch_upsert_sink(
     Paths are local/posix here; on object storage swap the directory
     listing / rename for the Hadoop FileSystem API.
 
+    Upgrading a pre-manifest table (the round-5 full-snapshot layout,
+    version dirs with no manifest.json): keep its checkpoint — the
+    first new batch detects the newest legacy full snapshot below its
+    batch id, reads it whole, and rewrites EVERY bucket once (a
+    one-time table-sized migration write); batches after that are
+    incremental. Without the old checkpoint, batch ids restart at 0
+    and no version can be "below" them — the same data-loss hazard
+    the old sink had, so the checkpoint is part of the table.
+
     Returns the started StreamingQuery (availableNow trigger).
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
+        from pyspark.sql.types import StructType
+
         spark = batch_df.sparkSession
         base = _latest_manifest(table_dir, below=int(batch_id))
+        legacy_v = (
+            _latest_plain_version(table_dir, below=int(batch_id))
+            if base is None
+            else None
+        )
         nb = base["n_buckets"] if base else n_buckets
         bucket_of = F.pmod(
             F.xxhash64(F.col(key_col).cast("string")), F.lit(nb)
         ).cast("int")
-        touched = sorted(
-            r["b"]
-            for r in batch_df.select(bucket_of.alias("b"))
-            .distinct()
-            .collect()
-        )
         owned = base["buckets"] if base else {}
-        cur_paths = [
-            f"{table_dir}/v={owned[str(b)]}/__bucket={b}"
-            for b in touched
-            if str(b) in owned
-        ]
-        if cur_paths:
-            current = spark.read.parquet(*cur_paths)
-        else:
-            from pyspark.sql.types import StructType
-
-            value_schema = [
-                f for f in batch_df.schema.fields if f.name != delete_col
+        if legacy_v is not None:
+            # One-time MIGRATION of a pre-manifest table (written by
+            # the old full-snapshot sink): read the newest legacy full
+            # snapshot and rewrite EVERY bucket under this version, so
+            # accumulated keys are never silently dropped. Subsequent
+            # batches are incremental.
+            touched = list(range(nb))
+            # Project to the CDC value columns: a legacy dir may carry
+            # extra partition columns (e.g. a __bucket dir layout from
+            # a manifest that was lost) that must not enter the merge.
+            value_cols = [
+                f.name for f in batch_df.schema.fields if f.name != delete_col
             ]
-            current = spark.createDataFrame([], StructType(value_schema))
+            current = spark.read.parquet(f"{table_dir}/v={legacy_v}").select(
+                *value_cols
+            )
+        else:
+            touched = sorted(
+                r["b"]
+                for r in batch_df.select(bucket_of.alias("b"))
+                .distinct()
+                .collect()
+            )
+            cur_paths = [
+                f"{table_dir}/v={owned[str(b)]}/__bucket={b}"
+                for b in touched
+                if str(b) in owned
+            ]
+            if cur_paths:
+                current = spark.read.parquet(*cur_paths)
+            else:
+                value_schema = StructType(
+                    [
+                        f
+                        for f in batch_df.schema.fields
+                        if f.name != delete_col
+                    ]
+                )
+                current = spark.createDataFrame([], value_schema)
         merged = merge_upsert(current, batch_df, key_col, delete_col)
         out_dir = f"{table_dir}/v={batch_id}"
         (
@@ -403,7 +438,17 @@ def foreach_batch_upsert_sink(
             b: v for b, v in owned.items() if int(b) not in set(touched)
         }
         buckets.update({str(b): int(batch_id) for b in written})
-        _commit_manifest(out_dir, {"n_buckets": nb, "buckets": buckets})
+        # The value schema rides in the manifest so a reader of an
+        # ALL-KEYS-DELETED snapshot (a legitimate committed state with
+        # an empty bucket map) can still construct the empty frame.
+        _commit_manifest(
+            out_dir,
+            {
+                "n_buckets": nb,
+                "buckets": buckets,
+                "schema": merged.schema.jsonValue(),
+            },
+        )
 
     from corral_spark.operators.merge import merge_upsert
 
@@ -454,20 +499,52 @@ def _latest_manifest(table_dir: str, below: int | None = None):
     return m
 
 
+def _latest_plain_version(table_dir: str, below: int | None = None):
+    """Newest manifest-LESS version directory — a full snapshot
+    written by the pre-manifest (round-5) sink. None if absent."""
+    import os
+
+    if not os.path.isdir(table_dir):
+        return None
+    best = None
+    for d in os.listdir(table_dir):
+        if not d.startswith("v="):
+            continue
+        v = int(d.split("=", 1)[1])
+        if below is not None and v >= below:
+            continue
+        if os.path.isfile(os.path.join(table_dir, d, "manifest.json")):
+            continue
+        if best is None or v > best:
+            best = v
+    return best
+
+
 def read_upsert_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:
     """Latest snapshot written by ``foreach_batch_upsert_sink``: the
     union of every bucket the newest committed manifest points at
-    (each read from the version directory that last wrote it)."""
+    (each read from the version directory that last wrote it).
+    Pre-manifest tables (old full-snapshot layout) fall back to the
+    newest plain version directory; an ALL-KEYS-DELETED snapshot
+    (committed manifest, empty bucket map) returns an EMPTY frame
+    with the schema recorded in the manifest — both are legitimate
+    states, not errors."""
     m = _latest_manifest(table_dir)
     if m is None:
-        raise FileNotFoundError(f"no committed snapshots under {table_dir}")
+        legacy_v = _latest_plain_version(table_dir)
+        if legacy_v is None:
+            raise FileNotFoundError(
+                f"no committed snapshots under {table_dir}"
+            )
+        return spark.read.parquet(f"{table_dir}/v={legacy_v}")
     paths = [
         f"{table_dir}/v={v}/__bucket={b}" for b, v in m["buckets"].items()
     ]
     if not paths:
-        raise FileNotFoundError(
-            f"snapshot v={m['version']} under {table_dir} is empty"
-        )
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(*paths)
 
 

@@ -177,7 +177,7 @@ def test_sliding_gram_dedup_matches_bruteforce(spark, corpus, k):
     rows=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=60),  # key (dups likely)
-            st.sampled_from(["g1", "g2", "g3"]),  # group
+            st.sampled_from(["g1", "g2", None]),  # group (NULL group is legitimate)
         ),
         min_size=0,
         max_size=200,
@@ -200,11 +200,15 @@ def test_bottomk_grouped_local_pass_matches_naive(spark, rows, k, nparts):
         [(key, grp, key * 10) for key, grp in rows] or [(None, "gx", None)],
         "k int, grp string, v int",
     ).repartition(nparts)
+    keyf = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
     got = sorted(
-        (r["grp"], r["rnk"], r["k"], r["v"])
-        for r in bottomk_sketch(
-            df, "k", k=k, group_cols=("grp",), keep_cols=("v",)
-        ).collect()
+        (
+            (r["grp"], r["rnk"], r["k"], r["v"])
+            for r in bottomk_sketch(
+                df, "k", k=k, group_cols=("grp",), keep_cols=("v",)
+            ).collect()
+        ),
+        key=keyf,
     )
     h = F.conv(
         F.substring(
@@ -225,7 +229,8 @@ def test_bottomk_grouped_local_pass_matches_naive(spark, rows, k, nparts):
         .filter(F.col("rnk") <= k)
     )
     want = sorted(
-        (r["grp"], r["rnk"], r["k"], r["v"]) for r in naive.collect()
+        ((r["grp"], r["rnk"], r["k"], r["v"]) for r in naive.collect()),
+        key=keyf,
     )
     assert got == want
 
