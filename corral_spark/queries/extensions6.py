@@ -532,3 +532,36 @@ def pretrain_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         gram_dedup_k=8,
     )
     return corpus.orderBy("doc_id")
+
+
+@register(
+    "doc_provenance",
+    oracle="""
+    SELECT doc_id,
+           'documents.parquet' AS source_file,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+             AS source_row
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("provenance", "documents", "extension"),
+)
+def doc_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row provenance via the file source's hidden ``_metadata`` struct
+    (sources.provenance.with_provenance): the physical parquet row
+    index and source file for every document — zero-cost lineage (no
+    generated ids, no shuffle), the audit/traceability column a
+    shipped training corpus carries. The oracle exploits a verified
+    property of the driver's testdata (documents.parquet is written in
+    doc_id order at every SF, checked 0.001/0.01/0.1): the physical
+    row index must equal the doc_id rank, so a hash match proves
+    Spark's ``_metadata.row_index`` is the true file position — not
+    merely some stable counter."""
+    from corral_spark.sources.provenance import with_provenance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_provenance(docs, basename_only=True)
+        .select("doc_id", "source_file", "source_row")
+        .orderBy("doc_id")
+    )

@@ -1,5 +1,6 @@
 """Simulate the driver: vanilla SparkSession, entry() smoke, then each
 queries()[name] vs oracle_sql()[name] via duckdb at sf0.01."""
+import os
 import sys
 import pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from pyspark.sql import SparkSession
@@ -16,7 +17,7 @@ print("ENTRY OK rows=", len(rows), "schema=", [f.name for f in e.entry(spark).sc
 
 import duckdb
 from corral_spark.sources.tables import TABLES, table_path
-sf = "/root/testdata/sf0.01"
+sf = os.environ.get("CORRAL_SIM_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf, t)}')")
