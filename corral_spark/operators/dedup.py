@@ -681,6 +681,35 @@ def segment_dedup(
     )
 
 
+def _gram_windows(df: DataFrame, text_col: str, id_col: str, k: int):
+    """(base, wins) shared by ``sliding_gram_dedup`` and its
+    linearity canary ``gram_dedup_counts``: base = (__id, __w words
+    array, n_total), lazily checkpointed (multiple consumers in the
+    dedup path); wins = one row per sliding k-word window (__id, pos,
+    gram). ONE definition on purpose — the canary certifies the
+    intermediates of the plan the operator actually runs, so the
+    tokenizer/window rule must not be able to drift between them."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = materialize(
+        df.select(
+            F.col(id_col).alias("__id"),
+            words.alias("__w"),
+            F.size(words).cast("int").alias("n_total"),
+        ),
+        eager=False,
+    )
+    wins = base.filter(F.col("n_total") >= k).select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_total") - k),
+                lambda j: F.concat_ws(" ", F.slice(F.col("__w"), j + 1, k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    return base, wins
+
+
 def sliding_gram_dedup(
     df: DataFrame,
     text_col: str,
@@ -710,24 +739,7 @@ def sliding_gram_dedup(
 
     Output: (id_col, clean_text, n_kept, n_total), row-complete.
     """
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    base = materialize(
-        df.select(
-            F.col(id_col).alias("__id"),
-            words.alias("__w"),
-            F.size(words).cast("int").alias("n_total"),
-        ),
-        eager=False,
-    )
-    wins = base.filter(F.col("n_total") >= k).select(
-        "__id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n_total") - k),
-                lambda j: F.concat_ws(" ", F.slice(F.col("__w"), j + 1, k)),
-            )
-        ).alias("pos", "gram"),
-    )
+    base, wins = _gram_windows(df, text_col, id_col, k)
     firsts = wins.groupBy("gram").agg(
         F.min(F.struct(F.col("__id"), F.col("pos"))).alias("__f")
     )
@@ -798,21 +810,11 @@ def gram_dedup_counts(
     vocabulary the min-winner aggregate shuffles. On a disjoint-
     replica 10x corpus all three must grow ~10x — any superlinear
     ratio is an engine artifact, not noise.
+
+    Shares ``_gram_windows`` with the operator itself, so the canary
+    cannot drift from the construction it certifies.
     """
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        words.alias("__w"),
-        F.size(words).cast("int").alias("n_total"),
-    )
-    wins = base.filter(F.col("n_total") >= k).select(
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n_total") - k),
-                lambda j: F.concat_ws(" ", F.slice(F.col("__w"), j + 1, k)),
-            )
-        ).alias("pos", "gram"),
-    )
+    _base, wins = _gram_windows(df, text_col, id_col, k)
     agg = wins.agg(
         F.count(F.lit(1)).alias("windows"),
         F.count_distinct("gram").alias("distinct_grams"),

@@ -160,7 +160,7 @@ def decode_wav_meta(payload: bytes) -> dict:
     while i + 8 <= n:
         cid, csize = payload[i : i + 4], struct.unpack_from("<I", payload, i + 4)[0]
         body = i + 8
-        if cid == b"fmt " and body + 16 <= n:
+        if cid == b"fmt " and csize >= 16 and body + 16 <= n:
             (_audio_fmt, channels, rate, _brate, block_align, bits) = (
                 struct.unpack_from("<HHIIHH", payload, body)
             )
@@ -185,6 +185,9 @@ def decode_wav_meta(payload: bytes) -> dict:
         # substring-search for b"data", which can legally appear
         # inside an earlier chunk's body (LIST/INFO metadata)
         "data_offset": data_off,
+        # internal: lets RMS consumers verify frames are tightly
+        # packed before treating the data chunk as contiguous samples
+        "_block_align": block_align,
     }
 
 
@@ -366,12 +369,25 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
                         raise ValueError("NULL payload")
                     b = bytes(payload)
                     meta = decode_wav_meta(b)
+                    # RMS only where it is EXACT: canonical tightly-
+                    # packed 16-bit frames (block_align == 2*channels
+                    # — padded frames would silently mix padding bytes
+                    # into the samples) and few enough samples that
+                    # the int64 square-sum cannot overflow (squares
+                    # are <= 2^30, so <= 2^32 samples is safe).
+                    # Anything else: NULL rms, metadata kept.
                     rms = None
-                    if meta["bits_per_sample"] == 16:
-                        off = meta["data_offset"]
-                        usable = meta["n_frames"] * meta["channels"]
+                    usable = meta["n_frames"] * meta["channels"]
+                    if (
+                        meta["bits_per_sample"] == 16
+                        and meta["_block_align"] == 2 * meta["channels"]
+                        and usable <= 1 << 32
+                    ):
                         pcm = np.frombuffer(
-                            b, dtype="<i2", count=usable, offset=off
+                            b,
+                            dtype="<i2",
+                            count=usable,
+                            offset=meta["data_offset"],
                         ).astype(np.int64)
                         rms = (
                             math.isqrt(int((pcm * pcm).sum()) // len(pcm))

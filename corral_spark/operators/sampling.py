@@ -231,6 +231,12 @@ def weighted_bernoulli_sample(
     Scale shape: one max() aggregate (a scalar) broadcast back over
     the scan, then a pure projection filter — no shuffle of the data.
     """
+    if not 0.0 <= rate_at_max <= 1.0:
+        # A keep PROBABILITY above 1 is meaningless, and r > 2^32
+        # would un-guard the RHS product w * r (w can be 2^31 - 1
+        # under the maxw bound, so r must stay <= 2^32 for the
+        # product to fit in BIGINT).
+        raise ValueError("rate_at_max must be in [0, 1]")
     maxw = df.agg(F.max(F.col(weight_col)).cast("long").alias("__maxw"))
     u32 = F.conv(sample_key(F.col(id_col), salt + ":"), 16, 10).cast("long")
     r = int(rate_at_max * float(1 << 32))

@@ -359,8 +359,13 @@ def bloom_might_contain(
     positive". ``bf`` is broadcast — one filter row against the whole
     scan, membership math fully codegen'd. Pass ``m_bits``/``k`` when
     the caller already knows them (bloom_new_rows does) — otherwise
-    they are read from ``bf``, which costs one extra tiny job."""
+    ``bf`` is MATERIALIZED first and the params read from it: the
+    filter build is a lazy corpus-sized aggregation (no driver
+    collect since round 6), so without the checkpoint the ``first()``
+    here AND the broadcast below would each recompute the whole
+    build."""
     if m_bits is None or k is None:
+        bf = materialize(bf, eager=False)
         params = bf.select("m_bits", "k").first()
         m_bits, k = params["m_bits"], params["k"]
     bf_row = bf.select(F.col("bf").alias("__bf"))

@@ -363,6 +363,16 @@ def foreach_batch_upsert_sink(
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        # Two actions consume the batch (touched-bucket collect, then
+        # the merge write); cache it so the CDC source files are read
+        # and decoded once per micro-batch, not once per action.
+        batch_df.persist()
+        try:
+            _apply(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
         from pyspark.sql.types import StructType
@@ -470,12 +480,13 @@ def _commit_manifest(version_dir: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(version_dir, "manifest.json"))
 
 
-def _latest_manifest(table_dir: str, below: int | None = None):
-    """Newest COMMITTED manifest (dict with its ``version`` added), or
-    None. Version dirs without a manifest.json are uncommitted debris
-    from a crashed batch and are ignored — the replay overwrites
-    them."""
-    import json
+def _latest_version_dir(
+    table_dir: str, below: int | None, with_manifest: bool
+) -> int | None:
+    """Newest ``v=<N>`` directory (< ``below`` if given) that does /
+    does not contain a committed manifest.json — the one directory
+    scan both the committed-manifest and legacy-snapshot lookups
+    share."""
     import os
 
     if not os.path.isdir(table_dir):
@@ -487,10 +498,25 @@ def _latest_manifest(table_dir: str, below: int | None = None):
         v = int(d.split("=", 1)[1])
         if below is not None and v >= below:
             continue
-        if not os.path.isfile(os.path.join(table_dir, d, "manifest.json")):
+        has_manifest = os.path.isfile(
+            os.path.join(table_dir, d, "manifest.json")
+        )
+        if has_manifest != with_manifest:
             continue
         if best is None or v > best:
             best = v
+    return best
+
+
+def _latest_manifest(table_dir: str, below: int | None = None):
+    """Newest COMMITTED manifest (dict with its ``version`` added), or
+    None. Version dirs without a manifest.json are either uncommitted
+    debris from a crashed batch (replay overwrites them) or a legacy
+    pre-manifest snapshot (see _latest_plain_version)."""
+    import json
+    import os
+
+    best = _latest_version_dir(table_dir, below, with_manifest=True)
     if best is None:
         return None
     with open(os.path.join(table_dir, f"v={best}", "manifest.json")) as f:
@@ -502,22 +528,7 @@ def _latest_manifest(table_dir: str, below: int | None = None):
 def _latest_plain_version(table_dir: str, below: int | None = None):
     """Newest manifest-LESS version directory — a full snapshot
     written by the pre-manifest (round-5) sink. None if absent."""
-    import os
-
-    if not os.path.isdir(table_dir):
-        return None
-    best = None
-    for d in os.listdir(table_dir):
-        if not d.startswith("v="):
-            continue
-        v = int(d.split("=", 1)[1])
-        if below is not None and v >= below:
-            continue
-        if os.path.isfile(os.path.join(table_dir, d, "manifest.json")):
-            continue
-        if best is None or v > best:
-            best = v
-    return best
+    return _latest_version_dir(table_dir, below, with_manifest=False)
 
 
 def read_upsert_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:

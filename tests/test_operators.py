@@ -474,7 +474,7 @@ class TestNativeMediaDecode:
         samples = [0, 1000, -1000, 500, -500, 250, -250, 0]
         wav = self._wav(8000, samples)
         meta = decode_wav_meta(wav)
-        assert {k: meta[k] for k in meta if k != "data_offset"} == {
+        assert {k: meta[k] for k in meta if k != "data_offset" and not k.startswith("_")} == {
             "sample_rate": 8000,
             "channels": 1,
             "bits_per_sample": 16,
