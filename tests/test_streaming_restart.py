@@ -506,3 +506,67 @@ def test_read_upsert_snapshot_legacy_and_all_deleted_states(
     snap = read_upsert_snapshot(spark, table)
     assert snap.count() == 0
     assert set(snap.columns) == {"k", "v"}
+
+
+def test_streaming_upsert_random_batch_sequence_equals_fold(
+    spark, tmp_path
+):
+    """Randomized (seeded) end-to-end equivalence: N sequential CDC
+    batches of mixed upserts/deletes over a small key space, applied
+    through the incremental bucketed sink across N separate stream
+    restarts, must equal the in-memory fold of the MERGE semantics
+    (update-over-insert-over-carry, tombstone deletes). Catches any
+    manifest/bucket bookkeeping error a hand-picked scenario misses."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from corral_spark.streaming.ops import (
+        foreach_batch_upsert_sink,
+        read_upsert_snapshot,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    src = tmp_path / "cdc"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "k long, v string, is_delete boolean"
+        ).parquet(str(src))
+        q = foreach_batch_upsert_sink(
+            stream, table, ckpt, "k", delete_col="is_delete", n_buckets=4
+        )
+        q.awaitTermination()
+
+    expected: dict[int, str] = {}
+    for b in range(5):
+        ops = []
+        for k in rng.sample(range(30), rng.randint(1, 12)):
+            if k in expected and rng.random() < 0.3:
+                ops.append((k, None, True))
+                del expected[k]
+            else:
+                val = f"b{b}k{k}"
+                ops.append((k, val, False))
+                expected[k] = val
+        ks, vs, dels = zip(*ops)
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(ks, pa.int64()),
+                    "v": pa.array(vs, pa.string()),
+                    "is_delete": pa.array(dels, pa.bool_()),
+                }
+            ),
+            str(src / f"batch{b}.parquet"),
+        )
+        run_once()
+        time.sleep(1.1)
+        snap = {
+            r.k: r.v for r in read_upsert_snapshot(spark, table).collect()
+        }
+        assert snap == expected, f"divergence after batch {b}"
