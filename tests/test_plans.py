@@ -275,3 +275,21 @@ def test_bottomk_build_exchange_bounded_by_local_pass(spark):
     assert "MapInPandas" in plan
     leafward = plan[plan.index("MapInPandas"):]
     assert "Exchange" not in leafward, "exchange below the local bottom-k"
+
+
+def test_bottomk_grouped_build_exchange_bounded_too(spark):
+    # Same bound as the ungrouped pin, for the grouped path: the
+    # local Arrow pass keeps <= k rows per (group, partition), so no
+    # Exchange may sit below the MapInPandas node.
+    from corral_spark.operators.sketches import bottomk_sketch
+    from corral_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    sk = bottomk_sketch(
+        docs, "doc_id", k=64, group_cols=("lang",), keep_cols=("n_chars",)
+    )
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan[plan.index("MapInPandas"):]
