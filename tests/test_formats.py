@@ -207,3 +207,39 @@ def test_zorder_rank_empty_and_constant_inputs(spark, tmp_path):
     const = spark.createDataFrame([(7, 7, i) for i in range(100)], ["x", "y", "p"])
     write_zorder_rank_clustered(const, f"{tmp_path}/c", "x", "y", n_files=4)
     assert spark.read.parquet(f"{tmp_path}/c").count() == 100
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DYNAMIC partition pruning: when the partition key is only
+    constrained THROUGH a join (filter lives on the dim side), the
+    fact scan must still skip partitions at runtime via the injected
+    dynamicpruning subquery — at 100 TB this is the difference
+    between scanning one day and scanning the table whenever the date
+    predicate arrives via a calendar/dim join (the static-pruning
+    sibling above covers the literal-predicate case)."""
+    orders = load_table(spark, SF, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    orders.write.mode("overwrite").partitionBy("order_year").parquet(out)
+
+    fact = spark.read.parquet(out)
+    # The dim's filter column must NOT be statically derivable from
+    # the partition key, or the optimizer constant-folds it into a
+    # plain static PartitionFilter (verified: is_current =
+    # (order_year == 1997) produced exactly that) — label values only
+    # exist in the dim's DATA, so pruning must happen at RUNTIME.
+    years = [r[0] for r in orders.select("order_year").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(y, "current" if y == 1997 else "old") for y in years],
+        "order_year int, label string",
+    )
+    joined = fact.join(
+        dim.filter(F.col("label") == "current"), on="order_year"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert (
+        joined.count()
+        == orders.filter(F.col("order_year") == 1997).count()
+    )
