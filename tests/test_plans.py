@@ -340,3 +340,15 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_weighted_sample_no_data_shuffle(spark):
+    # Importance-weighted sampling is one scalar max broadcast over
+    # the scan plus a projection filter: the only joins allowed are
+    # the single-row broadcast (BNLJ), and the only Exchange on the
+    # data path is the query's output ORDER BY (rangepartitioning) —
+    # never a hash shuffle of the corpus.
+    plan = plan_of(spark, "weighted_sampled_docs")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
