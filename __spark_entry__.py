@@ -146,6 +146,7 @@ _DEMOTED = (
     "shipping_priority",  # flagship: entry() smoke-runs it every round and bench times it; r5 green, plan-pinned; slot ceded to the new weighted_sampled_docs row
     "multimodal_features",  # r4 green (2 rounds stale — the limit; MUST return in r7): held one extra round because the two NEW multimodal rows in head (multimodal_ppm_decode, multimodal_wav_decode) drive the same Arrow extractor with REAL decoders — strictly stronger coverage of the same machinery; slot ceded to multimodal_wav_decode
     "doc_provenance",  # NEW this round, demoted at birth (head is at the 50-cap with five other first-row queries): oracle-gated green at sf0.001/0.01/0.1 by pytest/driver_sim; takes its first head slot in r7
+    "cross_corpus_near_dups",  # NEW this round, demoted at birth (same 50-cap pressure): two-corpus banded-LSH near-dup admission check, oracled against TRUE all-pairs cross-source Jaccard (green sf0.001/0.01); first head slot in r7
 )
 
 

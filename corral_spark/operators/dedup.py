@@ -284,25 +284,14 @@ def _signatures_from_tokens(
     return g.select(id_col, sig.alias("sig"), "n_shingles")
 
 
-def minhash_lsh_pairs(
-    sig_df: DataFrame,
-    id_col: str,
-    bands: int = 16,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Candidate near-duplicate pairs from banded MinHash signatures,
-    scored by the signature-agreement estimate of Jaccard similarity.
-
-    bands * rows_per_band must equal len(sig). A pair is a candidate
-    iff it agrees on at least one full band (standard LSH S-curve);
-    candidates are then scored exactly on their signatures and
-    filtered at ``threshold``. Shuffles: one groupBy on (band, key)
-    per side — never all-pairs.
-    Output: (id_a, id_b, est_jaccard) with id_a < id_b.
-    """
+def _band_keys(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, sig, band, key): one row per (document, band); key is the
+    xxhash64 of that band's signature slice. ONE definition shared by
+    the self-join path (minhash_lsh_pairs) and the cross-corpus path
+    (minhash_pairs_across) so the banding rule cannot drift between
+    them."""
     n_hashes_col = F.size("sig")
     rows_per_band = F.floor(n_hashes_col / F.lit(bands))
-
     band_key = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -324,7 +313,35 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    banded = sig_df.select(F.col(id_col).alias("id"), F.col("sig"), band_key.alias("bk"))
+    return sig_df.select(
+        F.col(id_col).alias("id"), F.col("sig"), band_key.alias("__bk")
+    ).select(
+        "id",
+        "sig",
+        F.col("__bk.band").alias("band"),
+        F.col("__bk.key").alias("key"),
+    )
+
+
+def minhash_lsh_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from banded MinHash signatures,
+    scored by the signature-agreement estimate of Jaccard similarity.
+
+    bands * rows_per_band must equal len(sig). A pair is a candidate
+    iff it agrees on at least one full band (standard LSH S-curve);
+    candidates are then scored exactly on their signatures and
+    filtered at ``threshold``. Shuffles: one groupBy on (band, key)
+    per side — never all-pairs.
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    banded = _band_keys(sig_df, id_col, bands).select(
+        "id", "sig", F.struct("band", "key").alias("bk")
+    )
 
     cand = bucket_pairs(banded, "bk", "id")
     agree = F.size(
@@ -480,6 +497,107 @@ def _minhash_cands_and_verified(
         .filter(F.col("jaccard") >= threshold)
     )
     return cands, verified
+
+
+def minhash_pairs_across(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora — the incremental-
+    ingest counterpart of minhash_verified_pairs: "is this new
+    document a near-dup of anything already in the training set?"
+    bloom_new_rows answers that for EXACT keys; this answers it for
+    Jaccard >= threshold content overlap, the question continuous
+    ingest actually asks before admitting data.
+
+    Same two-phase shape as the self-join path, with both phases
+    two-sided: MinHash-banded candidates come from an equi-join of
+    the two corpora's band keys (the `_band_keys` rule is shared with
+    minhash_lsh_pairs, so the S-curve is identical) — a shuffle on
+    (band, key), linear per side, NEVER |A| x |B|; candidates are
+    then verified with exact shingle Jaccard, so the output equals
+    the all-pairs A x B Jaccard >= threshold set whenever band
+    recall is 1.0 on the data's true pairs. The short-document
+    completeness fix is two-sided too: a pair where EITHER side has
+    <= n_hashes/threshold shingles gets exact candidates from a
+    shingle inverted-index join restricted to those docs.
+
+    Each corpus is shingled ONCE (Arrow UDF + materialize barrier),
+    feeding signatures, the short-doc index, and verification.
+    Output: (id_a from existing, id_b from incoming, jaccard) — NOT
+    id-ordered: the sides are different tables, so both orientations
+    of the same id value are meaningful.
+    """
+
+    def prep(df: DataFrame):
+        shing = materialize(
+            df.select(
+                F.col(id_col).alias("id"),
+                word_shingles_arrow(F.col(text_col), shingle_n).alias("__sh"),
+            ),
+            eager=True,
+        )
+        tok = shing.select("id", F.explode("__sh").alias("__s"))
+        return shing, tok, _signatures_from_tokens(tok, "id", "__s", n_hashes)
+
+    sha, toka, siga = prep(existing)
+    shb, tokb, sigb = prep(incoming)
+
+    ba = _band_keys(siga, "id", bands).select(
+        F.col("id").alias("id_a"), "band", "key"
+    )
+    bb = _band_keys(sigb, "id", bands).select(
+        F.col("id").alias("id_b"), "band", "key"
+    )
+    cands = (
+        ba.join(bb, on=["band", "key"])
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    small_max = int(n_hashes / max(threshold, 0.1))
+    sa = toka.join(
+        sha.filter(F.size("__sh") <= small_max).select("id"), on="id"
+    )
+    sb = tokb.join(
+        shb.filter(F.size("__sh") <= small_max).select("id"), on="id"
+    )
+    short_cands = (
+        sa.select(F.col("id").alias("id_a"), F.col("__s").alias("__t"))
+        .join(
+            tokb.select(F.col("id").alias("id_b"), F.col("__s").alias("__t")),
+            on="__t",
+        )
+        .select("id_a", "id_b")
+        .unionByName(
+            toka.select(F.col("id").alias("id_a"), F.col("__s").alias("__t"))
+            .join(
+                sb.select(F.col("id").alias("id_b"), F.col("__s").alias("__t")),
+                on="__t",
+            )
+            .select("id_a", "id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cands = cands.unionByName(short_cands).dropDuplicates(["id_a", "id_b"])
+
+    a = sha.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sha"))
+    b = shb.select(F.col("id").alias("id_b"), F.col("__sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size("__sha") + F.size("__shb") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

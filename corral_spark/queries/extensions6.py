@@ -565,3 +565,58 @@ def doc_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source_file", "source_row")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "cross_corpus_near_dups",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(lower(
+               regexp_replace(text, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+'),
+               x -> x <> '') AS words
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 4, 1) + 1),
+               i -> array_to_string(list_slice(words, i, i + 4), ' ')))) AS token
+      FROM w WHERE len(words) > 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.token = b.token
+      WHERE a.source = 'src0' AND b.source <> 'src0'
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "join", "extension"),
+)
+def cross_corpus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-duplicate detection
+    (operators.dedup.minhash_pairs_across): treat the src0 slice as
+    the EXISTING training set and the rest as INCOMING data, and find
+    every incoming document whose 5-gram Jaccard with an existing one
+    is >= 0.5 — the content-level admission check continuous ingest
+    runs before adding data (bloom_new_docs is the exact-key sibling).
+    Banded-LSH candidates from an equi-join of the two corpora's band
+    keys (never |A| x |B|), exact verification on candidates only,
+    two-sided short-doc completeness. The oracle computes the TRUE
+    all-pairs cross-source Jaccard set, so a hash match also proves
+    band recall was 1.0 on this data."""
+    from corral_spark.operators.dedup import minhash_pairs_across
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("source") == "src0")
+    incoming = docs.filter(F.col("source") != "src0")
+    return minhash_pairs_across(
+        existing, incoming, "text", "doc_id", threshold=0.5
+    ).orderBy("id_a", "id_b")
