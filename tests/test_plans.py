@@ -352,3 +352,12 @@ def test_weighted_sample_no_data_shuffle(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_cross_corpus_near_dups_no_all_pairs(spark):
+    # The two-corpus near-dup check must stay banded equi-joins:
+    # no cartesian/nested-loop between the corpora — |A| x |B| is the
+    # plan this operator exists to avoid.
+    plan = plan_of(spark, "cross_corpus_near_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
