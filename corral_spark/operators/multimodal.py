@@ -118,7 +118,13 @@ def decode_ppm(payload: bytes) -> tuple[int, int]:
     if not (0 < maxval < 65536):
         raise ValueError(f"PPM maxval {maxval} out of range")
     bpp = 3 if maxval < 256 else 6
-    i += 1  # single whitespace byte after maxval, per spec
+    # Exactly ONE whitespace byte separates maxval from pixel data
+    # (spec); verify it IS whitespace before advancing — otherwise a
+    # header whose digits run straight into pixel bytes would silently
+    # shift the pixel region by one byte.
+    if i >= n or not payload[i : i + 1].isspace():
+        raise ValueError("PPM header must end with one whitespace byte")
+    i += 1
     if n - i < width * height * bpp:
         raise ValueError("PPM pixel payload truncated")
     return width, height

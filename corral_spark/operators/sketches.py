@@ -232,9 +232,13 @@ def bloom_build(
     filter of ``df[key_col]``. m_bits must be a multiple of 64 and at
     most BLOOM_DENSE_MAX_BITS (use bloom_build_registers above that —
     a single dense row past ~16 MB is the broadcast ceiling). The
-    dense array never touches the driver: the touched words fold into
-    a map aggregate and a sequence/transform projection expands it to
-    the full array, all JVM-side."""
+    dense array never touches the driver, and its assembly is
+    O(nwords log nwords): a generated word-index frame left-joins the
+    sparse (w, m) rows, and the dense array is the m-projection of the
+    index-sorted collect_list — never a per-index map lookup (Spark's
+    MapType element_at is a linear key scan, so a map-based expansion
+    would cost O(nwords * touched_words) in one task — a multi-hour
+    cliff at the 2^27-bit ceiling)."""
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
     if m_bits > BLOOM_DENSE_MAX_BITS:
@@ -244,21 +248,22 @@ def bloom_build(
             "bloom_new_rows (which auto-selects the register-file path)"
         )
     nwords = m_bits // 64
+    idx = df.sparkSession.range(nwords).select(
+        F.col("id").cast("long").alias("w")
+    )
+    dense = idx.join(
+        _bloom_sparse_words(df, key_col, m_bits, k), on="w", how="left"
+    ).select("w", F.coalesce("m", F.lit(0).cast("long")).alias("m"))
     return (
-        _bloom_sparse_words(df, key_col, m_bits, k)
-        .groupBy()
+        dense.groupBy()
         .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("w", "m"))
-            ).alias("__wm")
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("w", "m"))),
+                lambda s: s["m"],
+            ).alias("bf")
         )
         .select(
-            F.transform(
-                F.sequence(F.lit(0).cast("long"), F.lit(nwords - 1).cast("long")),
-                lambda i: F.coalesce(
-                    F.element_at(F.col("__wm"), i), F.lit(0).cast("long")
-                ),
-            ).alias("bf"),
+            "bf",
             F.lit(m_bits).cast("long").alias("m_bits"),
             F.lit(k).cast("int").alias("k"),
         )
@@ -305,29 +310,42 @@ def bloom_might_contain_registers(
     k: int,
 ) -> DataFrame:
     """``df`` plus ``__might``, probing a register-file filter via a
-    word-index equi-join: explode each row's k probe words, left-join
-    the register file (absent word == all-zero word == certain miss),
-    and AND the k hit bits back per row. Shuffle volume is k rows per
-    probed key plus the m/64 register rows — independent of the build
+    word-index equi-join keyed on the probe KEY itself — no synthetic
+    row id. (The previous form tagged rows with
+    monotonically_increasing_id and self-joined; under the `persist`
+    materialization mode an evicted partition re-evaluates that id
+    independently on the two plan branches, so a nondeterministic or
+    AQE-repartitioned upstream could misalign flags. ``__might`` is a
+    pure function of the key, so keying the probe on distinct keys is
+    both safe and cheaper — duplicates probe once.)
+
+    Plan: distinct keys explode into k probe words, left-join the
+    register file (absent word == all-zero word == certain miss), AND
+    the k hit bits per key, then left-join the per-key flag back onto
+    ``df``. NULL-key rows get a NULL ``__might`` (a NULL never
+    equi-joins; callers that must route NULLs filter first —
+    bloom_new_rows does). Shuffle volume is k rows per DISTINCT probed
+    key plus the m/64 register rows — independent of the build
     corpus's row count, which is the whole point at 100 TB."""
-    base = materialize(
-        df.withColumn("__rid", F.monotonically_increasing_id()),
-        eager=False,
+    keys = (
+        df.select(F.col(key_col).alias("__key"))
+        .where(F.col("__key").isNotNull())
+        .distinct()
     )
-    pr = base.select(
-        "__rid",
-        F.explode(F.array(*_bloom_probes(F.col(key_col), m_bits, k))).alias(
+    pr = keys.select(
+        "__key",
+        F.explode(F.array(*_bloom_probes(F.col("__key"), m_bits, k))).alias(
             "p"
         ),
     ).select(
-        "__rid",
+        "__key",
         (F.col("p") / 64).cast("long").alias("w"),
         _shl1(F.col("p") % 64).alias("m"),
     )
-    hits = (
+    flags = (
         pr.join(regs.withColumnRenamed("m", "__word"), on="w", how="left")
         .select(
-            "__rid",
+            "__key",
             (
                 F.coalesce(F.col("__word"), F.lit(0).cast("long")).bitwiseAND(
                     F.col("m")
@@ -337,14 +355,12 @@ def bloom_might_contain_registers(
             .cast("int")
             .alias("__hit"),
         )
-        .groupBy("__rid")
-        .agg(F.min("__hit").alias("__allhit"))
+        .groupBy("__key")
+        .agg((F.min("__hit") == 1).alias("__might"))
     )
-    return (
-        base.join(hits, on="__rid")
-        .withColumn("__might", F.col("__allhit") == 1)
-        .drop("__allhit", "__rid")
-    )
+    return df.join(
+        flags, on=df[key_col] == flags["__key"], how="left"
+    ).drop("__key")
 
 
 def bloom_might_contain(

@@ -436,6 +436,13 @@ class TestNativeMediaDecode:
             decode_ppm(self._ppm(17, 9)[:-5])  # truncated pixels
         with _pytest.raises(ValueError):
             decode_ppm(b"P3\n1 1\n255\n0 0 0")  # ascii PPM unsupported
+        # Header digits running straight into pixel data must raise,
+        # not silently shift the pixel region by one byte (the byte
+        # after maxval is verified to BE whitespace before advancing).
+        with _pytest.raises(ValueError):
+            decode_ppm(b"P6\n1 1\n255" + b"A" * 4)
+        # \r as the single separator is legal whitespace.
+        assert decode_ppm(b"P6\n2 1\n255\r" + b"x" * 6) == (2, 1)
 
     def test_bmp_decode_real_dimensions(self):
         from corral_spark.operators.multimodal import decode_auto, decode_bmp
