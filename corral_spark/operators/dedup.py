@@ -34,6 +34,14 @@ from corral_spark.functions.text import _NON_ALNUM as _NON_ALNUM_RE, tokenize
 from corral_spark.materialize import materialize
 
 
+#: Document-frequency cap for the short-doc exact inverted index: a
+#: shingle contained in more than this many SHORT documents never
+#: becomes an index key (see _short_exact_cands for the completeness
+#: argument). 64 bounds any one shingle's join fan-out at 64x64 pairs
+#: while leaving typical short-corpus shingles (df 1-3) untouched.
+SHORT_DF_MAX = 64
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -369,6 +377,7 @@ def minhash_verified_pairs(
     n_hashes: int = 64,
     bands: int = 32,
     shingle_n: int = 5,
+    short_df_max: int = SHORT_DF_MAX,
 ) -> DataFrame:
     """Production-shape two-phase LSH dedup: MinHash-banded candidate
     generation, then EXACT shingle-Jaccard verification of candidates
@@ -405,8 +414,9 @@ def minhash_verified_pairs(
     signature aggregation and the verification join.
     Output: (id_a, id_b, jaccard) exact, id_a < id_b.
     """
-    _, verified = _minhash_cands_and_verified(
-        df, text_col, id_col, threshold, n_hashes, bands, shingle_n
+    _, verified, _ = _minhash_cands_and_verified(
+        df, text_col, id_col, threshold, n_hashes, bands, shingle_n,
+        short_df_max=short_df_max,
     )
     return verified
 
@@ -419,6 +429,7 @@ def minhash_pair_counts(
     n_hashes: int = 64,
     bands: int = 32,
     shingle_n: int = 5,
+    short_df_max: int = SHORT_DF_MAX,
 ) -> dict[str, int]:
     """Scaling diagnostic (r4 verdict item 1): the CANDIDATE-pair and
     verified-pair counts of the minhash pipeline, computed off one
@@ -430,7 +441,7 @@ def minhash_pair_counts(
     engine's analog of the reference's reducer-memory bound —
     /root/reference/README.md:213 — the thing that breaks silently at
     scale)."""
-    cands, verified = _minhash_cands_and_verified(
+    cands, verified, diag = _minhash_cands_and_verified(
         df,
         text_col,
         id_col,
@@ -439,8 +450,19 @@ def minhash_pair_counts(
         bands,
         shingle_n,
         materialize_cands=True,
+        short_df_max=short_df_max,
     )
-    return {"candidates": cands.count(), "pairs": verified.count()}
+    # Short-path canary (r6 verdict item 3): the df-capped short-doc
+    # index's own volume drivers — if hot_heavy_docs or
+    # short_candidates ever grows superlinearly in corpus size, the
+    # degenerate stop-shingle population is taking over the fallback.
+    return {
+        "candidates": cands.count(),
+        "pairs": verified.count(),
+        "short_candidates": diag["short_candidates"].count(),
+        "hot_shingles": diag["hot_shingles"].count(),
+        "hot_heavy_docs": diag["hot_heavy_docs"].count(),
+    }
 
 
 def _minhash_cands_and_verified(
@@ -452,12 +474,15 @@ def _minhash_cands_and_verified(
     bands: int,
     shingle_n: int,
     materialize_cands: bool = False,
-) -> tuple[DataFrame, DataFrame]:
+    short_df_max: int = SHORT_DF_MAX,
+) -> tuple[DataFrame, DataFrame, dict[str, DataFrame]]:
     """Shared two-phase pipeline behind minhash_verified_pairs /
     minhash_pair_counts. ``materialize_cands`` cuts lineage at the
     candidate set so a diagnostic caller can count candidates AND
     verified pairs without recomputing candidate generation; the
-    normal path leaves it lazy (one job, no extra barrier)."""
+    normal path leaves it lazy (one job, no extra barrier). Third
+    return value: lazy diagnostic frames for the short-path canary
+    (short_candidates, hot_shingles, hot_heavy_docs)."""
     shing = df.select(
         F.col(id_col).alias("id"),
         word_shingles_arrow(F.col(text_col), shingle_n).alias("__sh"),
@@ -470,17 +495,15 @@ def _minhash_cands_and_verified(
     cands = minhash_lsh_pairs(sigs, "id", bands=bands, threshold=0.0).select(
         "id_a", "id_b"
     )
-    # Short-doc exact candidates (see docstring): inverted index over
-    # docs whose shingle count is below the OPH reliability floor.
+    # Short-doc exact candidates (see docstring): df-capped inverted
+    # index over docs whose shingle count is below the OPH reliability
+    # floor, with a hot-heavy fallback preserving completeness
+    # (_short_exact_cands has the argument).
     small_max = int(n_hashes / max(threshold, 0.1))
     small_ids = shing.filter(F.size("__sh") <= small_max).select("id")
     stok = tok.join(small_ids, on="id")
-    small_cands = (
-        stok.select(F.col("id").alias("id_a"), F.col("__s").alias("__t"))
-        .join(stok.select(F.col("id").alias("id_b"), F.col("__s").alias("__t")), on="__t")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    small_cands, short_diag = _short_exact_cands(
+        stok, stok, threshold, df_max=short_df_max, symmetric=True
     )
     cands = cands.unionByName(small_cands).dropDuplicates(["id_a", "id_b"])
     if materialize_cands:
@@ -496,7 +519,102 @@ def _minhash_cands_and_verified(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return cands, verified
+    return cands, verified, {"short_candidates": small_cands, **short_diag}
+
+
+def _short_exact_cands(
+    sa: DataFrame,
+    sb: DataFrame,
+    threshold: float,
+    df_max: int = SHORT_DF_MAX,
+    symmetric: bool = True,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Exact candidate pairs for the short-document completeness path,
+    bounded in corpus skew by a document-frequency cap (r6 verdict
+    item 3). ``sa``/``sb`` are the (id, __s) distinct-shingle rows of
+    the SHORT docs on each side — pass the same frame twice with
+    ``symmetric=True`` for the self-join path (output then filtered to
+    id_a < id_b).
+
+    Why a cap is safe (completeness argument): for Jaccard(A,B) >= t,
+    the shared-shingle count |A∩B| >= t*|A∪B| >= t*max(|A|,|B|), i.e.
+    at least ceil(t*|A|) AND ceil(t*|B|) shingles are shared
+    (equivalently >= t/(1+t)*(|A|+|B|)). The inverted index is
+    restricted to shingles whose document frequency over the short
+    population is <= df_max; a qualifying pair can evade it only if
+    EVERY shared shingle is hot (df > df_max), which by the bound
+    forces hot_count(X) >= ceil(t*|X|) on BOTH sides. Such "hot-heavy"
+    docs are routed to a fallback equi-join on their HOT shingles
+    restricted to the hot-heavy set — so no qualifying pair is lost,
+    while NO path ever joins an uncapped shingle against the full
+    population (the previous form joined short-doc shingles against
+    the whole other corpus's token table: one stop-phrase 5-gram
+    shared by a short doc and 1% of a 100 TB corpus made it the
+    dominant candidate generator). Sub-threshold candidates either
+    path admits are removed by the exact verification downstream.
+
+    Returns (candidates, diag) where diag maps canary names to lazy
+    frames (hot shingles, hot-heavy docs) for the bench count canary —
+    the minhash_counts discipline applied to this path.
+    """
+    pop = sa if symmetric else sa.unionByName(sb)
+    dfreq = pop.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    hot = dfreq.filter(F.col("__df") > df_max).select("__s")
+    # Tiny by construction (<= incidences/df_max rows) but derived
+    # from an aggregation Catalyst can't size statically; checkpoint
+    # so the two consumers below don't re-run the frequency count.
+    hot = materialize(hot, eager=False)
+
+    def split(tokens: DataFrame) -> tuple[DataFrame, DataFrame]:
+        return (
+            tokens.join(hot, on="__s", how="left_anti"),
+            tokens.join(hot, on="__s"),
+        )
+
+    na, ha = split(sa)
+    nb, hb = (na, ha) if symmetric else split(sb)
+    cands = na.select(
+        F.col("id").alias("id_a"), F.col("__s").alias("__t")
+    ).join(
+        nb.select(F.col("id").alias("id_b"), F.col("__s").alias("__t")),
+        on="__t",
+    ).select("id_a", "id_b")
+
+    def hot_heavy(tokens: DataFrame, hot_tokens: DataFrame) -> DataFrame:
+        n = tokens.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+        hc = hot_tokens.groupBy("id").agg(F.count(F.lit(1)).alias("__hc"))
+        return (
+            n.join(hc, on="id")
+            .filter(
+                F.col("__hc") >= F.ceil(F.lit(threshold) * F.col("__n"))
+            )
+            .select("id")
+        )
+
+    hha = hot_heavy(sa, ha)
+    hhb = hha if symmetric else hot_heavy(sb, hb)
+    fallback = (
+        ha.join(hha, on="id")
+        .select(F.col("id").alias("id_a"), F.col("__s").alias("__t"))
+        .join(
+            hb.join(hhb, on="id").select(
+                F.col("id").alias("id_b"), F.col("__s").alias("__t")
+            ),
+            on="__t",
+        )
+        .select("id_a", "id_b")
+    )
+    out = cands.unionByName(fallback)
+    if symmetric:
+        out = out.filter(F.col("id_a") < F.col("id_b"))
+    out = out.dropDuplicates(["id_a", "id_b"])
+    diag = {
+        "hot_shingles": hot,
+        "hot_heavy_docs": (
+            hha if symmetric else hha.unionByName(hhb)
+        ).dropDuplicates(["id"]),
+    }
+    return out, diag
 
 
 def minhash_pairs_across(
@@ -508,6 +626,7 @@ def minhash_pairs_across(
     n_hashes: int = 64,
     bands: int = 32,
     shingle_n: int = 5,
+    short_df_max: int = SHORT_DF_MAX,
 ) -> DataFrame:
     """Near-duplicate pairs BETWEEN two corpora — the incremental-
     ingest counterpart of minhash_verified_pairs: "is this new
@@ -534,6 +653,59 @@ def minhash_pairs_across(
     id-ordered: the sides are different tables, so both orientations
     of the same id value are meaningful.
     """
+    _, verified, _ = _across_cands_and_verified(
+        existing, incoming, text_col, id_col, threshold, n_hashes,
+        bands, shingle_n, short_df_max,
+    )
+    return verified
+
+
+def minhash_across_counts(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 32,
+    shingle_n: int = 5,
+    short_df_max: int = SHORT_DF_MAX,
+) -> dict[str, int]:
+    """Scaling diagnostic for the CROSS-corpus path — the
+    minhash_pair_counts discipline applied to the admission check
+    whose short-doc join was the engine's one unbounded-in-skew
+    candidate generator before round 7. Counts candidates, verified
+    pairs, and the short path's volume drivers off one materialized
+    candidate set; at a k-fold corpus with disjoint-replica structure
+    every number must grow ~k-fold."""
+    cands, verified, diag = _across_cands_and_verified(
+        existing, incoming, text_col, id_col, threshold, n_hashes,
+        bands, shingle_n, short_df_max, materialize_cands=True,
+    )
+    return {
+        "candidates": cands.count(),
+        "pairs": verified.count(),
+        "short_candidates": diag["short_candidates"].count(),
+        "hot_shingles": diag["hot_shingles"].count(),
+        "hot_heavy_docs": diag["hot_heavy_docs"].count(),
+    }
+
+
+def _across_cands_and_verified(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    n_hashes: int,
+    bands: int,
+    shingle_n: int,
+    short_df_max: int,
+    materialize_cands: bool = False,
+) -> tuple[DataFrame, DataFrame, dict[str, DataFrame]]:
+    """Shared two-corpus pipeline behind minhash_pairs_across /
+    minhash_across_counts (same split as _minhash_cands_and_verified
+    for the self-join path)."""
 
     def prep(df: DataFrame):
         shing = materialize(
@@ -561,6 +733,16 @@ def minhash_pairs_across(
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # Short-doc completeness path, short x short and df-capped. A
+    # qualifying pair (Jaccard >= t) that the OPH bands can miss has
+    # min(|a|,|b|) < n_hashes, and then max <= min/t <= small_max — so
+    # BOTH sides are short, and the exact index never needs to touch
+    # the other corpus's full token table (the previous form joined
+    # short-A shingles against ALL of B: one stop-phrase 5-gram shared
+    # by a short doc and 1% of a 100 TB corpus made that join the
+    # dominant candidate generator). Within short x short the shingle
+    # DF cap + hot-heavy fallback of _short_exact_cands bounds the
+    # remaining skew.
     small_max = int(n_hashes / max(threshold, 0.1))
     sa = toka.join(
         sha.filter(F.size("__sh") <= small_max).select("id"), on="id"
@@ -568,36 +750,25 @@ def minhash_pairs_across(
     sb = tokb.join(
         shb.filter(F.size("__sh") <= small_max).select("id"), on="id"
     )
-    short_cands = (
-        sa.select(F.col("id").alias("id_a"), F.col("__s").alias("__t"))
-        .join(
-            tokb.select(F.col("id").alias("id_b"), F.col("__s").alias("__t")),
-            on="__t",
-        )
-        .select("id_a", "id_b")
-        .unionByName(
-            toka.select(F.col("id").alias("id_a"), F.col("__s").alias("__t"))
-            .join(
-                sb.select(F.col("id").alias("id_b"), F.col("__s").alias("__t")),
-                on="__t",
-            )
-            .select("id_a", "id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    short_cands, short_diag = _short_exact_cands(
+        sa, sb, threshold, df_max=short_df_max, symmetric=False
     )
     cands = cands.unionByName(short_cands).dropDuplicates(["id_a", "id_b"])
+    if materialize_cands:
+        cands = materialize(cands, eager=False)
 
     a = sha.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sha"))
     b = shb.select(F.col("id").alias("id_b"), F.col("__sh").alias("__shb"))
     inter = F.size(F.array_intersect("__sha", "__shb"))
     union = F.size("__sha") + F.size("__shb") - inter
     jac = inter.cast("double") / union.cast("double")
-    return (
+    verified = (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    return cands, verified, {"short_candidates": short_cands, **short_diag}
 
 
 # ---------------------------------------------------------------------------
