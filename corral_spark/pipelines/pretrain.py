@@ -46,6 +46,7 @@ def prepare_pretraining_corpus(
     max_top_token_fraction: float | None = None,
     boilerplate_max_df: int | None = None,
     gram_dedup_k: int | None = None,
+    provenance: bool = False,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Returns (corpus, report): the cleaned/deduped/split corpus with
     columns (id_col, clean_text, n_words, split), plus per-stage
@@ -69,10 +70,29 @@ def prepare_pretraining_corpus(
     sliding k-gram exact-substring dedup (dedup.sliding_gram_dedup) at
     the same point — after boilerplate removal when both are on, since
     corpus-hot templates should be dropped everywhere rather than kept
-    once at their accidental first occurrence."""
+    once at their accidental first occurrence.
+
+    ``provenance=True`` makes the shipped corpus audit-traceable end to
+    end: (source_file, source_row) resolve from the file source's
+    hidden ``_metadata`` struct AT THE SCAN (they cannot resolve past
+    joins/aggregations — sources/provenance.py documents the boundary),
+    ride a narrow (id, file, row) side frame through the funnel, and
+    join back onto the surviving rows at the end. Requires ``docs`` to
+    bottom out at a file source; the join-back is one shuffle of the
+    OUTPUT-sized corpus against three narrow columns — the takedown/
+    forensics contract (any shipped example names its source shard and
+    physical row) at the cost of one id-keyed join, never a rescan."""
 
     def _count(df: DataFrame) -> int:
         return df.count() if with_report else -1
+
+    prov = None
+    if provenance:
+        from corral_spark.sources.provenance import with_provenance
+
+        prov = with_provenance(docs, basename_only=True).select(
+            id_col, "source_file", "source_row"
+        )
 
     report: dict[str, int] = {"input": _count(docs)}
 
@@ -175,6 +195,8 @@ def prepare_pretraining_corpus(
 
     # 4. Reproducible split (cross-engine-stable md5 bucketing).
     corpus = train_test_split(deduped, id_col, train_fraction)
+    if prov is not None:
+        corpus = corpus.join(prov, on=id_col)
     if with_report:
         report["train"] = corpus.filter(F.col("split") == "train").count()
         report["test"] = corpus.filter(F.col("split") == "test").count()
