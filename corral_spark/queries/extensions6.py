@@ -455,35 +455,52 @@ def _hll_regs_sql(src_filter: str) -> str:
 )
 def hll_merged_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB HLL composition pattern as a driver-oracled row:
-    sketch each slice of the fact table INDEPENDENTLY (here the 'O'
-    and 'F' l_linestatus slices standing in for per-day partitions),
-    then hll_merge (union + max-per-bucket) and estimate — never
-    rescanning the union. The oracle replays both per-slice register
-    files, the merge, and the merged estimator bit-exactly; the merge
-    law itself (merged == sketch of the union) is pytest-pinned in
-    test_sketches_udtf. Output carries each slice's filled-register
-    count so the row proves per-slice sketches existed, not just the
-    final estimate."""
+    per-slice register files (the 'O' and 'F' l_linestatus slices
+    standing in for per-day partitions) merged by hll_merge (union +
+    max-per-bucket) and estimated — never rescanning the union.
+
+    SINGLE-SCAN since round 7 (r6 verdict item 5): instead of one
+    fact-table scan per slice, the slice column joins the sketch's
+    group key — ``hll_registers(..., group_cols=(l_returnflag,
+    l_linestatus))`` builds every slice's register file in ONE pass,
+    and merging is just re-grouping the registers with the slice
+    column dropped (hll_merge on the slice-erased frame) — the exact
+    per-day pattern at scale, where each day is sketched as it lands
+    and the union is never rescanned. The tiny register file is
+    materialized once and feeds the merged estimator AND both
+    per-slice filled counts, so the whole query reads lineitem exactly
+    once (plan-pinned in test_plans). The oracle (unchanged) replays
+    the per-slice builds independently; the hash match proves the
+    single-pass grouped build produces identical registers. Output
+    carries each slice's filled-register count so the row proves
+    per-slice sketches existed, not just the final estimate."""
+    from corral_spark.materialize import materialize
     from corral_spark.operators.sketches import (
         hll_estimate,
         hll_merge,
         hll_registers,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
-    ra = hll_registers(
-        li.filter(F.col("l_linestatus") == "O"), "l_partkey", ("l_returnflag",)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linestatus").isin("O", "F")
     )
-    rb = hll_registers(
-        li.filter(F.col("l_linestatus") == "F"), "l_partkey", ("l_returnflag",)
+    regs = materialize(
+        hll_registers(
+            li, "l_partkey", ("l_returnflag", "l_linestatus")
+        ),
+        eager=False,
     )
-    merged = hll_merge(ra, rb)
+    merged = hll_merge(regs.drop("l_linestatus"))
     est = hll_estimate(merged, ("l_returnflag",)).drop("hll_est")
-    fa = ra.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("filled_o")
+    fa = (
+        regs.filter(F.col("l_linestatus") == "O")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("filled_o"))
     )
-    fb = rb.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("filled_f")
+    fb = (
+        regs.filter(F.col("l_linestatus") == "F")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("filled_f"))
     )
     return (
         est.join(fa, "l_returnflag", "left")
