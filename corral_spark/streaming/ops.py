@@ -311,6 +311,7 @@ def foreach_batch_upsert_sink(
     key_col: str,
     delete_col: str | None = None,
     n_buckets: int = 16,
+    fs: "PosixTableFS | None" = None,
 ):
     """Streaming MERGE: maintain a keyed snapshot table by applying
     each micro-batch of CDC rows with ``operators.merge.merge_upsert``
@@ -344,11 +345,23 @@ def foreach_batch_upsert_sink(
     output. Readers assemble the newest manifest's bucket set
     (``read_upsert_snapshot``).
 
-    Contract: at most one update row per key per micro-batch
-    (pre-aggregate upstream if the CDC feed can emit more — within a
-    micro-batch there is no event order to break the tie with).
-    Paths are local/posix here; on object storage swap the directory
-    listing / rename for the Hadoop FileSystem API.
+    Contract: SINGLE-WRITER — exactly one streaming query may own a
+    table dir at a time (the checkpoint is part of the table; there is
+    no multi-writer conflict detection), and at most one update row
+    per key per micro-batch (pre-aggregate upstream if the CDC feed
+    can emit more — within a micro-batch there is no event order to
+    break the tie with).
+
+    ``fs`` injects the manifest/commit filesystem seam (PosixTableFS
+    by default). On object stores whose rename is not atomic (S3),
+    pass a seam with ``atomic_rename=False``: the commit protocol
+    switches from atomic-rename manifest publication to the
+    marker-file discipline (manifest PUT, then an atomic zero-byte
+    ``_COMMITTED`` PUT — crash between the two leaves an uncommitted,
+    invisible version that replay overwrites; crash-replay safety is
+    pytest-pinned with an injected non-atomic fake in
+    test_streaming_restart). Bulk parquet data always flows through
+    Spark's own Hadoop filesystem regardless of the seam.
 
     Upgrading a pre-manifest table (the round-5 full-snapshot layout,
     version dirs with no manifest.json): keep its checkpoint — the
@@ -373,17 +386,17 @@ def foreach_batch_upsert_sink(
             batch_df.unpersist()
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         from pyspark.sql.types import StructType
 
         spark = batch_df.sparkSession
-        base = _latest_manifest(table_dir, below=int(batch_id))
+        base = _latest_manifest(table_dir, below=int(batch_id), fs=fs)
         legacy_v = (
-            _latest_plain_version(table_dir, below=int(batch_id))
+            _latest_plain_version(table_dir, below=int(batch_id), fs=fs)
             if base is None
             else None
         )
+        if legacy_v is not None:
+            _assert_genuine_legacy(table_dir, legacy_v, fs=fs)
         nb = base["n_buckets"] if base else n_buckets
         bucket_of = F.pmod(
             F.xxhash64(F.col(key_col).cast("string")), F.lit(nb)
@@ -441,7 +454,7 @@ def foreach_batch_upsert_sink(
         # manifest, so list what was actually written.
         written = {
             int(d.split("=", 1)[1])
-            for d in os.listdir(out_dir)
+            for d in (fs or _POSIX_FS).listdir(out_dir)
             if d.startswith("__bucket=")
         }
         buckets = {
@@ -458,6 +471,7 @@ def foreach_batch_upsert_sink(
                 "buckets": buckets,
                 "schema": merged.schema.jsonValue(),
             },
+            fs=fs,
         )
 
     from corral_spark.operators.merge import merge_upsert
@@ -470,68 +484,165 @@ def foreach_batch_upsert_sink(
     )
 
 
-def _commit_manifest(version_dir: str, manifest: dict) -> None:
-    import json
-    import os
+class PosixTableFS:
+    """Filesystem seam for the CDC upsert sink's MANIFEST/COMMIT
+    protocol — injected like the PIL seam in operators/multimodal, so
+    the commit discipline is testable (and swappable) independently of
+    the bulk parquet I/O, which always flows through Spark's own
+    Hadoop filesystem (s3a/abfs/gcs on a real cluster).
 
-    tmp = os.path.join(version_dir, "manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(version_dir, "manifest.json"))
+    ``atomic_rename=True`` declares that ``rename`` is atomic
+    (POSIX/HDFS): a manifest's PRESENCE is then the version's commit
+    mark. Subclasses modeling object stores where rename is
+    copy+delete (S3) set ``atomic_rename=False``, and the protocol
+    switches to a MARKER-FILE commit: the manifest is PUT first, then
+    a zero-byte ``_COMMITTED`` marker object — a single object PUT is
+    atomic on every real object store, so the marker's existence is
+    the commit mark and a crash between the two writes leaves an
+    uncommitted (invisible) version that replay simply overwrites.
+    Readers under either discipline see only committed versions
+    (`_is_committed`)."""
+
+    atomic_rename = True
+
+    def listdir(self, path: str) -> list[str]:
+        import os
+
+        return os.listdir(path)
+
+    def isdir(self, path: str) -> bool:
+        import os
+
+        return os.path.isdir(path)
+
+    def isfile(self, path: str) -> bool:
+        import os
+
+        return os.path.isfile(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def put_text(self, path: str, data: str) -> None:
+        """Full-object write (the object-store PUT shape)."""
+        with open(path, "w") as f:
+            f.write(data)
+
+    def rename(self, src: str, dst: str) -> None:
+        import os
+
+        os.replace(src, dst)
+
+
+_POSIX_FS = PosixTableFS()
+COMMIT_MARKER = "_COMMITTED"
+
+
+def _commit_manifest(version_dir: str, manifest: dict, fs=None) -> None:
+    """Commit ``version_dir``: atomic-rename manifest publication on
+    filesystems that have atomic rename, marker-file protocol on
+    those that don't (see PosixTableFS)."""
+    import json
+
+    fs = fs or _POSIX_FS
+    mpath = f"{version_dir}/manifest.json"
+    if fs.atomic_rename:
+        tmp = f"{version_dir}/manifest.json.tmp"
+        fs.put_text(tmp, json.dumps(manifest))
+        fs.rename(tmp, mpath)
+    else:
+        fs.put_text(mpath, json.dumps(manifest))
+        fs.put_text(f"{version_dir}/{COMMIT_MARKER}", "")
+
+
+def _is_committed(version_dir: str, fs) -> bool:
+    if fs.atomic_rename:
+        return fs.isfile(f"{version_dir}/manifest.json")
+    return fs.isfile(f"{version_dir}/{COMMIT_MARKER}") and fs.isfile(
+        f"{version_dir}/manifest.json"
+    )
 
 
 def _latest_version_dir(
-    table_dir: str, below: int | None, with_manifest: bool
+    table_dir: str, below: int | None, committed: bool, fs=None
 ) -> int | None:
-    """Newest ``v=<N>`` directory (< ``below`` if given) that does /
-    does not contain a committed manifest.json — the one directory
+    """Newest ``v=<N>`` directory (< ``below`` if given) that is /
+    is not COMMITTED per the seam's discipline — the one directory
     scan both the committed-manifest and legacy-snapshot lookups
     share."""
-    import os
-
-    if not os.path.isdir(table_dir):
+    fs = fs or _POSIX_FS
+    if not fs.isdir(table_dir):
         return None
     best = None
-    for d in os.listdir(table_dir):
+    for d in fs.listdir(table_dir):
         if not d.startswith("v="):
             continue
         v = int(d.split("=", 1)[1])
         if below is not None and v >= below:
             continue
-        has_manifest = os.path.isfile(
-            os.path.join(table_dir, d, "manifest.json")
-        )
-        if has_manifest != with_manifest:
+        if _is_committed(f"{table_dir}/{d}", fs) != committed:
             continue
         if best is None or v > best:
             best = v
     return best
 
 
-def _latest_manifest(table_dir: str, below: int | None = None):
+def _latest_manifest(table_dir: str, below: int | None = None, fs=None):
     """Newest COMMITTED manifest (dict with its ``version`` added), or
-    None. Version dirs without a manifest.json are either uncommitted
-    debris from a crashed batch (replay overwrites them) or a legacy
-    pre-manifest snapshot (see _latest_plain_version)."""
+    None. Uncommitted version dirs are either debris from a crashed
+    batch (replay overwrites them) or a legacy pre-manifest snapshot
+    (see _latest_plain_version)."""
     import json
-    import os
 
-    best = _latest_version_dir(table_dir, below, with_manifest=True)
+    fs = fs or _POSIX_FS
+    best = _latest_version_dir(table_dir, below, committed=True, fs=fs)
     if best is None:
         return None
-    with open(os.path.join(table_dir, f"v={best}", "manifest.json")) as f:
-        m = json.load(f)
+    m = json.loads(fs.read_text(f"{table_dir}/v={best}/manifest.json"))
     m["version"] = best
     return m
 
 
-def _latest_plain_version(table_dir: str, below: int | None = None):
-    """Newest manifest-LESS version directory — a full snapshot
-    written by the pre-manifest (round-5) sink. None if absent."""
-    return _latest_version_dir(table_dir, below, with_manifest=False)
+def _latest_plain_version(
+    table_dir: str, below: int | None = None, fs=None
+):
+    """Newest UNcommitted version directory — a full snapshot written
+    by the pre-manifest (round-5) sink. None if absent. Callers MUST
+    validate the candidate with _assert_genuine_legacy before treating
+    it as a full snapshot."""
+    return _latest_version_dir(table_dir, below, committed=False, fs=fs)
 
 
-def read_upsert_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:
+def _assert_genuine_legacy(table_dir: str, legacy_v: int, fs=None) -> None:
+    """Refuse to 'migrate' crash debris as a legacy full snapshot. A
+    genuine pre-manifest (round-5) snapshot has plain parquet files in
+    its version dir; a NEW-layout version left by a crashed batch has
+    ``__bucket=`` partition subdirectories. If the checkpoint was lost
+    or rebuilt (batch ids restart at 0), such debris could otherwise
+    be silently committed as if it were the whole table, dropping
+    every key outside its touched buckets — fail loudly instead (the
+    operator must restore the checkpoint or the last committed
+    manifest, which IS still on disk)."""
+    fs = fs or _POSIX_FS
+    vdir = f"{table_dir}/v={legacy_v}"
+    buckets = [
+        d for d in fs.listdir(vdir) if d.startswith("__bucket=")
+    ]
+    if buckets:
+        raise RuntimeError(
+            f"{vdir} has no commit mark but contains bucket partitions "
+            f"({buckets[:3]}...): this is an uncommitted NEW-layout "
+            "version (likely crash debris after checkpoint loss), not a "
+            "legacy full snapshot — refusing migration. Restore the "
+            "checkpoint (it is part of the table) or delete the debris "
+            "after recovering from the newest committed manifest."
+        )
+
+
+def read_upsert_snapshot(
+    spark: SparkSession, table_dir: str, fs: "PosixTableFS | None" = None
+) -> DataFrame:
     """Latest snapshot written by ``foreach_batch_upsert_sink``: the
     union of every bucket the newest committed manifest points at
     (each read from the version directory that last wrote it).
@@ -540,13 +651,14 @@ def read_upsert_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:
     (committed manifest, empty bucket map) returns an EMPTY frame
     with the schema recorded in the manifest — both are legitimate
     states, not errors."""
-    m = _latest_manifest(table_dir)
+    m = _latest_manifest(table_dir, fs=fs)
     if m is None:
-        legacy_v = _latest_plain_version(table_dir)
+        legacy_v = _latest_plain_version(table_dir, fs=fs)
         if legacy_v is None:
             raise FileNotFoundError(
                 f"no committed snapshots under {table_dir}"
             )
+        _assert_genuine_legacy(table_dir, legacy_v, fs=fs)
         return spark.read.parquet(f"{table_dir}/v={legacy_v}")
     paths = [
         f"{table_dir}/v={v}/__bucket={b}" for b, v in m["buckets"].items()

@@ -423,12 +423,27 @@ def test_streaming_upsert_migrates_legacy_manifestless_snapshot(
         q = foreach_batch_upsert_sink(stream, table, ckpt, "k", n_buckets=4)
         q.awaitTermination()
 
-    # Batch 0 lays down v=0 normally; degrading it to the legacy
-    # layout (drop its manifest) simulates a table written by the
-    # pre-manifest sink whose checkpoint carries on.
+    # Batch 0 lays down v=0 normally; degrade it to a GENUINE legacy
+    # layout — plain full-snapshot parquet, no manifest, no __bucket=
+    # partition dirs — simulating a table written by the pre-manifest
+    # (round-5) sink whose checkpoint carries on. (Merely dropping the
+    # manifest is no longer enough: a manifest-less dir that still has
+    # bucket partitions is indistinguishable from crash debris and the
+    # migration guard refuses it — see
+    # test_legacy_migration_refuses_new_layout_debris.)
     _write("b1.parquet", [(i, f"v{i}") for i in range(20)])
     run_once()
-    os.remove(os.path.join(table, "v=0", "manifest.json"))
+    import shutil
+
+    v0 = os.path.join(table, "v=0")
+    legacy_rows = [
+        (r.k, r.v)
+        for r in spark.read.parquet(v0).select("k", "v").collect()
+    ]
+    shutil.rmtree(v0)
+    spark.createDataFrame(legacy_rows, "k long, v string").coalesce(
+        1
+    ).write.parquet(v0)
 
     time.sleep(1.1)
     _write("b2.parquet", [(7, "UPDATED"), (100, "NEW")])
@@ -570,3 +585,117 @@ def test_streaming_upsert_random_batch_sequence_equals_fold(
             r.k: r.v for r in read_upsert_snapshot(spark, table).collect()
         }
         assert snap == expected, f"divergence after batch {b}"
+
+
+def test_streaming_upsert_nonatomic_fs_crash_replay(spark, tmp_path):
+    """r6 verdict item 6: on an object store without atomic rename the
+    commit switches to the marker-file protocol (manifest PUT, then an
+    atomic zero-byte _COMMITTED PUT). Inject a non-atomic fake FS that
+    crashes BETWEEN the two writes: the half-committed version must
+    stay invisible to readers (last committed snapshot still served),
+    and restarting the stream must replay the batch from the
+    checkpoint, overwrite the debris, and commit — exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from corral_spark.streaming.ops import (
+        COMMIT_MARKER,
+        PosixTableFS,
+        foreach_batch_upsert_sink,
+        read_upsert_snapshot,
+    )
+
+    import os
+
+    class NonAtomicFS(PosixTableFS):
+        atomic_rename = False
+
+        def __init__(self):
+            self.crash_on_marker = False
+
+        def put_text(self, path, data):
+            if self.crash_on_marker and path.endswith(COMMIT_MARKER):
+                raise RuntimeError("simulated crash before commit marker")
+            super().put_text(path, data)
+
+    fs = NonAtomicFS()
+    src = tmp_path / "cdc"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(name, rows):
+        ks, vs, dels = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(ks, pa.int64()),
+                    "v": pa.array(vs, pa.string()),
+                    "is_delete": pa.array(dels, pa.bool_()),
+                }
+            ),
+            str(src / name),
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "k long, v string, is_delete boolean"
+        ).parquet(str(src))
+        q = foreach_batch_upsert_sink(
+            stream, table, ckpt, "k", delete_col="is_delete", fs=fs
+        )
+        q.awaitTermination()
+
+    _write("b1.parquet", [(1, "a", False), (2, "b", False)])
+    run_once()
+    assert os.path.isfile(f"{table}/v=0/{COMMIT_MARKER}")  # marker commit
+    snap1 = {r.k: r.v for r in read_upsert_snapshot(spark, table, fs=fs).collect()}
+    assert snap1 == {1: "a", 2: "b"}
+
+    time.sleep(1.1)
+    _write("b2.parquet", [(2, "B", False), (3, "c", False)])
+    fs.crash_on_marker = True
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        run_once()  # crash after manifest PUT, before marker PUT
+    # Half-committed: manifest exists, marker does not -> invisible.
+    assert os.path.isfile(f"{table}/v=1/manifest.json")
+    assert not os.path.isfile(f"{table}/v=1/{COMMIT_MARKER}")
+    snap_mid = {
+        r.k: r.v for r in read_upsert_snapshot(spark, table, fs=fs).collect()
+    }
+    assert snap_mid == snap1, "uncommitted version must be invisible"
+
+    fs.crash_on_marker = False
+    run_once()  # checkpoint did not advance: batch replays, commits
+    snap2 = {r.k: r.v for r in read_upsert_snapshot(spark, table, fs=fs).collect()}
+    assert snap2 == {1: "a", 2: "B", 3: "c"}
+    assert os.path.isfile(f"{table}/v=1/{COMMIT_MARKER}")
+
+
+def test_legacy_migration_refuses_new_layout_debris(spark, tmp_path):
+    """ADVICE r6: a manifest-less version dir containing __bucket=
+    partition subdirectories is an UNCOMMITTED new-layout version
+    (crash debris after checkpoint loss), not a genuine pre-manifest
+    full snapshot — both the reader's legacy fallback and the sink's
+    migration path must refuse it loudly instead of committing a
+    truncated table."""
+    import pytest as _pytest
+
+    from corral_spark.streaming.ops import (
+        _assert_genuine_legacy,
+        read_upsert_snapshot,
+    )  # noqa: F401
+
+    table = tmp_path / "table"
+    debris = table / "v=3" / "__bucket=0"
+    debris.mkdir(parents=True)
+    spark.range(2).selectExpr("id as k", "cast(id as string) as v").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(debris))
+
+    with _pytest.raises(RuntimeError, match="refusing migration"):
+        _assert_genuine_legacy(str(table), 3)
+    with _pytest.raises(RuntimeError, match="refusing migration"):
+        read_upsert_snapshot(spark, str(table))
