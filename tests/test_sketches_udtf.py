@@ -554,3 +554,35 @@ class TestBloomRegisterFile:
             )
         )
         assert got == want
+
+
+class TestBloomRegisterNullKeys:
+    def test_register_probe_null_keys_get_null_flag(self, spark):
+        # Contract since the keyed-probe rewrite: __might is NULL for
+        # NULL keys (a NULL never equi-joins the flag back); callers
+        # that must route NULLs filter first — bloom_new_rows does,
+        # emitting NULL-key rows as new.
+        from corral_spark.operators.sketches import (
+            bloom_build_registers,
+            bloom_might_contain_registers,
+            bloom_new_rows,
+        )
+
+        m, k = 1 << 28, 5
+        existing = spark.createDataFrame([("a",), ("b",)], "key string")
+        incoming = spark.createDataFrame(
+            [("a", 1), (None, 2), ("z", 3)], "key string, v int"
+        )
+        regs = bloom_build_registers(existing, "key", m, k)
+        flagged = bloom_might_contain_registers(regs, incoming, "key", m, k)
+        rows = {r["v"]: r["__might"] for r in flagged.collect()}
+        assert rows[2] is None
+        assert rows[1] is True
+        assert rows[3] is False
+        got = sorted(
+            r["v"]
+            for r in bloom_new_rows(
+                existing, incoming, "key", m_bits=m
+            ).collect()
+        )
+        assert got == [2, 3]
