@@ -89,11 +89,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # under the new code (hll_merged_slices: single-scan grouped register
 # build; pretrain_corpus_full + minhash_pairs_docs: df-capped
 # short-doc candidate paths; bloom_new_docs: join-assembled dense
-# array + keyed register probe), and 41 of the 48 r5-green queries
-# demoted in round 6 (policy: their newest row is 1 round stale; all
-# but six return now). The 47 r6-green queries demoted below are
-# fresh-green from round 6; the six held r5-green queries are ALL
-# benched headliners (timed by bench.py every round, shipping_priority
+# array + keyed register probe), and one NEW quality-aware dedup row
+# (dedup_keep_longest_docs), and 40 of the 48 r5-green queries demoted
+# in round 6 (policy: their newest row is 1 round stale; all but seven
+# return now). The 47 r6-green queries demoted below are fresh-green
+# from round 6; the seven held r5-green queries are ALL benched
+# headliners (timed by bench.py every round, shipping_priority
 # additionally smoke-run by entry()) and return in round 8 at exactly
 # the 2-round limit. Every demoted query stays oracle-gated by pytest
 # (tests/test_correctness.py) and the full driver_sim replica every
@@ -157,6 +158,7 @@ _DEMOTED = (
     "gram_dedup_docs",  # benched + gram_counts canary every round
     "shipping_priority",  # flagship: entry() smoke + benched every round
     "pretrain_corpus",  # benched + sf1-canaried; _full/_provenance (in head) compose supersets of its stages
+    "wordcount",  # benched every round; slot ceded to the new dedup_keep_longest_docs row
 )
 
 

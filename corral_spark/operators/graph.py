@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from corral_spark.materialize import materialize
 
@@ -157,4 +158,50 @@ def dedup_clusters(
             F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_rep"),
         )
         .withColumn("is_rep", (F.col(id_col) == F.col("cluster_rep")).cast("boolean"))
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pair_df: DataFrame,
+    id_col: str,
+    score_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware near-dup survivor selection: within each connected
+    component of ``pair_df``, keep the single row with the HIGHEST
+    ``score_col`` (ties broken by smallest id — deterministic); rows
+    with no near-dup edge keep themselves.
+
+    The min-id winner of ``dedup_clusters`` is reproducible but
+    arbitrary; production corpus prep (RefinedWeb-style) keeps the
+    best copy of a duplicate cluster — the longest or
+    highest-quality-scored document — so content survives dedup at its
+    best available version. Any scoring column works (n_chars for
+    keep-longest, quality.quality_logistic_score for model-based).
+
+    Scale shape: the component map is bounded by the docs that appear
+    in pairs (a small fraction of the corpus), the join back to ``df``
+    is on the id key, and the winner is one row_number window
+    partitioned by component — no shuffle of doc payloads beyond the
+    score column. Deterministic given deterministic pairs, so a DuckDB
+    oracle replays it exactly (driver row dedup_keep_longest_docs).
+    """
+    comp = connected_components(pair_df, id_a, id_b)
+    withc = (
+        df.join(comp, df[id_col] == comp.node, "left")
+        .drop("node")
+        .withColumn(
+            "__comp", F.coalesce(F.col("component"), F.col(id_col))
+        )
+        .drop("component")
+    )
+    w = Window.partitionBy("__comp").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        withc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__comp")
     )

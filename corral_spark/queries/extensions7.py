@@ -114,3 +114,79 @@ def pretrain_corpus_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.select(
         "doc_id", "clean_text", "n_words", "split", "source_file", "source_row"
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_keep_longest_docs",
+    oracle="""
+    WITH RECURSIVE
+    w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(
+               regexp_replace(text, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+'),
+               x -> x <> '') AS words
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 4, 1) + 1),
+               i -> array_to_string(list_slice(words, i, i + 4), ' ')))) AS token
+      FROM w WHERE len(words) > 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION
+      SELECT id_b AS u, id_a AS v FROM edges
+    ),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.v, r.root FROM reach r JOIN sym s ON s.u = r.node
+    ),
+    comps AS (SELECT node AS doc_id, MIN(root) AS comp FROM reach GROUP BY node),
+    ranked AS (
+      SELECT d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.comp
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+      FROM documents d JOIN comps c USING (doc_id)
+    )
+    SELECT doc_id, n_chars FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "graph", "quality", "extension"),
+)
+def dedup_keep_longest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection
+    (operators.graph.dedup_keep_best): within each exact-Jaccard>=0.2
+    cluster (same edges as dedup_clusters_docs), keep the LONGEST
+    document (n_chars, ties to smallest id) instead of the arbitrary
+    min-id winner — the RefinedWeb-style rule that dedup should retain
+    content at its most complete version. The oracle replays the
+    recursive-CTE components fixpoint plus the per-component arg-max,
+    so the hash match proves cluster resolution AND winner selection
+    end to end."""
+    from corral_spark.operators.dedup import jaccard_pairs
+    from corral_spark.operators.graph import dedup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "text", "doc_id", threshold=0.2)
+    return (
+        dedup_keep_best(
+            docs.select("doc_id", "n_chars"), pairs, "doc_id", "n_chars"
+        )
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
