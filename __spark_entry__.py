@@ -159,6 +159,13 @@ _DEMOTED = (
     "shipping_priority",  # flagship: entry() smoke + benched every round
     "pretrain_corpus",  # benched + sf1-canaried; _full/_provenance (in head) compose supersets of its stages
     "wordcount",  # benched every round; slot ceded to the new dedup_keep_longest_docs row
+    # -- NEW in round 7 after the head was sealed (the head's 50 slots
+    #    are all rotation obligations this round): oracle-gated by
+    #    pytest + driver_sim now, first driver rows promised for the
+    #    round-8 head --
+    "semantic_dedup_docs",
+    "emb_int8_topk",
+    "domain_mix_docs",
 )
 
 

@@ -205,6 +205,70 @@ def temperature_sample(
     )
 
 
+def target_share_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    targets: dict[str, int],
+    token_budget: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain-mixture sampling to EXPLICIT target shares: thin each
+    group (language / source domain) so its expected kept token mass
+    is ``token_budget * w_g / W`` (W = sum of target weights), capped
+    by what the group actually has — the standard pretraining-mixture
+    step ("50% en, 30% code, 20% de") that temperature_sample's
+    count-derived weights cannot express.
+
+    Per-group keep rate r_g = min(1, T * w_g / (W * tok_g)) with
+    tok_g the group's total weight (token count). The keep rule is
+    INTEGER-exact (weighted_bernoulli_sample discipline — no float
+    rounding anywhere near the comparison):
+
+        keep  iff  u32 * W * tok_g  <  T * w_g * 2^32
+
+    evaluated in DECIMAL(38,0), so it is replayable bit-for-bit by a
+    SQL oracle using HUGEINT/DECIMAL. The r_g >= 1 case needs no
+    special-casing: u32 < 2^32 makes the inequality universally true
+    exactly when T*w_g >= W*tok_g. Bound: u32 (10 digits) * W * tok_g
+    must stay under 10^38 — holds for any real corpus (tok_g 10^14 *
+    W 10^4 leaves 10 digits of headroom).
+
+    Groups absent from ``targets`` (and NULL groups) are dropped:
+    a mixture spec is a whitelist. Weights must be non-negative
+    integers; zero-weight rows are never kept.
+
+    Scale shape: one partial-aggregated per-group weight sum
+    (group-cardinality rows) broadcast back over the scan, then a
+    pure projection filter — no shuffle of the data at any size.
+    """
+    if token_budget < 0:
+        raise ValueError("token_budget must be >= 0")
+    bad = {g: w for g, w in targets.items() if not isinstance(w, int) or w < 0}
+    if bad or not targets:
+        raise ValueError(f"targets must be positive int weights, got {bad or targets}")
+    W = sum(targets.values())
+    dec = "decimal(38,0)"
+    tok = (
+        df.filter(F.col(group_col).isin(*targets.keys()))
+        .groupBy(group_col)
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__tokg"))
+    )
+    tmap = F.create_map(
+        *[F.lit(x) for gw in sorted(targets.items()) for x in gw]
+    )
+    u32 = F.conv(sample_key(F.col(id_col), salt + ":"), 16, 10).cast("long")
+    wg = tmap[F.col(group_col)].cast(dec)
+    lhs = u32.cast(dec) * F.lit(W).cast(dec) * F.col("__tokg").cast(dec)
+    rhs = F.lit(token_budget).cast(dec) * wg * F.lit(1 << 32).cast(dec)
+    return (
+        df.join(F.broadcast(tok), on=group_col)
+        .filter(lhs < rhs)
+        .drop("__tokg")
+    )
+
+
 def weighted_bernoulli_sample(
     df: DataFrame,
     id_col: str,

@@ -130,11 +130,16 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_sim: int | None = None,
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid (max cosine).
 
     One broadcast of the centroid set; no corpus shuffle. Output:
-    corpus columns + cell (centroid id).
+    corpus columns + cell (centroid id). ``round_sim`` quantizes the
+    assignment similarity before the argmax (ties then break to the
+    LOWEST cell id) — set it when a SQL oracle must replicate the
+    assignment bit-for-bit, since an unquantized argmax can flip on
+    cross-engine ulp noise between two near-equidistant centroids.
     """
     cen = F.broadcast(
         centroids.select(
@@ -145,6 +150,8 @@ def ivf_assign(
         F.col(id_col), F.col(vec_col), _as_double(F.col(vec_col)).alias("__v")
     ).crossJoin(cen)
     sim = cosine_sim(F.col("__v"), F.col("__cenv"))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
     # argmax via max_by on a (sim, -cell_id) struct: a partial-aggregating
     # single pass — a row_number window here would shuffle + sort the
     # whole corpus by vector id.
@@ -215,6 +222,70 @@ def kmeans_centroids(
             ).alias(vec_col)
         ).select(F.col("cell").alias("cell_id"), vec_col)
     return cen
+
+
+def semantic_near_dup_pairs(
+    corpus: DataFrame,
+    ncells: int = 16,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_sim: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate candidate pairs: assign
+    every vector to its nearest coarse centroid (deterministic
+    first-``ncells``-by-id init, assignment cosine quantized to 6 dp
+    so the argmax is engine-stable), then score ONLY within-cell pairs
+    with the exact cosine and keep those at or above ``threshold``.
+
+    This is the SemDeDup pruning (Abbas et al. 2023): cross-cluster
+    comparisons are skipped BY DESIGN, turning the O(n^2) semantic
+    pair search into per-cell blocks. Scale shape: the centroid table
+    broadcasts (ncells rows), assignment is a scan-side argmax with
+    no corpus shuffle, and the pair join is one hash equi-join on the
+    cell id — so cost is sum of squares of CELL sizes, controlled by
+    growing ``ncells`` with the corpus (ncells ~ n/10^4 keeps blocks
+    bounded at any scale). Output: (id_a, id_b, cos_sim) with
+    id_a < id_b, cos_sim quantized to ``round_sim`` dp.
+    """
+    from corral_spark.operators.dedup import bucket_pairs
+
+    centroids = deterministic_centroids(corpus, ncells, id_col, vec_col)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, round_sim=6)
+    keyed = assigned.select(
+        F.col("cell"), F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+    )
+    cand = bucket_pairs(keyed, "cell", "id")
+    sim = F.round(
+        cosine_sim(_as_double(F.col("a.__v")), _as_double(F.col("b.__v"))),
+        round_sim,
+    )
+    return (
+        cand.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    ncells: int = 16,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup resolution: within-cell cosine pairs at
+    ``threshold`` become clusters via connected components; every
+    vector gets its component's min id as representative. Output:
+    (id_col, cluster_rep, is_rep) — drop ``is_rep == false`` rows to
+    apply the dedup."""
+    from corral_spark.operators.graph import dedup_clusters
+
+    pairs = semantic_near_dup_pairs(corpus, ncells, threshold, id_col, vec_col)
+    return dedup_clusters(corpus, pairs, id_col)
 
 
 def ivf_topk(

@@ -395,3 +395,39 @@ def test_bloom_registers_branch_no_single_row_broadcast(spark):
     plan = plan_of(spark, "bloom_new_docs_registers")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_domain_mix_rates_broadcast_no_corpus_shuffle(spark):
+    # Target-share mixing is one per-group weight-sum (group-
+    # cardinality rows) BROADCAST back onto the scan plus a projection
+    # filter. The corpus data path must never sort-merge or
+    # nested-loop; the only hash exchanges are the two tiny
+    # aggregations (per-group totals in, 5-row summary out).
+    plan = plan_of(spark, "domain_mix_docs")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_emb_int8_topk_queries_broadcast(spark):
+    # int8 brute-force search: the 5-row query set broadcasts (one
+    # BroadcastNestedLoopJoin over the corpus scan — the intended
+    # embarrassingly-parallel shape); the only hash exchange is the
+    # per-query window. A SortMergeJoin or corpus-side repartition
+    # here would mean the scan stopped being a single pass.
+    plan = plan_of(spark, "emb_int8_topk")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_semantic_dedup_pair_join_is_equi(spark):
+    # SemDeDup's within-cell pair generation must stay a hash
+    # equi-join on the cell id — a cartesian/nested-loop between
+    # corpus copies is exactly the O(n^2) scan the cell pruning
+    # exists to avoid.
+    plan = plan_of(spark, "semantic_dedup_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
