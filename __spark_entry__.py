@@ -166,6 +166,11 @@ _DEMOTED = (
     "semantic_dedup_docs",
     "emb_int8_topk",
     "domain_mix_docs",
+    "price_histogram_quantiles",
+    "price_outliers_mad",
+    "hll_token_overlap_sources",
+    "part_bfs_hops",
+    "event_funnel_stages",
 )
 
 

@@ -205,3 +205,60 @@ def dedup_keep_best(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__comp")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source breadth-first search: minimum hop distance from
+    the ``seeds`` node set over the undirected ``edges``, bounded at
+    ``max_hops``. Returns (node, hops) for every reachable node
+    (seeds included at 0); unreachable nodes are absent.
+
+    This is the Pregel iteration shape that connected_components
+    shares, but distance-valued and seeded — the building block for
+    "everything within k links of X" questions (contamination blast
+    radius through near-dup links, related-item expansion through
+    co-occurrence graphs). Each iteration joins ONLY the previous
+    frontier (nodes first reached last hop) against the symmetrized
+    edge list — an equi-join on node id plus a min-aggregation, never
+    the whole distance table — then folds new nodes in with a
+    union + min. Lineage is truncated per iteration with a
+    materialize() barrier, and the loop exits as soon as a frontier
+    comes back empty, so cost is O(edges touched per hop) for
+    diameter-many bounded iterations. Integer hop labels over
+    deterministic joins: a DuckDB recursive CTE replays the result
+    exactly.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    sym = materialize(sym, eager=True)
+    dist = seeds.select(
+        F.col(seed_col).alias("node"), F.lit(0).alias("hops")
+    ).distinct()
+    dist = materialize(dist, eager=True)
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        reached = (
+            sym.join(frontier, sym.u == frontier.node)
+            .select(F.col("v").alias("node"), F.lit(hop).alias("hops"))
+            .distinct()
+        )
+        # New frontier: nodes not already reached at a smaller hop.
+        frontier = (
+            reached.join(dist.select("node"), "node", "left_anti")
+            .distinct()
+        )
+        frontier = materialize(frontier, eager=True)
+        if frontier.isEmpty():
+            break
+        dist = materialize(dist.unionByName(frontier), eager=True)
+    return dist

@@ -158,3 +158,76 @@ def quality_logistic_score(
         score.alias("score"),
         (score >= F.lit(0.5)).alias("keep"),
     )
+
+
+def mad_outlier_report(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple = (),
+    k_scaled: float = 4.4478,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Robust per-group outlier report: median, MAD (median absolute
+    deviation), and how many rows fall outside median +/- k_scaled*MAD
+    (default 4.4478 = 3 sigma-equivalents * the 1.4826 normal
+    consistency constant). Median/MAD resist the very outliers a
+    mean/stddev rule would absorb — the standard robust screen for a
+    numeric column's junk rows (unit-confused prices, sensor spikes)
+    before a corpus or feature table ships.
+
+    Determinism contract: values are first scaled to integer "cents"
+    (CAST(ROUND(v * cents_scale, 0) AS BIGINT)), so every median —
+    including even-count interpolation — is an exact multiple of 0.5
+    and every MAD an exact multiple of 0.25 in IEEE double; both
+    engines then agree bit-exactly, which is what lets a DuckDB oracle
+    replay the whole report (med_cents / mad_cents are exposed in
+    cents for exactly that reason). Shape at scale: two
+    partial-aggregated shuffles on the group key (medians, then MAD)
+    plus one broadcast-sized join of per-group scalars back onto the
+    rows; for a 100 TB single pass where exact medians are too dear,
+    histogram_sketch + histogram_quantiles is the declared-precision
+    substitute.
+    """
+    cents = F.round(F.col(value_col) * cents_scale, 0).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, cents.alias("__c")
+    )
+    med = base.groupBy(*group_cols).agg(
+        F.percentile(F.col("__c"), F.lit(0.5)).alias("med_cents")
+    )
+    keys = list(group_cols)
+    withmed = base.join(F.broadcast(med), keys) if keys else base.crossJoin(
+        F.broadcast(med)
+    )
+    dev = withmed.select(
+        *group_cols,
+        "__c",
+        F.abs(F.col("__c") - F.col("med_cents")).alias("__dev"),
+        "med_cents",
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.percentile(F.col("__dev"), F.lit(0.5)).alias("mad_cents")
+    )
+    withmad = dev.join(F.broadcast(mad), keys) if keys else dev.crossJoin(
+        F.broadcast(mad)
+    )
+    return (
+        withmad.select(
+            *group_cols,
+            "med_cents",
+            "mad_cents",
+            (F.col("__dev") > F.lit(k_scaled) * F.col("mad_cents"))
+            .cast("int")
+            .alias("__out"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.first("med_cents").alias("med_cents"),
+            F.first("mad_cents").alias("mad_cents"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__out").alias("outliers"),
+            F.round(
+                F.sum("__out").cast("double") / F.count(F.lit(1)), 4
+            ).alias("outlier_share"),
+        )
+    )

@@ -858,3 +858,179 @@ def sampled_quantiles(
         for q in qs
     ]
     return ranked.groupBy(*group_cols).agg(*picks)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram: the fixed-size distribution sketch.
+#
+# An equi-width histogram over a declared [lo, hi) value range is the
+# cheapest mergeable distribution summary there is: ONE partial-
+# aggregated groupBy whose shuffle is O(nbins) per group regardless of
+# input size (map-side combine collapses each partition's bins before
+# the exchange), and two histograms over the same (range, nbins) merge
+# by summing counts — so a 100 TB fact table can be histogrammed
+# per-partition/per-day and combined without rescanning, the same
+# composability contract as hll_merge / bottomk_merge. Quantile
+# readout walks the cumulative counts and answers with a bin upper
+# edge — error bounded by one bin width, a DECLARED precision, unlike
+# an exact percentile whose full sort is the thing that does not
+# survive a 100x scale-up.
+#
+# Everything is per-row IEEE double arithmetic with one floor plus
+# integer count algebra, so a DuckDB oracle replays the sketch and the
+# quantile readout bit-exactly (the cms_build / hll_registers
+# discipline).
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Equi-width histogram of ``value_col`` per group: (group_cols...,
+    bin, cnt) with at most ``nbins`` rows per group. bin =
+    floor((v - lo) * nbins / (hi - lo)) clamped to [0, nbins-1], so
+    out-of-range values land in the edge bins instead of being lost
+    (a tail quantile read from a clamped edge bin is still correct:
+    the answer is "at or beyond the declared range"). NULLs excluded.
+
+    The expression shape ((v - lo) * nbins) / (hi - lo) is part of the
+    contract: left-associated IEEE double ops replay bit-exactly in
+    any engine, which is what lets the oracle rebuild the bins."""
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    raw_bin = F.floor(
+        (F.col(value_col) - F.lit(float(lo)))
+        * F.lit(float(nbins))
+        / F.lit(float(hi) - float(lo))
+    )
+    bin_ = F.least(
+        F.greatest(raw_bin, F.lit(0)), F.lit(nbins - 1)
+    ).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(*hists: DataFrame) -> DataFrame:
+    """Merge histograms built by histogram_sketch over the SAME
+    (lo, hi, nbins, group_cols): union + sum per bin. Exactly equals
+    the histogram of the concatenated inputs (count addition is
+    associative/commutative), so partial sketches compose without
+    rescanning."""
+    out = hists[0]
+    for nxt in hists[1:]:
+        out = out.unionByName(nxt)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    lo: float,
+    hi: float,
+    nbins: int,
+    qs: tuple = (0.5, 0.9, 0.99),
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Quantile readout from an equi-width histogram: for each q, the
+    UPPER EDGE of the first bin whose cumulative count reaches
+    ceil(q * n) — a value guaranteed >= the true q-quantile and less
+    than one bin width above it. Columns q50/q90/... (rounded 4 dp;
+    the edge arithmetic lo + (bin+1) * (hi-lo) / nbins is the same
+    left-associated IEEE shape as the bin rule, so it replays
+    bit-exactly). The cumulative walk runs over <= nbins rows per
+    group — driver-free, shuffle O(nbins)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = Window.partitionBy(*[F.col(c) for c in group_cols])
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(n).alias("n"),
+    )
+    picks = [
+        F.round(
+            F.lit(float(lo))
+            + (
+                F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.ceil(F.lit(float(q)) * F.col("n")),
+                        F.col("bin"),
+                    )
+                )
+                + F.lit(1)
+            )
+            * F.lit(float(hi) - float(lo))
+            / F.lit(float(nbins)),
+            4,
+        ).alias(f"q{int(q * 100)}")
+        for q in qs
+    ]
+    return cum.groupBy(*group_cols).agg(*picks)
+
+
+def hll_set_algebra(
+    reg_a: DataFrame,
+    reg_b: DataFrame,
+    group_cols: tuple = (),
+    b: int = HLL_B,
+) -> DataFrame:
+    """Set algebra over two HLL register files built on the SAME
+    (group_cols, b): per group, the raw estimates of |A|, |B|, and
+    |A u B| (from hll_merge — max per bucket, the lossless sketch
+    union), plus the inclusion-exclusion intersection estimate
+    max(0, est_a + est_b - est_union) and a Jaccard estimate
+    (intersect / union, 4 dp). This is how distinct-overlap questions
+    get answered at 100 TB: each corpus keeps an O(m) register file,
+    and overlap needs only the two sketches — no join, no rescan.
+
+    All arithmetic is over hll_raw (exact-integer register mass + one
+    floor'd IEEE division — the bit-portable contract), so a DuckDB
+    oracle replays every column. The intersection estimator's error
+    grows with |A u B| (standard inclusion-exclusion caveat: it is a
+    difference of large estimates), which is why the columns expose
+    the operands, not just the derived overlap."""
+    ea = hll_estimate(reg_a, group_cols, b).select(
+        *group_cols, F.col("hll_raw").alias("est_a")
+    )
+    eb = hll_estimate(reg_b, group_cols, b).select(
+        *group_cols, F.col("hll_raw").alias("est_b")
+    )
+    eu = hll_estimate(hll_merge(reg_a, reg_b), group_cols, b).select(
+        *group_cols, F.col("hll_raw").alias("est_union")
+    )
+    if group_cols:
+        joined = ea.join(eb, list(group_cols)).join(eu, list(group_cols))
+    else:
+        joined = ea.crossJoin(eb).crossJoin(eu)
+    inter = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("est_a") + F.col("est_b") - F.col("est_union"),
+    )
+    return joined.select(
+        *group_cols,
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias("est_intersect"),
+        F.round(
+            inter.cast("double") / F.col("est_union").cast("double"), 4
+        ).alias("jaccard_est"),
+    )

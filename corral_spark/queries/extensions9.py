@@ -1,0 +1,358 @@
+"""Round-7 third-wave extensions: mergeable distribution/overlap
+sketches, seeded graph traversal, robust outlier screening, and
+funnel analysis — operator families a 100 TB analytics engine needs
+that the registry did not yet cover as driver-gated rows:
+
+* equi-width histogram sketch + quantile readout (the O(nbins)
+  mergeable substitute for a full-sort exact percentile);
+* HLL set algebra (distinct-overlap between two corpora from two
+  O(m) register files — no join, no rescan);
+* multi-source BFS hop distance (the Pregel iteration shape, seeded
+  and distance-valued);
+* median/MAD robust outlier report (the screen that survives the
+  outliers a mean/stddev rule absorbs);
+* ordered event funnel (min-timestamp stage chaining).
+
+No reference analog (bcongdon/corral is a MapReduce framework —
+/root/reference/README.md — with no sketch/graph/funnel surface);
+these extend SURVEY §2.3/§2.4's mandated engine families. Every
+query is bit-exactly oracled: integer/count algebra plus
+left-associated IEEE double steps that DuckDB replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corral_spark.functions.text import tokenize
+from corral_spark.operators.graph import bfs_hops
+from corral_spark.operators.quality import mad_outlier_report
+from corral_spark.operators.sketches import (
+    histogram_quantiles,
+    histogram_sketch,
+    hll_registers,
+    hll_set_algebra,
+)
+from corral_spark.queries.registry import register
+from corral_spark.sources.tables import load_table
+
+#: Shared histogram contract for price_histogram_quantiles: range
+#: covers lineitem.l_extendedprice at every SF (901.82 .. 104949.5);
+#: 256 bins -> ~407 currency units of declared quantile error.
+_H_LO, _H_HI, _H_BINS = 900.0, 105000.0, 256
+
+
+@register(
+    "price_histogram_quantiles",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_returnflag AS flag,
+             CAST(LEAST(GREATEST(FLOOR(
+               (l_extendedprice - {_H_LO}) * {float(_H_BINS)}
+                 / {_H_HI - _H_LO}), 0), {_H_BINS - 1}) AS INT) AS bin
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    h AS (SELECT flag, bin, COUNT(*) AS cnt FROM b GROUP BY flag, bin),
+    c AS (
+      SELECT flag, bin,
+             SUM(cnt) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY flag) AS n
+      FROM h
+    )
+    SELECT flag AS l_returnflag,
+           ROUND({_H_LO} + (MIN(CASE WHEN cum >= CEIL(0.50 * n) THEN bin END) + 1)
+                 * {_H_HI - _H_LO} / {float(_H_BINS)}, 4) AS q50,
+           ROUND({_H_LO} + (MIN(CASE WHEN cum >= CEIL(0.90 * n) THEN bin END) + 1)
+                 * {_H_HI - _H_LO} / {float(_H_BINS)}, 4) AS q90,
+           ROUND({_H_LO} + (MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN bin END) + 1)
+                 * {_H_HI - _H_LO} / {float(_H_BINS)}, 4) AS q99
+    FROM c GROUP BY flag ORDER BY l_returnflag
+    """,
+    tags=("sketch", "approx", "extension"),
+)
+def price_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of l_extendedprice per return flag read from a
+    256-bin mergeable equi-width histogram (sketches.histogram_sketch
+    + histogram_quantiles): ONE partial-aggregated pass whose shuffle
+    is O(nbins) per group regardless of input size, then a cumulative
+    walk over <= 256 rows per group — the declared-precision (one bin
+    width) substitute for an exact percentile's full sort, and the
+    form that survives a 100 TB scan (histograms merge by summing
+    counts, pytest-pinned). The oracle rebuilds bins, cumulative
+    counts, and bin-edge quantiles bit-exactly (left-associated IEEE
+    double bin rule, integer counts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = histogram_sketch(
+        li, "l_extendedprice", _H_LO, _H_HI, _H_BINS, ("l_returnflag",)
+    )
+    return histogram_quantiles(
+        hist, _H_LO, _H_HI, _H_BINS, (0.5, 0.9, 0.99), ("l_returnflag",)
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "price_outliers_mad",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    med AS (
+      SELECT flag, quantile_cont(c, 0.5) AS med_cents FROM base GROUP BY flag
+    ),
+    dev AS (
+      SELECT b.flag, ABS(b.c - m.med_cents) AS d, m.med_cents
+      FROM base b JOIN med m ON b.flag = m.flag
+    ),
+    mad AS (
+      SELECT flag, quantile_cont(d, 0.5) AS mad_cents FROM dev GROUP BY flag
+    )
+    SELECT d.flag AS l_returnflag,
+           MIN(d.med_cents) AS med_cents,
+           MIN(a.mad_cents) AS mad_cents,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN d.d > 4.4478 * a.mad_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+           ROUND(CAST(SUM(CASE WHEN d.d > 4.4478 * a.mad_cents
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS outlier_share
+    FROM dev d JOIN mad a ON d.flag = a.flag
+    GROUP BY d.flag ORDER BY l_returnflag
+    """,
+    tags=("quality", "extension"),
+)
+def price_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report per return flag
+    (quality.mad_outlier_report): median and MAD of l_extendedprice in
+    integer cents, plus how many rows sit beyond median +/- 3
+    sigma-equivalents (4.4478 * MAD) — the screen whose cutoffs the
+    outliers themselves cannot drag, unlike mean/stddev. Cents
+    scaling makes every interpolated median an exact multiple of 0.5
+    in IEEE double, so the DuckDB oracle replays the whole report
+    bit-exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return mad_outlier_report(
+        li, "l_extendedprice", ("l_returnflag",)
+    ).orderBy("l_returnflag")
+
+
+# The HLL register replay shared with hll_distinct_parts
+# (extensions5.py): md5 'hll:' prefix, 16-bit bucket prefix mod 1024,
+# 12-hex-digit leading-zero rank, alpha_m * m^2 = 4.253321908301858e+20.
+_HLL_REGS_SQL = """
+      SELECT bucket, MAX(rho) AS rho FROM (
+        SELECT CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 1024 AS bucket,
+               CASE WHEN length(s) = 0 THEN 49
+                    ELSE (12 - length(s)) * 4
+                         + CASE WHEN CAST(('0x' || substr(s, 1, 1)) AS BIGINT) >= 8 THEN 0
+                                WHEN CAST(('0x' || substr(s, 1, 1)) AS BIGINT) >= 4 THEN 1
+                                WHEN CAST(('0x' || substr(s, 1, 1)) AS BIGINT) >= 2 THEN 2
+                                ELSE 3 END + 1
+               END AS rho
+        FROM (
+          SELECT h, regexp_replace(substr(h, 5, 12), '^0*', '') AS s
+          FROM (SELECT md5('hll:' || tok) AS h FROM {src})
+        )
+      ) GROUP BY bucket
+"""
+
+_HLL_EST_SQL = """
+      SELECT CAST(FLOOR(4.253321908301858e+20 / CAST(
+               CAST(SUM(CAST(POWER(2, 49 - rho) AS BIGINT)) AS BIGINT)
+               + (1024 - COUNT(*)) * 562949953421312 AS DOUBLE)) AS BIGINT) AS est
+      FROM {regs}
+"""
+
+
+@register(
+    "hll_token_overlap_sources",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(
+               regexp_replace(text, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+')) AS tok
+      FROM documents
+    ),
+    ta AS (SELECT tok FROM toks WHERE source = 'src0' AND tok <> ''),
+    tb AS (SELECT tok FROM toks WHERE source <> 'src0' AND tok <> ''),
+    ra AS ({_HLL_REGS_SQL.format(src="ta")}),
+    rb AS ({_HLL_REGS_SQL.format(src="tb")}),
+    ru AS (
+      SELECT bucket, MAX(rho) AS rho
+      FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+      GROUP BY bucket
+    ),
+    ea AS ({_HLL_EST_SQL.format(regs="ra")}),
+    eb AS ({_HLL_EST_SQL.format(regs="rb")}),
+    eu AS ({_HLL_EST_SQL.format(regs="ru")})
+    SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+           GREATEST(CAST(0 AS BIGINT), ea.est + eb.est - eu.est) AS est_intersect,
+           ROUND(CAST(GREATEST(CAST(0 AS BIGINT), ea.est + eb.est - eu.est) AS DOUBLE)
+                 / CAST(eu.est AS DOUBLE), 4) AS jaccard_est
+    FROM ea CROSS JOIN eb CROSS JOIN eu
+    """,
+    tags=("sketch", "approx", "extension"),
+)
+def hll_token_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token overlap between the src0 corpus and the rest
+    (sketches.hll_set_algebra): each side keeps an O(m)=1024-row HLL
+    register file; the union sketch is their lossless max-merge; the
+    intersection estimate is inclusion-exclusion over the three raw
+    estimates — answering "how much vocabulary do two corpora share?"
+    at 100 TB from two sketches, with no token join and no rescan.
+    Every column (including the floor'd raw estimates) is bit-exactly
+    oracled via the md5 register replay shared with
+    hll_distinct_parts."""
+    from corral_spark.materialize import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    # ONE scan builds both sides' registers (grouped by a side flag —
+    # the single-scan discipline hll_merged_slices settled on), then
+    # the 2*1024-row register file is materialized once: the three
+    # estimate readouts (A, B, union) each consume it, and without the
+    # barrier each would re-run the token explode over the corpus.
+    toks = docs.select(
+        F.when(F.col("source") == "src0", "a").otherwise("b").alias("side"),
+        F.explode(tokenize(F.col("text"))).alias("tok"),
+    )
+    regs = materialize(hll_registers(toks, "tok", ("side",)), eager=True)
+    ra = regs.filter(F.col("side") == "a").drop("side")
+    rb = regs.filter(F.col("side") == "b").drop("side")
+    return hll_set_algebra(ra, rb)
+
+
+@register(
+    "part_bfs_hops",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    seeds AS (
+      SELECT DISTINCT l_partkey AS node FROM lineitem
+      WHERE l_partkey % 97 = 0
+    ),
+    walk(node, hops) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT s.v, w.hops + 1
+      FROM walk w JOIN sym s ON s.u = w.node
+      WHERE w.hops < 3
+    )
+    SELECT node, CAST(MIN(hops) AS INT) AS hops
+    FROM walk GROUP BY node ORDER BY node
+    """,
+    tags=("graph", "extension"),
+)
+def part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum co-order hop distance (graph.bfs_hops, <= 3 hops) from
+    the seed parts (partkey % 97 == 0) over the "appeared in the same
+    order" part graph — the seeded Pregel-shape traversal
+    (contamination blast radius, related-item expansion) that
+    complements connected_components. Each iteration joins only the
+    newest frontier against the edge list and exits early when a
+    frontier is empty; integer hop labels over deterministic joins,
+    replayed exactly by the oracle's depth-bounded recursive CTE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        li.filter(F.col("l_partkey") % 97 == 0)
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+    out = bfs_hops(edges, seeds, max_hops=3)
+    return out.select(
+        "node", F.col("hops").cast("int").alias("hops")
+    ).orderBy("node")
+
+
+@register(
+    "event_funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS step, COUNT(*) AS users FROM v
+    UNION ALL
+    SELECT 2 AS stage, 'click_after_view' AS step, COUNT(*) AS users FROM c
+    UNION ALL
+    SELECT 3 AS stage, 'purchase_after_click' AS step, COUNT(*) AS users FROM p
+    ORDER BY stage
+    """,
+    tags=("events", "extension"),
+)
+def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users who
+    viewed, then clicked strictly after their first view, then
+    purchased strictly after that first qualifying click — the
+    min-timestamp stage-chaining form (each stage is one equi-join on
+    user_id + partial-aggregated MIN, so the plan is three bounded
+    shuffles on the same key, no window over the full stream). The
+    micros-truncated timestamps compare identically in both engines,
+    so stage populations are exact."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = [
+        v.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(1).alias("stage"), F.lit("view").alias("step"), "users"
+        ),
+        c.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(2).alias("stage"),
+            F.lit("click_after_view").alias("step"),
+            "users",
+        ),
+        p.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(3).alias("stage"),
+            F.lit("purchase_after_click").alias("step"),
+            "users",
+        ),
+    ]
+    return stage[0].unionByName(stage[1]).unionByName(stage[2]).orderBy(
+        "stage"
+    )

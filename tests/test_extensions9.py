@@ -1,0 +1,183 @@
+"""Round-7 third-wave operators: histogram sketch, HLL set algebra,
+multi-source BFS, MAD outlier report, event funnel.
+
+The registry oracles prove cross-engine exactness (test_correctness);
+these tests pin the ALGEBRAIC laws the oracles cannot see: histogram
+mergeability and quantile error bounds, HLL intersection sanity
+against true overlap, BFS distances on a hand-built graph with an
+unreachable island, and the MAD screen flagging a planted spike while
+a mean/stddev rule is dragged by it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from corral_spark.operators.graph import bfs_hops
+from corral_spark.operators.quality import mad_outlier_report
+from corral_spark.operators.sketches import (
+    histogram_merge,
+    histogram_quantiles,
+    histogram_sketch,
+    hll_registers,
+    hll_set_algebra,
+)
+
+# ---------------------------------------------------------------- histogram
+
+
+def test_histogram_merge_equals_whole(spark):
+    """Sketch-of-union == merge-of-sketches, the composability that
+    lets 100 TB be histogrammed per-partition and combined."""
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") % 83).cast("double").alias("v")
+    )
+    a, b = df.filter(F.col("id") % 2 == 0), df.filter(F.col("id") % 2 == 1)
+    whole = histogram_sketch(df, "v", 0.0, 100.0, 32, ("g",))
+    merged = histogram_merge(
+        histogram_sketch(a, "v", 0.0, 100.0, 32, ("g",)),
+        histogram_sketch(b, "v", 0.0, 100.0, 32, ("g",)),
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_histogram_quantile_within_one_bin(spark):
+    """The readout is >= the true quantile and < one bin width above
+    it (the declared precision contract)."""
+    n, nbins, lo, hi = 10_000, 64, 0.0, 1000.0
+    df = spark.range(n).select((F.col("id") % 1000).cast("double").alias("v"))
+    hist = histogram_sketch(df, "v", lo, hi, nbins)
+    row = histogram_quantiles(hist, lo, hi, nbins, (0.5, 0.9)).collect()[0]
+    width = (hi - lo) / nbins
+    for q, got in ((0.5, row.q50), (0.9, row.q90)):
+        true_q = q * 1000  # uniform 0..999
+        assert true_q - 1 <= got <= true_q + width + 1
+
+
+def test_histogram_clamps_out_of_range(spark):
+    """Values outside [lo, hi) land in the edge bins — counted, never
+    dropped (sum of counts == row count)."""
+    df = spark.range(100).select(
+        (F.col("id").cast("double") - 50.0).alias("v")  # -50..49
+    )
+    hist = histogram_sketch(df, "v", 0.0, 10.0, 4)
+    rows = {r.bin: r.cnt for r in hist.collect()}
+    assert sum(rows.values()) == 100
+    assert rows[0] >= 50  # all negatives clamp into bin 0
+    assert rows[3] >= 40  # all >= 10 clamp into the top bin
+
+
+def test_histogram_rejects_bad_range():
+    with pytest.raises(ValueError):
+        histogram_sketch(None, "v", 5.0, 5.0, 4)
+    with pytest.raises(ValueError):
+        histogram_sketch(None, "v", 0.0, 1.0, 0)
+
+
+# ---------------------------------------------------------------- hll algebra
+
+
+def test_hll_set_algebra_tracks_true_overlap(spark):
+    """Two overlapping integer sets: every estimate within the ~3.25%
+    HLL band (m=1024) of truth, intersection within the looser
+    inclusion-exclusion band, and the union estimate never exceeds
+    est_a + est_b."""
+    a = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    b = spark.range(10_000, 30_000).select(F.col("id").alias("k"))
+    out = hll_set_algebra(
+        hll_registers(a, "k"), hll_registers(b, "k")
+    ).collect()[0]
+    assert abs(out.est_a - 20_000) / 20_000 < 0.15
+    assert abs(out.est_b - 20_000) / 20_000 < 0.15
+    assert abs(out.est_union - 30_000) / 30_000 < 0.15
+    assert abs(out.est_intersect - 10_000) / 10_000 < 0.5
+    assert out.est_union <= out.est_a + out.est_b
+    assert 0.0 <= out.jaccard_est <= 1.0
+
+
+def test_hll_set_algebra_disjoint_never_negative(spark):
+    """Disjoint sets: inclusion-exclusion can go negative on sketch
+    noise; the operator clamps at 0."""
+    a = spark.range(0, 5_000).select(F.col("id").alias("k"))
+    b = spark.range(100_000, 105_000).select(F.col("id").alias("k"))
+    out = hll_set_algebra(
+        hll_registers(a, "k"), hll_registers(b, "k")
+    ).collect()[0]
+    assert out.est_intersect >= 0
+    assert out.est_intersect < 1_000  # small vs the 5k sides
+
+
+def test_hll_set_algebra_grouped(spark):
+    """group_cols path: per-group joins line up and identical sides
+    give est_intersect ~ est_union (Jaccard ~ 1)."""
+    df = spark.range(4_000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("k")
+    )
+    regs = hll_registers(df, "k", ("g",))
+    out = {r.g: r for r in hll_set_algebra(regs, regs, ("g",)).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r.est_a == r.est_b == r.est_union == r.est_intersect
+        assert r.jaccard_est == 1.0
+
+
+# ---------------------------------------------------------------- bfs
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def test_bfs_hand_graph(spark):
+    """Path 1-2-3-4-5 seeded at 1, plus an island 10-11: exact hop
+    labels, bounded depth, island absent."""
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops: beyond bound
+    assert 10 not in got and 11 not in got
+
+
+def test_bfs_multi_seed_takes_min(spark):
+    """Two seeds on one path: every node gets the distance to its
+    NEAREST seed (multi-source min semantics)."""
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,), (5,)], ["node"])
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_early_exit_on_empty_frontier(spark):
+    """A closed triangle exhausts in 1 hop; max_hops=10 must not pad
+    distances or loop (revisits are anti-joined away)."""
+    edges = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------- mad
+
+
+def test_mad_flags_planted_spike(spark):
+    """99 values near 100 plus one 10000x spike: MAD flags exactly the
+    spike; the mean/stddev z-score rule would be dragged by it (the
+    spike inflates stddev so much its own z barely clears 3 on tiny n
+    — the classic masking failure MAD exists to avoid)."""
+    vals = [(float(100 + (i % 5)),) for i in range(99)] + [(1_000_000.0,)]
+    df = spark.createDataFrame(vals, ["v"])
+    row = mad_outlier_report(df, "v").collect()[0]
+    assert row.n == 100
+    assert row.outliers == 1
+    assert row.med_cents == pytest.approx(10200, abs=100)
+
+
+def test_mad_constant_column_no_outliers(spark):
+    """MAD == 0 on a constant column: nothing exceeds a zero band
+    (strict > keeps the report sane instead of flagging everything)."""
+    df = spark.createDataFrame([(42.0,)] * 50, ["v"])
+    row = mad_outlier_report(df, "v").collect()[0]
+    assert row.mad_cents == 0.0 and row.outliers == 0
