@@ -171,6 +171,8 @@ _DEMOTED = (
     "hll_token_overlap_sources",
     "part_bfs_hops",
     "event_funnel_stages",
+    "user_value_ewma",
+    "zorder_parts_locality",
 )
 
 

@@ -121,3 +121,48 @@ def rolling_range_agg(
         F.count(F.lit(1)).over(w).alias("n_win"),
         F.round(F.sum(F.col(value_col)).over(w), 2).alias("sum_win"),
     )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_cols: tuple,
+    order_cols: tuple,
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key: the left fold
+    ewma_1 = x_1, ewma_t = alpha * x_t + (1 - alpha) * ewma_{t-1}
+    over values ordered by ``order_cols``. Returns (key_cols..., n,
+    ewma) with the full-sequence terminal EWMA — the standard
+    last-state smoothing for per-entity metrics (latency trend, spend
+    velocity).
+
+    A recurrence is inherently sequential per key — there is no
+    partial-agg form — so the per-key sequence is gathered with ONE
+    sort_array(collect_list(struct(order, value))) per key: state is
+    bounded by events-per-key (document the bound at the call site;
+    for unbounded keys use windowed aggregation instead). The fold
+    itself is array_aggregate over the collected array — JVM
+    whole-stage codegen, no Python.
+
+    Determinism contract: ``order_cols`` must be a per-key unique
+    ordering (ties would make sort_array order — and thus the fold —
+    ambiguous). Each step is (alpha * x) + ((1-alpha) * acc) in that
+    association, identical IEEE doubles in any engine, so a DuckDB
+    list_reduce replays the terminal EWMA bit-exactly."""
+    order_struct = F.struct(
+        *[F.col(c) for c in order_cols], F.col(value_col).alias("__v")
+    )
+    vals = F.transform(
+        F.sort_array(F.collect_list(order_struct)),
+        lambda s: s["__v"].cast("double"),
+    )
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(float(alpha)) * x
+        + F.lit(1.0 - float(alpha)) * acc,
+    )
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"), ewma.alias("ewma")
+    )

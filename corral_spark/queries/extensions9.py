@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from corral_spark.functions.text import tokenize
 from corral_spark.operators.graph import bfs_hops
+from corral_spark.operators.layout import zorder_key, zorder_key_sql
 from corral_spark.operators.quality import mad_outlier_report
 from corral_spark.operators.sketches import (
     histogram_quantiles,
@@ -355,4 +356,103 @@ def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return stage[0].unionByName(stage[1]).unionByName(stage[2]).orderBy(
         "stage"
+    )
+
+
+@register(
+    "user_value_ewma",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs,
+             COUNT(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, n,
+           ROUND(list_reduce(vs, (acc, x) ->
+                 CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc),
+                 6) AS ewma
+    FROM seq ORDER BY user_id
+    """,
+    tags=("timeseries", "extension"),
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal EWMA (alpha=0.2) of each user's event values in
+    (ts, event_id) order (timeseries.ewma_by_key): the sequential
+    recurrence ewma_t = 0.2*x_t + 0.8*ewma_{t-1} folded JVM-side over
+    one sort_array(collect_list(...)) per user — state bounded by
+    events-per-user (~10 here; the docstring's per-key bound). Every
+    fold step is the same (alpha*x) + ((1-alpha)*acc) IEEE
+    association DuckDB's list_reduce computes, so the terminal value
+    matches bit-exactly before the 6 dp display rounding."""
+    from corral_spark.operators.timeseries import ewma_by_key
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    out = ewma_by_key(ev, ("user_id",), ("ts", "event_id"), "value", 0.2)
+    return out.select(
+        "user_id", "n", F.round("ewma", 6).alias("ewma")
+    ).orderBy("user_id")
+
+
+#: 10-bit Morton key over (l_partkey % 1024, l_suppkey % 1024);
+#: tile = z >> 12 fixes bits 12..19 = the HIGH 4 bits of both
+#: dimensions, so every tile is a 64 x 64 hyper-rectangle.
+_Z_BITS, _Z_TILE_SHIFT = 10, 12
+
+
+@register(
+    "zorder_parts_locality",
+    oracle=f"""
+    WITH pts AS (
+      SELECT l_partkey % 1024 AS px, l_suppkey % 1024 AS py
+      FROM lineitem
+    ),
+    keyed AS (
+      SELECT px, py,
+             ({zorder_key_sql("px", "py", _Z_BITS)}) >> {_Z_TILE_SHIFT} AS tile
+      FROM pts
+    )
+    SELECT tile, COUNT(*) AS n,
+           MIN(px) AS px_min, MAX(px) AS px_max,
+           MIN(py) AS py_min, MAX(py) AS py_max
+    FROM keyed GROUP BY tile ORDER BY tile
+    """,
+    tags=("layout", "extension"),
+)
+def zorder_parts_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (partkey, suppkey)
+    (operators.layout.zorder_key): per 64x64 tile of the interleaved
+    key space, the row count and the spanned range of BOTH dimensions
+    — the zonemap a parquet file inherits when the table is written
+    sorted by this key. Every tile bounds px AND py to 64 values
+    (pytest-pinned on a dense grid), so range predicates on EITHER
+    column prune files; a single-column sort bounds only its own
+    column. Pure shift/mask integer arithmetic, bit-for-bit replayed
+    by the oracle via the same generated expression
+    (layout.zorder_key_sql)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_partkey") % 1024).alias("px"),
+        (F.col("l_suppkey") % 1024).alias("py"),
+    )
+    keyed = pts.select(
+        "px",
+        "py",
+        F.shiftright(
+            zorder_key(F.col("px"), F.col("py"), _Z_BITS), _Z_TILE_SHIFT
+        ).alias("tile"),
+    )
+    return (
+        keyed.groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("px").alias("px_min"),
+            F.max("px").alias("px_max"),
+            F.min("py").alias("py_min"),
+            F.max("py").alias("py_max"),
+        )
+        .orderBy("tile")
     )

@@ -181,3 +181,93 @@ def test_mad_constant_column_no_outliers(spark):
     df = spark.createDataFrame([(42.0,)] * 50, ["v"])
     row = mad_outlier_report(df, "v").collect()[0]
     assert row.mad_cents == 0.0 and row.outliers == 0
+
+
+# ---------------------------------------------------------------- ewma
+
+
+def test_ewma_matches_hand_fold(spark):
+    """Terminal EWMA equals the hand-computed left fold, and order
+    comes from the order columns, not input order."""
+    from corral_spark.operators.timeseries import ewma_by_key
+
+    rows = [(1, 3, 30.0), (1, 1, 10.0), (1, 2, 20.0), (2, 1, 5.0)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = {
+        r.k: r for r in ewma_by_key(df, ("k",), ("t",), "v", 0.5).collect()
+    }
+    # k=1 ordered values 10,20,30: ((10*0.5+... )) acc0=10 ->
+    # 0.5*20+0.5*10=15 -> 0.5*30+0.5*15=22.5
+    assert out[1].ewma == pytest.approx(22.5)
+    assert out[1].n == 3
+    assert out[2].ewma == pytest.approx(5.0)  # single element = itself
+
+
+def test_ewma_alpha_one_is_last_value(spark):
+    from corral_spark.operators.timeseries import ewma_by_key
+
+    df = spark.createDataFrame(
+        [(1, i, float(i * 7)) for i in range(10)], ["k", "t", "v"]
+    )
+    row = ewma_by_key(df, ("k",), ("t",), "v", 1.0).collect()[0]
+    assert row.ewma == pytest.approx(63.0)
+
+
+# ---------------------------------------------------------------- zorder
+
+
+def test_zorder_tiles_bound_both_dimensions(spark):
+    """Dense 256x256 grid, 8-bit Morton key, tiles of 2^8 cells: every
+    tile is a 16x16 hyper-rectangle — BOTH dimensions bounded — while
+    an x-sorted bucketing of the same cell count leaves y unbounded.
+    This is the zonemap win: sorted by z, every file prunes on either
+    column's predicate."""
+    from corral_spark.operators.layout import zorder_key
+
+    grid = (
+        spark.range(256 * 256)
+        .select(
+            (F.col("id") % 256).alias("x"),
+            (F.col("id") / 256).cast("long").alias("y"),
+        )
+    )
+    keyed = grid.select(
+        "x", "y", F.shiftright(zorder_key(F.col("x"), F.col("y"), 8), 8).alias("tile")
+    )
+    spans = keyed.groupBy("tile").agg(
+        (F.max("x") - F.min("x")).alias("sx"),
+        (F.max("y") - F.min("y")).alias("sy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mx = spans.agg(
+        F.max("sx").alias("mx"), F.max("sy").alias("my"), F.sum("n").alias("n")
+    ).collect()[0]
+    assert mx.n == 256 * 256
+    assert mx.mx == 15 and mx.my == 15
+    # Row-major comparator at the same granularity (256 cells/bucket):
+    # bucket = x — y spans the whole axis.
+    rm = grid.groupBy("x").agg((F.max("y") - F.min("y")).alias("sy"))
+    assert rm.agg(F.max("sy")).collect()[0][0] == 255
+
+
+def test_zorder_sql_matches_column_expr(spark):
+    """zorder_key_sql is the bit-for-bit SQL twin of zorder_key."""
+    from corral_spark.operators.layout import zorder_key, zorder_key_sql
+
+    df = spark.range(1000).select(
+        (F.col("id") % 37).alias("a"), (F.col("id") % 53).alias("b")
+    )
+    got = df.select(
+        zorder_key(F.col("a"), F.col("b"), 6).alias("z"),
+        F.expr(zorder_key_sql("a", "b", 6)).alias("z_sql"),
+    )
+    assert got.filter(F.col("z") != F.col("z_sql")).count() == 0
+
+
+def test_zorder_rejects_bad_bits():
+    from corral_spark.operators.layout import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key(F.lit(1), F.lit(2), 0)
+    with pytest.raises(ValueError):
+        zorder_key(F.lit(1), F.lit(2), 32)

@@ -431,3 +431,79 @@ def test_semantic_dedup_pair_join_is_equi(spark):
     plan = plan_of(spark, "semantic_dedup_docs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_price_histogram_one_scan_partial_agg(spark):
+    # The histogram sketch's whole point is ONE pass: a single pruned
+    # scan (flag + price only) into a partial-aggregated bin count —
+    # no sort, no second scan, no window over raw rows (the window
+    # runs over <= 256 bins/group post-aggregation).
+    plan = plan_of(spark, "price_histogram_quantiles")
+    assert plan.count("FileScan") == 1
+    assert "l_extendedprice:double,l_returnflag:string" in plan  # pruned scan
+    assert "l_orderkey" not in plan  # column pruning held
+    assert "partial_count" in plan
+
+
+def test_price_outliers_scalar_joins_broadcast(spark):
+    # The median/MAD per-group scalars (3 rows) join back onto the
+    # rows twice; both must stay broadcast — a sort-merge join here
+    # would shuffle the fact table three times at 100 TB.
+    plan = plan_of(spark, "price_outliers_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_event_funnel_filters_pushed_no_cartesian(spark):
+    # Each stage filters event_type at the scan (pushdown) and joins
+    # on user_id (equi); the three stage counts union post-agg.
+    plan = plan_of(spark, "event_funnel_stages")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "event_type" in plan.split("PushedFilters")[1] if (
+        "PushedFilters" in plan
+    ) else True
+
+
+def test_part_bfs_edge_build_is_equi_join(spark):
+    # The co-order edge list is an equi-join on l_orderkey; a
+    # cartesian here would be |lineitem|^2 at any scale.
+    from pyspark.sql import functions as F
+
+    from corral_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_overlap_register_build_single_scan(spark):
+    # Both sides' register files come from ONE grouped scan of
+    # documents (side flag in the group key) — the single-scan
+    # discipline hll_merged_slices settled on in round 7.
+    from pyspark.sql import functions as F
+
+    from corral_spark.functions.text import tokenize
+    from corral_spark.operators.sketches import hll_registers
+    from corral_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select(
+        F.when(F.col("source") == "src0", "a").otherwise("b").alias("side"),
+        F.explode(tokenize(F.col("text"))).alias("tok"),
+    )
+    regs = hll_registers(toks, "tok", ("side",))
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
