@@ -67,19 +67,16 @@ def write_range_clustered(
 
 def _morton_interleave(nx, ny, bits: int):
     """Z-order key: interleave ``bits`` bits of two bigint columns
-    (x at odd positions, y at even) — pure codegen'd bit expression,
-    shared by both z-order writers so the key construction cannot
-    drift between them."""
-    from pyspark.sql import functions as F
+    (x at odd positions, y at even) — delegates to the canonical
+    column-level Morton key (`operators.layout.zorder_key`, whose SQL
+    twin the zorder_parts_locality oracle replays) so the key
+    construction cannot drift between the writers and the analytic
+    surface. zorder_key puts its FIRST argument at even positions, so
+    the historical (x-odd, y-even) convention here maps to
+    zorder_key(y, x)."""
+    from corral_spark.operators.layout import zorder_key
 
-    z = F.lit(0).cast("bigint")
-    for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(nx, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(ny, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
-    return z
+    return zorder_key(ny, nx, bits)
 
 
 def write_zorder_clustered(
