@@ -173,6 +173,8 @@ _DEMOTED = (
     "event_funnel_stages",
     "user_value_ewma",
     "zorder_parts_locality",
+    "cdc_chunk_dedup_docs",
+    "pq_ann_topk",
 )
 
 

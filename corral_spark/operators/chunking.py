@@ -93,3 +93,69 @@ def pack_sequences(
         (excl / budget).cast("bigint").alias("pack_id"),
         (excl % budget).cast("bigint").alias("pack_offset"),
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_k: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC idea at word
+    granularity): cut each document after word j+k whenever the hash
+    of the k-word window starting at j satisfies hash % divisor == 0.
+    Because a cut depends only on the LOCAL window content, inserting
+    or deleting words perturbs only the chunk containing the edit —
+    every later chunk re-aligns and hashes identically, which is what
+    makes exact chunk-hash dedup catch PARTIAL duplicates (shared
+    boilerplate tails, quoted passages) that fixed-width chunking
+    misses after any offset shift (pytest-pinned shift-resilience).
+
+    Expected chunk length ~ divisor words. Documents shorter than
+    ``window_k`` words form a single chunk. Output: (id_col,
+    chunk_id, chunk_text, chunk_hash, n_words), one row per chunk;
+    empty tail chunks (a cut at the final window) are dropped on both
+    engine and oracle sides.
+
+    Pure Catalyst expressions end-to-end — window hashes, cut
+    positions, and chunk slices are array transforms inside one
+    projection (cost linear in corpus words, no shuffle), and the
+    md5-derived cut rule is bit-replayable by a SQL oracle.
+    """
+    if window_k < 1 or divisor < 1:
+        raise ValueError("need window_k >= 1 and divisor >= 1")
+    k = window_k
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n = F.size(words)
+
+    def _cut(j: Column) -> Column:
+        gram = F.concat_ws(" ", F.slice(words, j + 1, k))
+        h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+        return h % divisor == 0
+
+    bpos = F.when(
+        n >= k, F.filter(F.sequence(F.lit(0), n - k), _cut)
+    ).otherwise(F.array().cast("array<int>"))
+    nb = F.size(bpos)
+
+    def _start(c: Column) -> Column:
+        return F.when(c == 0, F.lit(0)).otherwise(F.element_at(bpos, c) + k)
+
+    def _end(c: Column) -> Column:
+        return F.when(c == nb, n).otherwise(F.element_at(bpos, c + 1) + k)
+
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), nb),
+        lambda c: F.slice(words, _start(c) + 1, _end(c) - _start(c)),
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("chunk_id", "__w")
+    ).filter(F.size("__w") > 0)
+    return ex.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join("__w", " ").alias("chunk_text"),
+        F.md5(F.array_join("__w", " ")).alias("chunk_hash"),
+        F.size("__w").cast("int").alias("n_words"),
+    )

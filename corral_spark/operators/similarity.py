@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from corral_spark.functions.vectors import cosine_sim
+from corral_spark.functions.vectors import cosine_sim, dot
 
 
 def _as_double(col):
@@ -335,4 +335,168 @@ def ivf_topk(
         scored.select("query_id", id_col, sim.alias("sim"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the billion-vector compression step.
+#
+# Split the D-dim space into m_sub subspaces and quantize each
+# subvector to one of ksub codebook entries: a vector becomes m_sub
+# small integer codes (here 4 codes over 64 dims = 32x smaller than
+# float32), and approximate inner products against a query need only
+# a per-query lookup table of subspace dot products (ADC —
+# asymmetric distance computation). At 100 TB of embeddings this is
+# the difference between scanning floats and scanning bytes: the
+# corpus is encoded ONCE, queries broadcast their tiny LUTs, and the
+# score join moves integer codes, never vectors.
+#
+# Determinism/oracle contract (the ivf_topk discipline): codebooks
+# are the subvectors of the first ksub corpus vectors by id;
+# assignments argmax a 6dp-rounded dot (ties to the lowest code); ADC
+# terms are integer MICRO-units (round(dot * 1e6) as BIGINT), so
+# per-candidate scores are exact integer sums — order-independent,
+# rank-stable, and bit-replayable by a SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+def _subvectors(vec_col, m_sub: int, dsub: int):
+    """array of m_sub dsub-wide slices of a vector column."""
+    v = _as_double(vec_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.slice(v, m * dsub + 1, dsub),
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m_sub: int = 4,
+    ksub: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks: subspace m's codebook is the m-th
+    subvector of the first ``ksub`` corpus vectors by id (code =
+    dense rank 0..ksub-1 — the deterministic_centroids discipline,
+    reproducible with no RNG and replayable by an oracle). Output:
+    (m, code, subvec). Real deployments Lloyd-refine these per
+    subspace on a sample; the plumbing is identical."""
+    if dims % m_sub != 0:
+        raise ValueError("m_sub must divide dims")
+    dsub = dims // m_sub
+    from pyspark.sql.window import Window
+
+    first = (
+        corpus.orderBy(F.asc(id_col))
+        .limit(ksub)
+        .select(
+            (
+                F.row_number().over(Window.orderBy(F.asc(id_col))) - 1
+            ).alias("code"),
+            F.col(vec_col),
+        )
+    )
+    return first.select(
+        "code",
+        F.posexplode(_subvectors(F.col(vec_col), m_sub, dsub)).alias(
+            "m", "subvec"
+        ),
+    ).select("m", "code", "subvec")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m_sub: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector as m_sub integer codes: per
+    subspace, the code maximizing the 6dp-rounded dot with the
+    subvector (ties to the LOWEST code — cross-engine stable).
+    Codebooks broadcast; argmax is one partial-aggregating max_by per
+    (vector, subspace); no corpus shuffle beyond the code collapse.
+    Output: (id_col, codes array<int> ordered by subspace)."""
+    dsub = dims // m_sub
+    sub = corpus.select(
+        F.col(id_col),
+        F.posexplode(_subvectors(F.col(vec_col), m_sub, dsub)).alias(
+            "m", "__x"
+        ),
+    )
+    scored = sub.join(F.broadcast(codebooks), "m")
+    sim = F.round(dot(F.col("__x"), F.col("subvec")), 6)
+    best = F.max_by(
+        F.col("code"), F.struct(sim.alias("s"), (-F.col("code")).alias("t"))
+    )
+    per_m = scored.groupBy(id_col, "m").agg(best.alias("code"))
+    return per_m.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda s: s.getField("code"),
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m_sub: int = 4,
+    ksub: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """ADC top-k: approximate inner-product search over the PQ-encoded
+    corpus. Each query precomputes its LUT of subspace dot products
+    against the codebooks in integer micro-units; candidates score by
+    summing m_sub LUT entries matched on (subspace, code) — a
+    broadcast equi-join moving only integer codes. Scores are exact
+    BIGINT sums (order-independent), ranks break ties by candidate
+    id, so the whole readout is bit-replayable. Output: (qid_col,
+    id_col, score_micro, rnk <= k)."""
+    from pyspark.sql.window import Window
+
+    dsub = dims // m_sub
+    cb = pq_codebooks(corpus, m_sub, ksub, dims, id_col, vec_col)
+    codes = pq_encode(corpus, cb, m_sub, dims, id_col, vec_col)
+    qsub = queries.select(
+        F.col(qid_col),
+        F.posexplode(_subvectors(F.col(vec_col), m_sub, dsub)).alias(
+            "m", "__q"
+        ),
+    )
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        qid_col,
+        "m",
+        "code",
+        F.round(dot(F.col("__q"), F.col("subvec")) * 1e6, 0)
+        .cast("long")
+        .alias("t_micro"),
+    )
+    cand = codes.select(
+        F.col(id_col), F.posexplode("codes").alias("m", "code")
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["m", "code"])
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("t_micro").alias("score_micro"))
+    )
+    if exclude_self:
+        # Queries drawn from the corpus itself (the benchmark shape):
+        # a vector is trivially its own best match — drop it.
+        scored = scored.filter(F.col(id_col) != F.col(qid_col))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(qid_col, id_col, "score_micro", "rnk")
     )

@@ -456,3 +456,150 @@ def zorder_parts_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile")
     )
+
+
+@register(
+    "cdc_chunk_dedup_docs",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, ws, len(ws) AS n FROM base),
+    b AS (
+      SELECT doc_id, ws, n,
+             CASE WHEN n >= 4 THEN
+               list_filter(range(0, n - 4 + 1),
+                 j -> CAST(('0x' || substr(md5(
+                        array_to_string(ws[j+1:j+4], ' ')), 1, 8))
+                      AS BIGINT) % 16 = 0)
+             ELSE CAST([] AS BIGINT[]) END AS bpos
+      FROM sized
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               list_transform(range(0, len(bpos) + 1),
+                 c -> array_to_string(
+                        ws[(CASE WHEN c = 0 THEN 0
+                                 ELSE bpos[c] + 4 END) + 1 :
+                           (CASE WHEN c = len(bpos) THEN n
+                                 ELSE bpos[c+1] + 4 END)],
+                        ' ')),
+               t -> t <> '')) AS chunk_text
+      FROM b
+    ),
+    hashed AS (SELECT doc_id, md5(chunk_text) AS h FROM chunks),
+    nd AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM hashed GROUP BY h)
+    SELECT hashed.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS shared_chunks
+    FROM hashed JOIN nd ON hashed.h = nd.h
+    GROUP BY hashed.doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "chunking", "extension"),
+)
+def cdc_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplicate detection via content-defined chunking
+    (chunking.content_defined_chunks, k=4 window, divisor=16): every
+    document is cut where the local 4-word window hash lands on
+    0 mod 16, chunks are hashed exactly, and each doc reports how
+    many of its chunks also appear in at least one OTHER document —
+    the chunk-granular dedup signal that catches shared boilerplate
+    tails and quoted passages that document-level MinHash scores too
+    low and fixed-width chunking loses to offset shift. Chunking is
+    one scan-side projection (no shuffle); the dedup join shuffles
+    only (hash, doc) pairs. The md5 cut rule and chunk slices are
+    bit-replayed by the oracle."""
+    from corral_spark.operators.chunking import content_defined_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = content_defined_chunks(docs, "text", "doc_id")
+    nd = ch.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    return (
+        ch.join(nd, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("ndocs") >= 2).cast("int")).alias("shared_chunks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pq_ann_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ),
+    cbv AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, ve
+      FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT 16)
+    ),
+    cb AS (
+      SELECT t.m, cbv.code, cbv.ve[t.m*16+1 : t.m*16+16] AS sv
+      FROM cbv, (SELECT unnest(range(0, 4)) AS m) t
+    ),
+    sub AS (
+      SELECT v.vec_id, t.m, v.ve[t.m*16+1 : t.m*16+16] AS xv
+      FROM v, (SELECT unnest(range(0, 4)) AS m) t
+    ),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY round(list_inner_product(s.xv, cb.sv), 6) DESC,
+                          cb.code) AS rn
+        FROM sub s JOIN cb ON cb.m = s.m
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, ve FROM v WHERE vec_id < 5),
+    lut AS (
+      SELECT q.query_id, cb.m, cb.code,
+             CAST(round(list_inner_product(
+               q.ve[cb.m*16+1 : cb.m*16+16], cb.sv) * 1e6, 0) AS BIGINT) AS t
+      FROM q CROSS JOIN cb
+    ),
+    scored AS (
+      SELECT l.query_id, e.vec_id,
+             CAST(SUM(l.t) AS BIGINT) AS score_micro
+      FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, score_micro, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score_micro DESC, vec_id) AS rnk
+      FROM scored WHERE vec_id <> query_id
+    )
+    WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """,
+    tags=("similarity", "approx", "extension"),
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ADC top-10 for 5 query vectors
+    (similarity.pq_topk, 4 subspaces x 16 codes over 64 dims): the
+    corpus is encoded once into 4 small integer codes per vector (32x
+    smaller than float32), each query broadcasts a 64-entry lookup
+    table of subspace dot products in integer micro-units, and
+    candidates score by an exact BIGINT sum over a code equi-join —
+    the compression step that makes billion-vector search scan bytes
+    instead of floats. Codebooks, assignments (6dp-rounded argmax,
+    ties to lowest code), LUTs, and integer score sums are all
+    bit-replayed by the oracle."""
+    from corral_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return pq_topk(
+        emb, queries, k=10, exclude_self=True
+    ).orderBy("query_id", "rnk")

@@ -271,3 +271,142 @@ def test_zorder_rejects_bad_bits():
         zorder_key(F.lit(1), F.lit(2), 0)
     with pytest.raises(ValueError):
         zorder_key(F.lit(1), F.lit(2), 32)
+
+
+# ----------------------------------------------------------- cdc chunking
+
+
+def _cdc(spark, rows, **kw):
+    from corral_spark.operators.chunking import content_defined_chunks
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return content_defined_chunks(df, "text", "doc_id", **kw)
+
+
+def test_cdc_chunks_reconstruct_document(spark):
+    """Concatenating a doc's chunks in chunk_id order rebuilds the
+    word sequence exactly — cuts partition, never drop or repeat."""
+    text = " ".join(f"w{i * 7919 % 997}" for i in range(300))
+    out = _cdc(spark, [(1, text)]).orderBy("chunk_id").collect()
+    rebuilt = " ".join(r.chunk_text for r in out)
+    assert rebuilt == text
+    assert sum(r.n_words for r in out) == 300
+    assert len(out) > 3  # divisor=16 on 300 words must cut somewhere
+
+
+def test_cdc_shift_resilience_vs_fixed_width(spark):
+    """Prepend 3 words: content-defined cuts re-align, so almost all
+    original chunk hashes survive — while fixed-width (aligned)
+    chunking loses every chunk to the offset shift. This is the
+    operator's reason to exist."""
+    words = [f"w{i * 7919 % 997}" for i in range(300)]
+    orig = " ".join(words)
+    edited = "zz1 zz2 zz3 " + orig
+    rows = _cdc(spark, [(1, orig), (2, edited)]).collect()
+    h1 = {r.chunk_hash for r in rows if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in rows if r.doc_id == 2}
+    # Only the chunk(s) touching the edit can differ.
+    assert len(h1 & h2) >= len(h1) - 2
+    # Fixed-width comparator: 16-word aligned windows share nothing
+    # after a 3-word shift (words are all distinct within a period).
+    fixed1 = {" ".join(words[i : i + 16]) for i in range(0, 300, 16)}
+    shifted = ["zz1", "zz2", "zz3"] + words
+    fixed2 = {" ".join(shifted[i : i + 16]) for i in range(0, 303, 16)}
+    assert not (fixed1 & fixed2)
+
+
+def test_cdc_short_doc_single_chunk(spark):
+    """A doc shorter than the hash window is one whole-doc chunk."""
+    out = _cdc(spark, [(1, "just two")]).collect()
+    assert len(out) == 1
+    assert out[0].chunk_text == "just two" and out[0].chunk_id == 0
+
+
+def test_cdc_expected_chunk_length_tracks_divisor(spark):
+    """Mean chunk length ~ divisor words (loose 3x band) on varied
+    content — the cut rule actually fires at ~1/divisor rate."""
+    text = " ".join(f"t{i * 6007 % 1009}" for i in range(1000))
+    out = _cdc(spark, [(1, text)], divisor=8).collect()
+    mean = 1000 / len(out)
+    assert 8 / 3 <= mean <= 8 * 3
+
+
+def test_cdc_rejects_bad_args():
+    from corral_spark.operators.chunking import content_defined_chunks
+
+    with pytest.raises(ValueError):
+        content_defined_chunks(None, "t", "i", window_k=0)
+    with pytest.raises(ValueError):
+        content_defined_chunks(None, "t", "i", divisor=0)
+
+
+# ----------------------------------------------------------- pq
+
+
+def test_pq_codebook_vectors_encode_to_own_code(spark):
+    """A vector that IS codebook entry c must encode to [c,c,c,c] —
+    the quantizer is exact on its own centers."""
+    from corral_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_codebooks(emb)
+    codes = {
+        r.vec_id: r.codes
+        for r in pq_encode(emb.filter(F.col("vec_id") < 16), cb).collect()
+    }
+    assert all(codes[i] == [i] * 4 for i in range(16))
+
+
+def test_pq_recall_on_clustered_data(spark):
+    """Planted structure: corpus = 16 prototypes (ids 0..15, which
+    become the codebooks) plus noisy copies of each. A query at a
+    prototype must retrieve that prototype's copies — PQ's scores
+    collapse to the prototype dot products, so recall is 1.0 by
+    construction on this data."""
+    import random
+
+    from corral_spark.operators.similarity import pq_topk
+
+    rng = random.Random(7)
+    protos = []
+    for i in range(16):
+        v = [0.0] * 64
+        for d in range(64):
+            v[d] = rng.uniform(-1, 1)
+        protos.append(v)
+    rows = [(i, protos[i]) for i in range(16)]
+    nid = 16
+    owner = {}
+    for i in range(16):
+        for _ in range(5):
+            noisy = [x + rng.uniform(-1e-3, 1e-3) for x in protos[i]]
+            rows.append((nid, noisy))
+            owner[nid] = i
+            nid += 1
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(i, protos[i]) for i in range(3)], ["query_id", "embedding"]
+    )
+    got = pq_topk(corpus, queries, k=5, exclude_self=True).collect()
+    for r in got:
+        # every hit is a copy of the query's prototype (or the
+        # prototype itself was excluded as self; copies fill top-5)
+        assert owner.get(r.vec_id, r.vec_id % 16) == r.query_id
+
+
+def test_pq_codes_shape_and_range(spark):
+    from corral_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes = pq_encode(emb, pq_codebooks(emb)).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r.codes) == 4
+        assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_pq_rejects_indivisible_dims():
+    from corral_spark.operators.similarity import pq_codebooks
+
+    with pytest.raises(ValueError):
+        pq_codebooks(None, m_sub=5, dims=64)

@@ -507,3 +507,13 @@ def test_hll_overlap_register_build_single_scan(spark):
     regs = hll_registers(toks, "tok", ("side",))
     plan = regs._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
+
+
+def test_pq_topk_all_joins_broadcast(spark):
+    # PQ's scale contract: codebooks and query LUTs broadcast; the
+    # score join moves integer codes only. A sort-merge or cartesian
+    # here would shuffle the encoded corpus against every query.
+    plan = plan_of(spark, "pq_ann_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
