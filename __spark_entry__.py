@@ -175,6 +175,7 @@ _DEMOTED = (
     "zorder_parts_locality",
     "cdc_chunk_dedup_docs",
     "pq_ann_topk",
+    "qty_discount_linreg",
 )
 
 

@@ -152,6 +152,83 @@ def decode_bmp(payload: bytes) -> tuple[int, int]:
     return width, abs(height)
 
 
+def decode_png_dims(payload: bytes) -> tuple[int, int]:
+    """REAL dimension decode for PNG — pure stdlib. PNG pixel data is
+    DEFLATE-compressed (behind the charter seam), but the dimensions
+    are plain header bytes: the 8-byte signature must be followed by
+    the IHDR chunk (the spec requires IHDR first), whose payload
+    starts with width/height as big-endian uint32."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    if not payload.startswith(sig) or len(payload) < 24:
+        raise ValueError("not a PNG payload")
+    if payload[12:16] != b"IHDR":
+        raise ValueError("PNG missing leading IHDR chunk")
+    width = int.from_bytes(payload[16:20], "big")
+    height = int.from_bytes(payload[20:24], "big")
+    if width == 0 or height == 0 or width > 2**31 or height > 2**31:
+        raise ValueError("malformed PNG dimensions")
+    return width, height
+
+
+def decode_gif_dims(payload: bytes) -> tuple[int, int]:
+    """REAL dimension decode for GIF (87a/89a) — pure stdlib: the
+    logical screen descriptor's width/height are little-endian uint16
+    at bytes 6..9, before any LZW-compressed image data."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 10:
+        raise ValueError("not a GIF payload")
+    width = int.from_bytes(payload[6:8], "little")
+    height = int.from_bytes(payload[8:10], "little")
+    if width == 0 or height == 0:
+        raise ValueError("malformed GIF dimensions")
+    return width, height
+
+
+#: JPEG frame-header (SOF) markers carrying dimensions: C0-CF minus
+#: C4 (DHT), C8 (JPG extension), CC (DAC) — per ITU T.81 table B.1.
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def decode_jpeg_dims(payload: bytes) -> tuple[int, int]:
+    """REAL dimension decode for JPEG — pure stdlib segment walk (the
+    entropy-coded image data never has to be decoded to learn the
+    frame size): from SOI, step marker segments by their big-endian
+    lengths until the first SOF frame header, whose payload is
+    [precision u8, height u16 BE, width u16 BE, ...]. Standalone
+    markers (TEM, RSTn) and fill bytes are skipped per spec; a
+    truncated or non-JPEG stream raises instead of guessing."""
+    n = len(payload)
+    if n < 4 or payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    i = 2
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"JPEG marker expected at byte {i}")
+        # Fill bytes: any number of 0xFF may pad before the marker id.
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn
+            i += 2
+            continue
+        if i + 4 > n:
+            break
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seglen < 2:
+            raise ValueError("malformed JPEG segment length")
+        if marker in _JPEG_SOF:
+            if seglen < 7 or i + 9 > n:
+                raise ValueError("truncated JPEG frame header")
+            height = int.from_bytes(payload[i + 5 : i + 7], "big")
+            width = int.from_bytes(payload[i + 7 : i + 9], "big")
+            if width == 0 or height == 0:
+                raise ValueError("malformed JPEG dimensions")
+            return width, height
+        i += 2 + seglen
+    raise ValueError("JPEG frame header (SOF) not found")
+
+
 def decode_wav_meta(payload: bytes) -> dict:
     """REAL audio metadata decode for RIFF/WAVE (PCM) — pure stdlib
     chunk walk: returns sample_rate, channels, bits_per_sample,
@@ -199,13 +276,22 @@ def decode_wav_meta(payload: bytes) -> dict:
 
 def decode_auto(payload: bytes) -> tuple[int, int]:
     """Image decode dispatcher: uncompressed formats (PPM, BMP) decode
-    NATIVELY — real parsing, zero dependencies; anything else falls
-    through to the ``decode_real`` PIL seam (charter-limited in this
-    container)."""
+    NATIVELY, and the compressed web formats (PNG, GIF, JPEG) get
+    their DIMENSIONS from real zero-dependency header parsing — the
+    size lives in plain header bytes before any compressed data, so
+    metadata extraction at 100 TB never needs a codec. Full pixel
+    decode of compressed formats falls through to the ``decode_real``
+    PIL seam (charter-limited in this container)."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return decode_png_dims(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_dims(payload)
+    if payload.startswith(b"\xff\xd8"):
+        return decode_jpeg_dims(payload)
     return decode_real(payload)
 
 

@@ -603,3 +603,92 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         emb, queries, k=10, exclude_self=True
     ).orderBy("query_id", "rnk")
+
+
+@register(
+    "qty_discount_linreg",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM (
+        SELECT l_returnflag,
+               CAST(ROUND(l_quantity, 0) AS BIGINT) AS x,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS y
+        FROM lineitem
+      )
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 6)
+             AS intercept,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+    FROM s ORDER BY l_returnflag
+    """,
+    tags=("stats", "extension"),
+)
+def qty_discount_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed OLS + Pearson correlation of (quantity, discount)
+    per return flag from MERGEABLE exact sufficient statistics: one
+    partial-aggregated pass collects six integers per group (n, Sx,
+    Sy, Sxx, Syy, Sxy — integer units make every sum exact and
+    order-independent, unlike a raw double corr()/covar_samp() whose
+    accumulation order varies run to run), then slope, intercept, and
+    corr are a handful of identical IEEE operations both engines
+    replay. The stats merge by addition, so a 100 TB regression is
+    per-partition sums + one combine — the same composability
+    contract as the histogram and HLL sketches. Overflow note: the
+    BIGINT cross terms n*Sxy etc. are safe while n * max(x*y) < 2^63
+    (here x <= 51, y <= 10: fine past 10^16 rows); wider domains
+    rescale units first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity"), 0).cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("y"),
+    )
+    s = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    slope = num / denx
+    return s.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+        F.round(num / F.sqrt(denx * deny), 6).alias("corr"),
+    ).orderBy("l_returnflag")

@@ -410,3 +410,28 @@ def test_pq_rejects_indivisible_dims():
 
     with pytest.raises(ValueError):
         pq_codebooks(None, m_sub=5, dims=64)
+
+
+# ----------------------------------------------------------- linreg
+
+
+def test_linreg_matches_numpy_ols(spark):
+    """The sufficient-statistics readout IS ordinary least squares:
+    slope/intercept/corr agree with numpy on the real table."""
+    import numpy as np
+
+    from corral_spark.queries import REGISTRY
+
+    rows = REGISTRY["qty_discount_linreg"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    pdf = li.select("l_returnflag", "l_quantity", "l_discount").toPandas()
+    for r in rows:
+        g = pdf[pdf.l_returnflag == r.l_returnflag]
+        x = np.round(g.l_quantity.to_numpy())
+        y = np.round(g.l_discount.to_numpy() * 100)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert r.slope == pytest.approx(slope, abs=1e-4)
+        assert r.intercept == pytest.approx(intercept, abs=1e-4)
+        assert r.corr == pytest.approx(np.corrcoef(x, y)[0, 1], abs=1e-4)

@@ -451,6 +451,73 @@ class TestNativeMediaDecode:
         assert decode_bmp(self._bmp(8, -4)) == (8, 4)  # top-down rows
         assert decode_auto(self._bmp(31, 12)) == (31, 12)
 
+    @staticmethod
+    def _png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes(5)  # bit depth / color / compression / filter / interlace
+        )
+
+    @staticmethod
+    def _gif(w, h):
+        return (
+            b"GIF89a"
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes(4)
+        )
+
+    @staticmethod
+    def _jpeg(w, h, extra_segments=True, rst=False):
+        app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+        dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + bytes(65)
+        sof = (
+            b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(10)
+        )
+        body = b"\xff\xd8"
+        if extra_segments:
+            body += app0 + dqt
+        if rst:
+            body += b"\xff\xd0"  # standalone RST0 must be stepped over
+        return body + sof + b"\xff\xd9"
+
+    def test_png_gif_jpeg_header_dims(self):
+        """Compressed web formats: REAL zero-dependency dimension
+        parsing from header bytes — no codec needed for metadata."""
+        from corral_spark.operators.multimodal import (
+            decode_auto,
+            decode_gif_dims,
+            decode_jpeg_dims,
+            decode_png_dims,
+        )
+
+        assert decode_png_dims(self._png(320, 200)) == (320, 200)
+        assert decode_gif_dims(self._gif(640, 480)) == (640, 480)
+        assert decode_jpeg_dims(self._jpeg(800, 600)) == (800, 600)
+        # The dispatcher routes by magic bytes.
+        assert decode_auto(self._png(7, 9)) == (7, 9)
+        assert decode_auto(self._gif(7, 9)) == (7, 9)
+        assert decode_auto(self._jpeg(7, 9)) == (7, 9)
+        # JPEG walk: SOF found behind fill/standalone markers too.
+        assert decode_jpeg_dims(self._jpeg(12, 34, rst=True)) == (12, 34)
+        # SOF first (no APP0/DQT) is legal.
+        assert decode_jpeg_dims(self._jpeg(5, 6, extra_segments=False)) == (5, 6)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            decode_png_dims(self._png(320, 200)[:20])  # truncated IHDR
+        with _pytest.raises(ValueError):
+            decode_png_dims(b"\x89PNG\r\n\x1a\n" + bytes(16))  # no IHDR
+        with _pytest.raises(ValueError):
+            decode_gif_dims(b"GIF89a" + bytes(2))  # truncated descriptor
+        with _pytest.raises(ValueError):
+            # Cut inside the SOF header before the dimension bytes.
+            decode_jpeg_dims(self._jpeg(5, 6, extra_segments=False)[:9])
+        with _pytest.raises(ValueError):
+            decode_jpeg_dims(b"\xff\xd8" + b"\x00\x00")  # marker expected
+
     def test_extract_features_with_native_decoder(self, spark):
         # The same mapInPandas plumbing that runs decode_fake runs the
         # REAL PPM parser end-to-end through Spark.
