@@ -435,3 +435,49 @@ def test_linreg_matches_numpy_ols(spark):
         assert r.slope == pytest.approx(slope, abs=1e-4)
         assert r.intercept == pytest.approx(intercept, abs=1e-4)
         assert r.corr == pytest.approx(np.corrcoef(x, y)[0, 1], abs=1e-4)
+
+
+def test_bfs_matches_python_reference_on_random_graphs(spark):
+    """Seeded random graphs: distributed BFS equals a plain Python
+    BFS (hop-bounded, multi-source min) — the distributed iteration
+    introduces no off-by-one or revisit artifacts."""
+    import random
+    from collections import deque
+
+    def py_bfs(edges, seeds, max_hops):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        dist = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    rng = random.Random(42)
+    for trial in range(3):
+        nodes = list(range(40))
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(60 + 10 * trial)
+            }
+        )
+        seeds = rng.sample(nodes, 3)
+        expected = py_bfs(edges, seeds, 3)
+        got = {
+            r.node: r.hops
+            for r in bfs_hops(
+                _edges(spark, edges),
+                spark.createDataFrame([(s,) for s in seeds], ["node"]),
+                max_hops=3,
+            ).collect()
+        }
+        assert got == expected, f"trial {trial}"

@@ -402,3 +402,74 @@ def test_short_path_any_corpus_matches_bruteforce(spark, corpus, df_max):
     }
     want = _brute_jaccard_pairs(dict(docs))
     assert got == want
+
+
+def _py_morton(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1023),
+            st.integers(min_value=0, max_value=1023),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_zorder_sql_matches_python_reference(pairs):
+    # The generated SQL twin (what the oracle runs) must equal a
+    # straight-line Python Morton reference on arbitrary inputs — so
+    # the Spark column expression, the SQL text, and the mathematical
+    # definition can never drift three ways.
+    import duckdb
+
+    from corral_spark.operators.layout import zorder_key_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, a BIGINT, b BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+    )
+    got = con.execute(
+        f"SELECT {zorder_key_sql('a', 'b', 10)} FROM t ORDER BY i"
+    ).fetchall()
+    assert [g[0] for g in got] == [_py_morton(a, b, 10) for a, b in pairs]
+
+
+@given(
+    st.integers(min_value=0, max_value=2**16 - 1),
+    st.integers(min_value=0, max_value=2**16 - 1),
+)
+def test_morton_is_a_bijection(a, b):
+    # Deinterleaving the even/odd bits recovers (a, b) exactly: the
+    # z-key loses no information, so sorting by it is a pure layout
+    # choice, never a lossy bucketing.
+    z = _py_morton(a, b, 16)
+    ra = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    rb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (ra, rb) == (a, b)
+
+
+@given(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    st.integers(min_value=1, max_value=512),
+)
+@settings(max_examples=50)
+def test_histogram_bin_rule_in_range(v, nbins):
+    # The python form of the bin rule (the contract the Spark column
+    # and the SQL oracle both implement) always lands in [0, nbins-1]
+    # for ANY finite value — out-of-range clamps, never drops.
+    import math
+
+    lo, hi = 900.0, 105000.0
+    raw = math.floor((v - lo) * float(nbins) / (hi - lo))
+    bin_ = min(max(raw, 0), nbins - 1)
+    assert 0 <= bin_ <= nbins - 1
