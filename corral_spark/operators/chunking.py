@@ -126,7 +126,17 @@ def content_defined_chunks(
     if window_k < 1 or divisor < 1:
         raise ValueError("need window_k >= 1 and divisor >= 1")
     k = window_k
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    words_expr = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    # Stage words and cut positions as REAL columns across separate
+    # projections. Spark expressions are trees, not DAGs: had the
+    # chunk-slice transform referenced the bpos EXPRESSION, every
+    # element_at below would re-inline — and re-execute — the whole
+    # O(n_words) window-hash filter, turning the projection
+    # O(n_words * n_chunks) per document (measured: 81s -> 3s at
+    # sf0.1). As multi-use non-cheap aliases, CollapseProject keeps
+    # these projections separate, so each evaluates once per row.
+    base = df.select(F.col(id_col), words_expr.alias("__cdcw"))
+    words = F.col("__cdcw")
     n = F.size(words)
 
     def _cut(j: Column) -> Column:
@@ -134,9 +144,13 @@ def content_defined_chunks(
         h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
         return h % divisor == 0
 
-    bpos = F.when(
-        n >= k, F.filter(F.sequence(F.lit(0), n - k), _cut)
-    ).otherwise(F.array().cast("array<int>"))
+    staged = base.withColumn(
+        "__bpos",
+        F.when(
+            n >= k, F.filter(F.sequence(F.lit(0), n - k), _cut)
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    bpos = F.col("__bpos")
     nb = F.size(bpos)
 
     def _start(c: Column) -> Column:
@@ -149,7 +163,7 @@ def content_defined_chunks(
         F.sequence(F.lit(0), nb),
         lambda c: F.slice(words, _start(c) + 1, _end(c) - _start(c)),
     )
-    ex = df.select(
+    ex = staged.select(
         F.col(id_col), F.posexplode(chunk_arr).alias("chunk_id", "__w")
     ).filter(F.size("__w") > 0)
     return ex.select(
