@@ -153,16 +153,21 @@ def ewma_by_key(
     order_struct = F.struct(
         *[F.col(c) for c in order_cols], F.col(value_col).alias("__v")
     )
-    vals = F.transform(
-        F.sort_array(F.collect_list(order_struct)),
-        lambda s: s["__v"].cast("double"),
+    # Stage the sorted value array as a column before the fold: the
+    # fold references it three times (slice, size, init), and an
+    # expression-tree reference would re-sort the array per use.
+    agged = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.transform(
+            F.sort_array(F.collect_list(order_struct)),
+            lambda s: s["__v"].cast("double"),
+        ).alias("__vals"),
     )
+    vals = F.col("__vals")
     ewma = F.aggregate(
         F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
         F.element_at(vals, 1),
         lambda acc, x: F.lit(float(alpha)) * x
         + F.lit(1.0 - float(alpha)) * acc,
     )
-    return df.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("n"), ewma.alias("ewma")
-    )
+    return agged.select(*key_cols, "n", ewma.alias("ewma"))
