@@ -248,3 +248,67 @@ def write_zorder_rank_clustered(
         .format(fmt)
         .save(path)
     )
+
+
+def zonemap_report(path: str, cols: list[str]) -> list[dict]:
+    """Per-file min/max statistics for ``cols`` read straight from
+    the parquet FOOTERS (pyarrow; no data pages touched) — the same
+    zonemaps a scan uses for file/row-group skipping, so this is the
+    ground truth for whether a layout actually prunes: after
+    write_zorder_clustered both columns' per-file spans are narrow
+    boxes; after a single-column sort only that column's are.
+
+    Driver-side by design: one footer read per file, n_files rows out
+    — an ops REPORT (layout audits, skipping-ratio estimates), not a
+    data path. For a 100k-file table, parallelize the footer reads or
+    sample; the per-file record shape stays the same.
+
+    Returns one dict per data file: {file, n_rows, <col>_min,
+    <col>_max, ...} with None for columns lacking stats.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet") or name.startswith("_"):
+            continue
+        f = pq.ParquetFile(os.path.join(path, name))
+        rec: dict = {"file": name, "n_rows": f.metadata.num_rows}
+        idx = {
+            f.metadata.schema.column(i).name: i
+            for i in range(f.metadata.num_columns)
+        }
+        for c in cols:
+            lo = hi = None
+            if c in idx:
+                for rg in range(f.metadata.num_row_groups):
+                    st = f.metadata.row_group(rg).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            rec[f"{c}_min"] = lo
+            rec[f"{c}_max"] = hi
+        out.append(rec)
+    return out
+
+
+def skipping_ratio(
+    report: list[dict], col: str, lo, hi
+) -> float:
+    """Fraction of files a range predicate ``lo <= col <= hi`` can
+    SKIP given a zonemap_report — the number the layout writers exist
+    to maximize. Files without stats count as unskippable (a scan
+    must read them)."""
+    if not report:
+        return 0.0
+    skipped = sum(
+        1
+        for r in report
+        if r[f"{col}_min"] is not None
+        and (r[f"{col}_max"] < lo or r[f"{col}_min"] > hi)
+    )
+    return skipped / len(report)

@@ -243,3 +243,50 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
         joined.count()
         == orders.filter(F.col("order_year") == 1997).count()
     )
+
+
+def test_zonemap_report_and_skipping_ratio(spark, tmp_path):
+    """Footer-derived zonemaps quantify what each layout buys: range
+    clustering makes its own column's range predicates skip most
+    files but leaves the other column unskippable; z-order makes BOTH
+    columns skip. The report reads footers only — it must agree with
+    the actual data distribution the writers created."""
+    from pyspark.sql import functions as F
+
+    from corral_spark.sources.layout import (
+        skipping_ratio,
+        write_range_clustered,
+        write_zorder_clustered,
+        zonemap_report,
+    )
+
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    rng_path, z_path = str(tmp_path / "rng"), str(tmp_path / "zord")
+    write_range_clustered(df, rng_path, ["x"], n_files=16)
+    write_zorder_clustered(df, z_path, "x", "y", n_files=16, bits=6)
+
+    rep_rng = zonemap_report(rng_path, ["x", "y"])
+    rep_z = zonemap_report(z_path, ["x", "y"])
+    assert sum(r["n_rows"] for r in rep_rng) == 64 * 64
+    assert all(r["x_min"] is not None for r in rep_rng)
+
+    # Narrow range predicate on each dimension (1/8 of the domain).
+    lo, hi = 0, 7
+    # x-clustered: x skips nearly everything, y skips nothing.
+    assert skipping_ratio(rep_rng, "x", lo, hi) >= 0.75
+    assert skipping_ratio(rep_rng, "y", lo, hi) == 0.0
+    # z-ordered: BOTH dimensions skip a real fraction of files.
+    assert skipping_ratio(rep_z, "x", lo, hi) >= 0.5
+    assert skipping_ratio(rep_z, "y", lo, hi) >= 0.5
+    # The report is honest: no file's zonemap excludes a value the
+    # file actually contains (spot-check via a full read per file).
+    import os
+
+    for rec in rep_z:
+        pdf = spark.read.parquet(
+            os.path.join(z_path, rec["file"])
+        ).toPandas()
+        assert pdf.x.min() == rec["x_min"] and pdf.x.max() == rec["x_max"]
