@@ -457,13 +457,17 @@ def test_price_outliers_scalar_joins_broadcast(spark):
 
 def test_event_funnel_filters_pushed_no_cartesian(spark):
     # Each stage filters event_type at the scan (pushdown) and joins
-    # on user_id (equi); the three stage counts union post-agg.
+    # on user_id (equi, broadcast of the prior stage's small
+    # aggregate); the three stage counts union post-agg.
     plan = plan_of(spark, "event_funnel_stages")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "event_type" in plan.split("PushedFilters")[1] if (
-        "PushedFilters" in plan
-    ) else True
+    assert "BroadcastHashJoin" in plan
+    # The event_type equality must reach every events scan's
+    # DataFilters (no full-stream scan feeds a stage).
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    typed = [ln for ln in scans if "event_type" in ln]
+    assert typed and all("isnotnull(event_type" in ln for ln in typed)
 
 
 def test_part_bfs_edge_build_is_equi_join(spark):
