@@ -176,6 +176,8 @@ _DEMOTED = (
     "cdc_chunk_dedup_docs",
     "pq_ann_topk",
     "qty_discount_linreg",
+    "purchase_by_tier_scd2",
+    "ppjoin_word_pairs",
 )
 
 

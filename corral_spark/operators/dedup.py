@@ -1200,3 +1200,91 @@ def remove_boilerplate_segments(
             F.coalesce(F.col("n_total"), F.lit(0)).alias("n_total"),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT word-set Jaccard join (all pairs with J >= threshold) via
+    PPJoin-style prefix filtering — the deterministic complement to
+    MinHash-LSH (no probabilistic recall) and the fix for the reason
+    ``jaccard_pairs`` must use shingles: a full token inverted index
+    is quadratic under Zipf (stopwords hit every doc). Prefix
+    filtering indexes only each document's first
+    p = n - ceil(t*n) + 1 tokens under a GLOBAL rarest-first order
+    (document frequency asc, token asc), so the ubiquitous tokens
+    sort LAST and fall outside almost every prefix: the index holds
+    ~the (1-t) rarest slice of each doc, and candidate lists stay
+    short exactly where a naive index explodes.
+
+    Completeness (the prefix principle): suppose J(A,B) >= t but the
+    prefixes are disjoint. Each prefix omits the ceil(t*n)-1 tokens
+    ranked highest in its own set, so every common token would have
+    to rank beyond position p in A or in B; but
+    |A ∩ B| >= t/(1+t) * (|A|+|B|) > (|A| - p_A) + (|B| - p_B) common
+    tokens cannot all hide in the two suffixes of those lengths —
+    contradiction. (The registry oracle is the TRUE all-pairs
+    Jaccard, so a hash match also re-proves completeness on the
+    data.) Candidates are then verified with exact intersection
+    counts over the candidate pairs only.
+
+    Output: (id_a, id_b, jaccard 6dp) with id_a < id_b.
+    """
+    from corral_spark.functions.text import tokenize
+    from pyspark.sql.window import Window
+
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokenize(F.col(text_col))).alias("token"),
+        )
+        .distinct()
+    )
+    tok = materialize(tok, eager=True)
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
+    ranked = tok.join(dfreq, "token").select(
+        "id",
+        "token",
+        F.row_number()
+        .over(
+            Window.partitionBy("id").orderBy(
+                F.asc("tdf"), F.asc("token")
+            )
+        )
+        .alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
+    ).select("id", "token")
+    cands = (
+        prefix.select(F.col("id").alias("id_a"), "token")
+        .join(prefix.select(F.col("id").alias("id_b"), "token"), "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    ta = tok.select(F.col("id").alias("id_a"), "token")
+    tb = tok.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

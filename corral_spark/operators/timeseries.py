@@ -171,3 +171,74 @@ def ewma_by_key(
         + F.lit(1.0 - float(alpha)) * acc,
     )
     return agged.select(*key_cols, "n", ewma.alias("ewma"))
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: tuple,
+    ts_col: str,
+    attr_cols: tuple,
+    order_cols: tuple = (),
+    collapse_unchanged: bool = True,
+) -> DataFrame:
+    """Build a slowly-changing-dimension (SCD type 2) history from a
+    change-event stream: per key, each surviving event opens a
+    version valid over [ts, next surviving event's ts), the last
+    version staying open (valid_to NULL, is_current true). With
+    ``collapse_unchanged`` (the standard form), events whose
+    ``attr_cols`` all null-safe-equal the previous event's collapse
+    away first, so versions describe STATE CHANGES, not event
+    arrivals.
+
+    Determinism: rows order by (ts_col, *order_cols) per key — pass
+    a tiebreaker (an event id) whenever timestamps can collide, or
+    the lag/lead pair is ambiguous. One shuffle on the key; the two
+    window passes (change detection, then lead over survivors) sort
+    within the same partitioning. Output: key_cols + attr_cols +
+    (valid_from, valid_to, is_current)."""
+    from pyspark.sql.window import Window
+
+    ordering = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*ordering)
+    out = df
+    if collapse_unchanged:
+        keep = F.lit(False)
+        for a in attr_cols:
+            keep = keep | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+        keep = keep | (F.row_number().over(w) == 1)
+        out = out.withColumn("__keep", keep).filter("__keep").drop("__keep")
+    w2 = Window.partitionBy(*key_cols).orderBy(*ordering)
+    return out.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: tuple,
+    fact_ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Time-travel join: attach to each fact row the dimension version
+    valid AT the fact's timestamp (valid_from <= ts < valid_to, open
+    versions unbounded). The join is an EQUI-join on the key with the
+    interval test as a residual condition — versions-per-key is a
+    small constant, so the pair blow-up is bounded and no nested loop
+    appears at any scale. Facts with no valid version keep NULL
+    dimension columns under ``how='left'`` (early facts before the
+    first change event — report them, don't drop them)."""
+    cond = None
+    for k in key_cols:
+        c = facts[k] == dim[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (dim["valid_from"] <= facts[fact_ts_col])
+        & (dim["valid_to"].isNull() | (facts[fact_ts_col] < dim["valid_to"]))
+    )
+    return facts.join(dim, cond, how)

@@ -692,3 +692,128 @@ def qty_discount_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(num / F.sqrt(denx * deny), 6).alias("corr"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "purchase_by_tier_scd2",
+    oracle="""
+    WITH sign AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value) AS BIGINT) % 3 AS tier
+      FROM events WHERE event_type = 'signup'
+    ),
+    marked AS (
+      SELECT *, (ROW_NUMBER() OVER w = 1
+                 OR tier IS DISTINCT FROM LAG(tier) OVER w) AS keep
+      FROM sign WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dim AS (
+      SELECT user_id, tier, ts AS valid_from, LEAD(ts) OVER w2 AS valid_to
+      FROM (SELECT * FROM marked WHERE keep)
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    purch AS (
+      SELECT user_id, ts, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT d.tier, p.cents
+      FROM purch p LEFT JOIN dim d
+        ON d.user_id = p.user_id AND d.valid_from <= p.ts
+       AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    )
+    SELECT tier, COUNT(*) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM j GROUP BY tier ORDER BY tier NULLS FIRST
+    """,
+    tags=("temporal", "extension"),
+)
+def purchase_by_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) time travel
+    (timeseries.scd2_intervals + scd2_lookup): signup events define a
+    user's tier history (consecutive same-tier events collapse away,
+    so versions are STATE CHANGES); each purchase then joins to the
+    tier version valid AT ITS OWN TIMESTAMP — the as-was reporting
+    semantics a warehouse needs (purchases before any signup keep a
+    NULL tier rather than vanishing). The lookup is an equi-join on
+    user_id with the interval test residual, versions-per-user a
+    small constant. Window replay + interval join make the oracle
+    exact."""
+    from corral_spark.operators.timeseries import (
+        scd2_intervals,
+        scd2_lookup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.floor(F.col("value")).cast("long") % 3).alias("tier"),
+    )
+    dim = scd2_intervals(
+        signups, ("user_id",), "ts", ("tier",), order_cols=("event_id",)
+    ).drop("is_current")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    j = scd2_lookup(purch, dim, ("user_id",), "ts")
+    return (
+        j.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy(F.col("tier").asc_nulls_first())
+    )
+
+
+@register(
+    "ppjoin_word_pairs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(
+               regexp_replace(text, '[^a-zA-Z0-9\\s]+', ' ', 'g'))), '\\s+'),
+               x -> x <> '') AS words
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(words)) AS token
+      FROM w WHERE len(words) > 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "similarity", "extension"),
+)
+def ppjoin_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-set Jaccard >= 0.5 join over the corpus
+    (dedup.prefix_filter_jaccard_pairs): PPJoin-style prefix
+    filtering under a rarest-first global token order indexes only
+    each doc's ~(1-t) rarest tokens, so stopwords — the tokens that
+    make a naive token index quadratic under Zipf — fall OUTSIDE
+    nearly every prefix. The oracle computes the TRUE all-pairs
+    word-set Jaccard, so a hash match re-proves prefix-filter
+    completeness (no qualifying pair escapes the candidate set) on
+    this data, the same discipline as the MinHash and cross-corpus
+    rows."""
+    from corral_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5
+    ).orderBy("id_a", "id_b")

@@ -481,3 +481,107 @@ def test_bfs_matches_python_reference_on_random_graphs(spark):
             ).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+# ----------------------------------------------------------- scd2
+
+
+def _scd2(spark, rows):
+    from corral_spark.operators.timeseries import scd2_intervals
+
+    df = spark.createDataFrame(rows, ["k", "t", "eid", "attr"])
+    return scd2_intervals(
+        df, ("k",), "t", ("attr",), order_cols=("eid",)
+    ).collect()
+
+
+def test_scd2_collapses_unchanged_and_builds_intervals(spark):
+    """a,a,b,a: the repeated 'a' collapses; three versions with
+    adjacent validity and an open current one."""
+    rows = [(1, 10, 0, "a"), (1, 20, 1, "a"), (1, 30, 2, "b"), (1, 40, 3, "a")]
+    got = sorted(_scd2(spark, rows), key=lambda r: r.valid_from)
+    assert [(r.attr, r.valid_from, r.valid_to) for r in got] == [
+        ("a", 10, 30),
+        ("b", 30, 40),
+        ("a", 40, None),
+    ]
+    assert [r.is_current for r in got] == [False, False, True]
+
+
+def test_scd2_null_attr_transitions(spark):
+    """NULL->NULL collapses (null-safe compare); NULL->x is a change."""
+    rows = [(1, 10, 0, None), (1, 20, 1, None), (1, 30, 2, "x")]
+    got = sorted(_scd2(spark, rows), key=lambda r: r.valid_from)
+    assert [(r.attr, r.valid_from) for r in got] == [(None, 10), ("x", 30)]
+
+
+def test_scd2_lookup_picks_version_at_fact_time(spark):
+    """Facts land in the version open at their timestamp; facts
+    before the first version keep NULL dimension columns."""
+    from corral_spark.operators.timeseries import scd2_intervals, scd2_lookup
+
+    dim_ev = spark.createDataFrame(
+        [(1, 10, 0, "bronze"), (1, 30, 1, "gold")], ["k", "t", "eid", "attr"]
+    )
+    dim = scd2_intervals(dim_ev, ("k",), "t", ("attr",), order_cols=("eid",))
+    facts = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 29), (1, 30), (1, 99)], ["k", "ft"]
+    )
+    got = {
+        r.ft: r.attr
+        for r in scd2_lookup(facts, dim, ("k",), "ft").collect()
+    }
+    assert got == {5: None, 10: "bronze", 29: "bronze", 30: "gold", 99: "gold"}
+
+
+# ----------------------------------------------------------- ppjoin
+
+
+def test_ppjoin_equals_bruteforce_with_stopwords(spark):
+    """Stopword-laden synthetic corpus: prefix filtering must return
+    EXACTLY the brute-force qualifying pair set — completeness is the
+    whole claim (stopwords sort last in the rarest-first order and
+    fall outside prefixes, but no qualifying pair may be lost)."""
+    import itertools
+
+    from corral_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    stop = "the a of and to in is it"
+    docs = []
+    for i in range(12):
+        rare = " ".join(f"rare{i}x{j}" for j in range(4))
+        shared = " ".join(f"shared{j}" for j in range(i % 3 * 2))
+        docs.append((i, f"{stop} {rare} {shared}"))
+    # Two near-identical docs that must qualify.
+    docs.append((100, stop + " alpha beta gamma delta epsilon"))
+    docs.append((101, stop + " alpha beta gamma delta zeta"))
+
+    def toks(t):
+        return set(t.split())
+
+    want = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        a, b = toks(ta), toks(tb)
+        j = len(a & b) / len(a | b)
+        if j >= 0.5:
+            want.add((min(ia, ib), max(ia, ib)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", 0.5
+        ).collect()
+    }
+    assert got == want
+    assert (100, 101) in got
+
+
+def test_ppjoin_identical_docs_score_one(spark):
+    from corral_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "x y z w"), (2, "w z y x"), (3, "unrelated words here")],
+        ["doc_id", "text"],
+    )
+    rows = prefix_filter_jaccard_pairs(df, "text", "doc_id", 0.9).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
