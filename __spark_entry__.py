@@ -178,6 +178,7 @@ _DEMOTED = (
     "qty_discount_linreg",
     "purchase_by_tier_scd2",
     "ppjoin_word_pairs",
+    "part_pairs_lift",
 )
 
 

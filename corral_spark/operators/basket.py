@@ -1,0 +1,84 @@
+"""Market-basket analysis: pairwise association rules.
+
+Co-occurrence mining over (basket, item) facts — the retail/affinity
+family (support, confidence, lift). No reference analog (bcongdon/
+corral has no analytic surface); extends SURVEY §2.3's native-gap
+coverage.
+
+Scale shape: the pair generator self-joins the DISTINCT (basket,
+item) table on the basket key, so the blow-up is sum_b k_b^2 over
+ITEMS-PER-BASKET k_b — bounded by basket width (single-digit for
+order lines), never by catalog size. All counts are exact integers
+aggregated with map-side partials; the one global scalar (basket
+count) rides a one-row broadcast, the tfidf-pinned pattern — so the
+whole computation is deterministic and bit-replayable by a SQL
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from corral_spark.materialize import materialize
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_cooccur: int = 2,
+) -> DataFrame:
+    """Pairwise association rules over (basket, item) rows: for every
+    unordered item pair co-occurring in >= ``min_cooccur`` baskets,
+    the exact basket counts (c_a, c_b, c_ab), the directed
+    confidences P(b|a) and P(a|b), and the lift
+    (c_ab * n_baskets) / (c_a * c_b) — > 1 means the pair co-occurs
+    more than independence predicts. Ratios are integer-derived
+    doubles rounded to 6 dp (one division over exact BIGINT
+    products), so every column replays bit-exactly in SQL.
+
+    Output: (item_a, item_b, c_a, c_b, c_ab, conf_a_b, conf_b_a,
+    lift) with item_a < item_b."""
+    pp = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    pp = materialize(pp, eager=True)
+    n_df = pp.agg(F.countDistinct("b").alias("n_baskets"))
+    items = pp.groupBy("i").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        pp.select(F.col("b"), F.col("i").alias("item_a"))
+        .join(
+            pp.select(F.col("b"), F.col("i").alias("item_b")),
+            "b",
+        )
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_cooccur)
+    )
+    ca = items.select(F.col("i").alias("item_a"), F.col("c").alias("c_a"))
+    cb = items.select(F.col("i").alias("item_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "item_a",
+            "item_b",
+            "c_a",
+            "c_b",
+            "c_ab",
+            F.round(F.col("c_ab").cast("double") / F.col("c_a"), 6).alias(
+                "conf_a_b"
+            ),
+            F.round(F.col("c_ab").cast("double") / F.col("c_b"), 6).alias(
+                "conf_b_a"
+            ),
+            F.round(
+                (F.col("c_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -817,3 +817,47 @@ def ppjoin_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         docs, "text", "doc_id", threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "part_pairs_lift",
+    oracle="""
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM pp),
+    items AS (SELECT i, COUNT(*) AS c FROM pp GROUP BY i),
+    pairs AS (
+      SELECT a.i AS item_a, bb.i AS item_b, COUNT(*) AS c_ab
+      FROM pp a JOIN pp bb ON a.b = bb.b AND a.i < bb.i
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT item_a, item_b, ca.c AS c_a, cb.c AS c_b, c_ab,
+           ROUND(CAST(c_ab AS DOUBLE) / ca.c, 6) AS conf_a_b,
+           ROUND(CAST(c_ab AS DOUBLE) / cb.c, 6) AS conf_b_a,
+           ROUND(CAST(c_ab * n.n_baskets AS DOUBLE)
+                 / CAST(ca.c * cb.c AS DOUBLE), 6) AS lift
+    FROM pairs
+    JOIN items ca ON ca.i = item_a
+    JOIN items cb ON cb.i = item_b
+    CROSS JOIN n
+    ORDER BY item_a, item_b
+    """,
+    tags=("basket", "extension"),
+)
+def part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order lines
+    (basket.association_rules): every part pair co-ordered in >= 2
+    orders with exact support counts, directed confidences, and lift
+    vs independence — the affinity-analysis family. The pair
+    generator's blow-up is bounded by items-per-order (single
+    digits), never catalog size; the one global scalar rides a
+    one-row broadcast (the tfidf-pinned pattern). Integer counts +
+    single rounded divisions replay bit-exactly in the oracle."""
+    from corral_spark.operators.basket import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_cooccur=2
+    ).orderBy("item_a", "item_b")

@@ -585,3 +585,57 @@ def test_ppjoin_identical_docs_score_one(spark):
     )
     rows = prefix_filter_jaccard_pairs(df, "text", "doc_id", 0.9).collect()
     assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+# ----------------------------------------------------------- basket
+
+
+def test_association_rules_hand_counts(spark):
+    """Hand-checkable baskets: counts, confidences, and lift match
+    first-principles arithmetic; duplicate (basket, item) rows
+    collapse before counting."""
+    from corral_spark.operators.basket import association_rules
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "x"),  # dup (1, x) must not double-count
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "z"), (4, "y"),
+    ]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    out = {
+        (r.item_a, r.item_b): r
+        for r in association_rules(df, "b", "i", min_cooccur=2).collect()
+    }
+    assert set(out) == {("x", "y")}
+    r = out[("x", "y")]
+    # c_x=3, c_y=3, c_xy=2, n=4 -> conf 2/3 both ways, lift 8/9
+    assert (r.c_a, r.c_b, r.c_ab) == (3, 3, 2)
+    assert r.conf_a_b == pytest.approx(0.666667)
+    assert r.lift == pytest.approx(round(2 * 4 / 9, 6))
+
+
+def test_association_rules_lift_detects_affinity(spark):
+    """Items always bought together get lift >> 1; independent items
+    hover near 1."""
+    from corral_spark.operators.basket import association_rules
+
+    rows = []
+    for b in range(40):
+        rows.append((b, "bread"))
+        if b % 2 == 0:
+            rows.append((b, "butter"))  # always with bread
+        rows.append((b, f"noise{b % 7}"))
+    df = spark.createDataFrame(rows, ["b", "i"])
+    out = {
+        (r.item_a, r.item_b): r.lift
+        for r in association_rules(df, "b", "i").collect()
+    }
+    assert out[("bread", "butter")] == pytest.approx(1.0)  # bread in all
+    # butter vs a noise item: both present in subsets; affinity none.
+    # The strong signal: butter implies bread with confidence 1.
+    confs = {
+        (r.item_a, r.item_b): r.conf_b_a
+        for r in association_rules(df, "b", "i").collect()
+    }
+    assert confs[("bread", "butter")] == 1.0

@@ -521,3 +521,20 @@ def test_pq_topk_all_joins_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_lookup_no_nested_loop(spark):
+    # The time-travel join must be the key equi-join with the interval
+    # test as a residual condition — never a cartesian/BNLJ.
+    plan = plan_of(spark, "purchase_by_tier_scd2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ppjoin_no_cartesian(spark):
+    # Prefix filtering exists to keep the candidate join an equi-join
+    # on (rare) prefix tokens; any nested loop here means the filter
+    # stopped gating the pair space.
+    plan = plan_of(spark, "ppjoin_word_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
