@@ -179,6 +179,7 @@ _DEMOTED = (
     "purchase_by_tier_scd2",
     "ppjoin_word_pairs",
     "part_pairs_lift",
+    "strong_coorder_triangles",
 )
 
 

@@ -262,3 +262,74 @@ def bfs_hops(
             break
         dist = materialize(dist.unionByName(frontier), eager=True)
     return dist
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts — the clustering /
+    community-density primitive that rounds out the graph family
+    (components = connectivity, BFS = reach, triangles = cohesion).
+
+    Algorithm: DEGREE-ORDERED orientation (the standard distributed
+    trick): every edge points from its (degree, id)-smaller endpoint
+    to the larger, wedges are enumerated only at each triangle's
+    smallest vertex, and the closing edge is probed with one more
+    equi-join. Wedge volume is then O(m^1.5) worst-case instead of
+    sum(degree^2) — a hub with a million neighbors contributes no
+    wedges at all (its edges all point INTO it), which is the
+    difference between a plan that survives a social-graph skew and
+    one that explodes. The RESULT is orientation-independent, so the
+    oracle replays the plain id-ordered triple join.
+
+    Input may list edges in any orientation, with duplicates;
+    self-loops are dropped. Output: (node, n_triangles) for nodes in
+    at least one triangle."""
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e0 = materialize(e0, eager=True)
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .union(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    keyed = e0.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    oriented = materialize(oriented, eager=True)
+    o1 = oriented.select("a", F.col("b").alias("w1"), F.col("db").alias("d1"))
+    o2 = oriented.select("a", F.col("b").alias("w2"), F.col("db").alias("d2"))
+    wedges = o1.join(o2, "a").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("w1") < F.col("w2")))
+    )
+    closing = oriented.select(
+        F.col("a").alias("w1"), F.col("b").alias("w2")
+    )
+    tri = wedges.join(closing, ["w1", "w2"]).select(
+        F.col("a"), F.col("w1").alias("b"), F.col("w2").alias("c")
+    )
+    return (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

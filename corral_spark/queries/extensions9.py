@@ -861,3 +861,53 @@ def part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules(
         li, "l_orderkey", "l_partkey", min_cooccur=2
     ).orderBy("item_a", "item_b")
+
+
+@register(
+    "strong_coorder_triangles",
+    oracle="""
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    e AS (
+      SELECT a.i AS u, bb.i AS v
+      FROM pp a JOIN pp bb ON a.b = bb.b AND a.i < bb.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, COUNT(*) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+    GROUP BY node ORDER BY node
+    """,
+    tags=("graph", "extension"),
+)
+def strong_coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation counts (graph.triangle_counts) over the
+    STRONG co-order part graph (pairs co-ordered >= 2 times): how
+    tightly each part's affinity neighborhood closes on itself — the
+    cohesion signal that complements components (connectivity) and
+    BFS (reach). The operator runs the degree-ordered orientation
+    (wedges only at each triangle's smallest-degree vertex, O(m^1.5)
+    bound, hub-skew-proof); the oracle replays the orientation-
+    independent result via the plain id-ordered triple join."""
+    from corral_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = li.select(
+        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")
+    ).distinct()
+    strong = (
+        pp.select("b", F.col("i").alias("src"))
+        .join(pp.select("b", F.col("i").alias("dst")), "b")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_counts(strong).orderBy("node")

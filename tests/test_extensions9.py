@@ -639,3 +639,46 @@ def test_association_rules_lift_detects_affinity(spark):
         for r in association_rules(df, "b", "i").collect()
     }
     assert confs[("bread", "butter")] == 1.0
+
+
+# ----------------------------------------------------------- triangles
+
+
+def test_triangles_k4_and_path(spark):
+    """K4: four triangles, every node in three. A path: none. Input
+    orientation/duplicates must not matter."""
+    from corral_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]  # both dirs
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_counts(_edges(spark, k4)).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    path = [(1, 2), (2, 3), (3, 4)]
+    assert triangle_counts(_edges(spark, path)).count() == 0
+
+
+def test_triangles_match_bruteforce_random(spark):
+    """Seeded random graph: degree-ordered counting equals the plain
+    all-triples reference — orientation loses nothing."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(30), 2))) for _ in range(90)}
+    )
+    eset = set(edges)
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(range(30), 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    from corral_spark.operators.graph import triangle_counts
+
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_counts(_edges(spark, edges)).collect()
+    }
+    assert got == want
