@@ -1006,7 +1006,10 @@ def hll_set_algebra(
     oracle replays every column. The intersection estimator's error
     grows with |A u B| (standard inclusion-exclusion caveat: it is a
     difference of large estimates), which is why the columns expose
-    the operands, not just the derived overlap."""
+    the operands, not just the derived overlap. Grouped form joins
+    INNER on group_cols: a group present in only one register file
+    has no defined overlap and is omitted (union its keys and
+    left-join if absent-means-empty semantics are wanted)."""
     ea = hll_estimate(reg_a, group_cols, b).select(
         *group_cols, F.col("hll_raw").alias("est_a")
     )

@@ -231,7 +231,10 @@ def scd2_lookup(
     small constant, so the pair blow-up is bounded and no nested loop
     appears at any scale. Facts with no valid version keep NULL
     dimension columns under ``how='left'`` (early facts before the
-    first change event — report them, don't drop them)."""
+    first change event — report them, don't drop them). The joined
+    frame keeps BOTH sides' key columns; select them through the
+    original ``facts``/``dim`` references (or rename beforehand) when
+    the key itself is needed downstream."""
     cond = None
     for k in key_cols:
         c = facts[k] == dim[k]
