@@ -177,7 +177,7 @@ _DEMOTED = (
     "pq_ann_topk",
     "qty_discount_linreg",
     "purchase_by_tier_scd2",
-    "ppjoin_word_pairs",
+    "ppjoin_neighbor_counts",
     "part_pairs_lift",
     "strong_coorder_triangles",
 )

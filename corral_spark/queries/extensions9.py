@@ -771,7 +771,7 @@ def purchase_by_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ppjoin_word_pairs",
+    "ppjoin_neighbor_counts",
     oracle="""
     WITH w AS (
       SELECT doc_id,
@@ -789,19 +789,27 @@ def purchase_by_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
       FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.9
+    ),
+    sym AS (
+      SELECT id_a AS doc_id, j FROM pairs
+      UNION ALL
+      SELECT id_b AS doc_id, j FROM pairs
     )
-    SELECT id_a, id_b,
-           ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
-    ORDER BY id_a, id_b
+    SELECT doc_id, COUNT(*) AS n_neighbors, MAX(j) AS max_jaccard
+    FROM sym GROUP BY doc_id ORDER BY doc_id
     """,
     tags=("dedup", "similarity", "extension"),
 )
-def ppjoin_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT word-set Jaccard >= 0.5 join over the corpus
+def ppjoin_neighbor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document count of EXACT word-set Jaccard >= 0.9 neighbors
     (dedup.prefix_filter_jaccard_pairs): PPJoin-style prefix
     filtering under a rarest-first global token order indexes only
     each doc's ~(1-t) rarest tokens, so stopwords — the tokens that
@@ -809,14 +817,29 @@ def ppjoin_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearly every prefix. The oracle computes the TRUE all-pairs
     word-set Jaccard, so a hash match re-proves prefix-filter
     completeness (no qualifying pair escapes the candidate set) on
-    this data, the same discipline as the MinHash and cross-corpus
-    rows."""
+    this data. Reported as a per-doc AGGREGATE (neighbor count + max
+    similarity) because word SETS of a templated corpus are
+    near-degenerate — a large fraction of raw pairs qualifies, which
+    is exactly why the engine's production dedup operators key on
+    shingles; this row exists to certify the prefix-filter algorithm
+    itself."""
     from corral_spark.operators.dedup import prefix_filter_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return prefix_filter_jaccard_pairs(
-        docs, "text", "doc_id", threshold=0.5
-    ).orderBy("id_a", "id_b")
+    pairs = prefix_filter_jaccard_pairs(docs, "text", "doc_id", 0.9)
+    sym = pairs.select(
+        F.col("id_a").alias("doc_id"), F.col("jaccard").alias("j")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"), F.col("jaccard").alias("j"))
+    )
+    return (
+        sym.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.max("j").alias("max_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(

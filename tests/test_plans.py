@@ -535,6 +535,6 @@ def test_ppjoin_no_cartesian(spark):
     # Prefix filtering exists to keep the candidate join an equi-join
     # on (rare) prefix tokens; any nested loop here means the filter
     # stopped gating the pair space.
-    plan = plan_of(spark, "ppjoin_word_pairs")
+    plan = plan_of(spark, "ppjoin_neighbor_counts")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
