@@ -26,7 +26,15 @@ qs, os_ = e.queries(), e.oracle_sql()
 import math
 fails = []
 for name, fn in sorted(qs.items()):
-    sdf = fn(spark, sf).toPandas()
+    # A host flake (e.g. TaskResultLost under memory pressure) must
+    # cost one ERROR row, not the whole replica — the real gate is
+    # per-query too.
+    try:
+        sdf = fn(spark, sf).toPandas()
+    except Exception as exc:  # noqa: BLE001 — record and continue
+        print(f"{name}: ERROR {type(exc).__name__}: {str(exc)[:200]}")
+        fails.append(name)
+        continue
     if name not in os_:
         print(f"{name}: rows-only, {len(sdf)} rows"); continue
     odf = con.execute(os_[name]).fetchdf()
