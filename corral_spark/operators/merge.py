@@ -52,3 +52,72 @@ def merge_upsert(
     if delete_col is not None:
         merged = merged.join(tomb, on=key_col, how="left_anti")
     return merged
+
+
+def apply_agg_delta(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Incremental view maintenance for a COUNT/SUM group-by rollup:
+    update ``snapshot`` (one row per group: key_cols, count_col,
+    sum_cols) with a signed ``delta`` batch (base-table rows plus
+    ``sign_col`` = +1 insert / -1 delete) WITHOUT rescanning the base
+    table — the maintenance step that keeps a 100 TB fact table's
+    rollup current at the cost of the delta, not the table.
+
+    COUNT and SUM are self-maintainable (deltas fold in by signed
+    addition; AVG derives as sum/count downstream); MIN/MAX are NOT —
+    deleting a group's current extremum requires recomputing that
+    group from base data, which is why this operator deliberately
+    supports only the additive family (document the limit at the call
+    site, or keep extrema in a separate non-incremental view).
+
+    Shape: the delta pre-aggregates per group (map-side combine — the
+    shuffle carries one row per TOUCHED group), then a full-outer
+    combine with the snapshot by key; groups whose maintained count
+    reaches zero drop out, and a maintained count going NEGATIVE
+    raises at evaluation (raise_error in-plan): a delete for a row
+    the view never absorbed means the delta stream and snapshot have
+    diverged, and silently clamping would hide the corruption.
+
+    Output: same schema as ``snapshot``. Equivalence to a full
+    recompute over base+delta is pytest-pinned.
+    """
+    s = F.col(sign_col)
+    dagg = delta.groupBy(*key_cols).agg(
+        F.sum(s).alias("__dn"),
+        *[
+            F.sum(s * F.col(c)).alias(f"__d_{c}")
+            for c in sum_cols
+        ],
+    )
+    snap = snapshot.alias("s")
+    d = dagg.alias("d")
+    new_n = F.coalesce(F.col(f"s.{count_col}"), F.lit(0)) + F.coalesce(
+        F.col("__dn"), F.lit(0)
+    )
+    checked_n = F.when(
+        new_n < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("apply_agg_delta: negative maintained count for group "),
+                F.concat_ws(",", *[F.col(k).cast("string") for k in key_cols]),
+            )
+        ).cast(snapshot.schema[count_col].dataType),
+    ).otherwise(new_n)
+    combined = snap.join(d, on=key_cols, how="full_outer").select(
+        *key_cols,
+        checked_n.alias(count_col),
+        *[
+            (
+                F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in sum_cols
+        ],
+    )
+    return combined.filter(F.col(count_col) > 0)

@@ -682,3 +682,65 @@ def test_triangles_match_bruteforce_random(spark):
         for r in triangle_counts(_edges(spark, edges)).collect()
     }
     assert got == want
+
+
+# ----------------------------------------------------------- ivm
+
+
+def _recompute(spark, rows, keys=("g",)):
+    df = spark.createDataFrame(rows, ["g", "x"])
+    return {
+        (r.g,): (r.n, r.x)
+        for r in df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("x"))
+        .collect()
+    }
+
+
+def test_apply_agg_delta_equals_recompute(spark):
+    """Signed-delta maintenance == full recompute over base+delta,
+    including a group that vanishes (all rows deleted) and a brand-new
+    group arriving only in the delta."""
+    from corral_spark.operators.merge import apply_agg_delta
+
+    base = [(g, x) for g in range(4) for x in range(1, 6)]
+    # Contract: the snapshot's maintained-sum column carries the SAME
+    # name as the delta's value column.
+    snapshot = spark.createDataFrame(base, ["g", "x"]).groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("x")
+    )
+    # Delete ALL of group 0, part of group 1, insert into group 2 and
+    # a brand-new group 9.
+    delta_rows = (
+        [(0, x, -1) for x in range(1, 6)]
+        + [(1, 2, -1), (1, 5, -1)]
+        + [(2, 100, 1), (9, 7, 1), (9, 8, 1)]
+    )
+    delta = spark.createDataFrame(delta_rows, ["g", "x", "sign"])
+    got = {
+        (r.g,): (r.n, r.x)
+        for r in apply_agg_delta(
+            snapshot, delta, ["g"], ["x"]
+        ).collect()
+    }
+    survivors = [
+        (g, x) for g, x in base
+        if g != 0 and not (g == 1 and x in (2, 5))
+    ] + [(2, 100), (9, 7), (9, 8)]
+    assert got == _recompute(spark, survivors)
+    assert (0,) not in got  # fully-deleted group dropped
+
+
+def test_apply_agg_delta_negative_count_raises(spark):
+    """A delete the view never absorbed is divergence — loud failure,
+    not a silent clamp."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from corral_spark.operators.merge import apply_agg_delta
+
+    snapshot = spark.createDataFrame([(1, 1, 10)], ["g", "n", "x"])
+    delta = spark.createDataFrame(
+        [(1, 10, -1), (1, 11, -1)], ["g", "x", "sign"]
+    )
+    with pytest.raises(SparkRuntimeException, match="negative maintained"):
+        apply_agg_delta(snapshot, delta, ["g"], ["x"]).collect()
