@@ -688,3 +688,97 @@ def run_available_now(
     )
     q.awaitTermination()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def foreach_batch_rollup_sink(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+    sign_col: str | None = None,
+    fs: "PosixTableFS | None" = None,
+):
+    """Streaming ROLLUP maintenance: fold each micro-batch into a
+    COUNT/SUM group-by snapshot with
+    ``operators.merge.apply_agg_delta`` — the aggregate sibling of
+    ``foreach_batch_upsert_sink``. Append-only streams omit
+    ``sign_col`` (every row is a +1 insert); CDC streams pass a
+    +1/-1 column and deletes retract. Per batch the work is O(delta)
+    to fold plus O(rollup) to publish — and a rollup is GROUPS-sized
+    (small by nature; the hash-bucketed incremental layout is the
+    ROW-table solution), so full-snapshot versions are the right
+    publication unit here.
+
+    Same commit/replay discipline as the upsert sink: version
+    ``v=<batchId>`` computed from the newest COMMITTED manifest below
+    the batch id, published via the injected filesystem seam's atomic
+    commit (rename or marker-file), so a checkpoint replay rebuilds
+    its version from the same predecessor — idempotent overwrite,
+    never double application. SINGLE-WRITER, checkpoint is part of
+    the table. MIN/MAX are deliberately out of scope (not
+    self-maintainable under retraction — apply_agg_delta's
+    documented boundary). Returns the started StreamingQuery
+    (availableNow trigger); read with ``read_rollup_snapshot``."""
+    from corral_spark.operators.merge import apply_agg_delta
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = _latest_manifest(table_dir, below=int(batch_id), fs=fs)
+        if base is None:
+            # Aggregating an empty slice of the batch derives the
+            # rollup schema (incl. sum types) without hand-building it.
+            prev = (
+                batch_df.limit(0)
+                .groupBy(*key_cols)
+                .agg(
+                    F.count(F.lit(1)).alias(count_col),
+                    *[F.sum(c).alias(c) for c in sum_cols],
+                )
+            )
+        else:
+            prev = spark.read.parquet(
+                f"{table_dir}/v={base['version']}/data"
+            )
+        delta = (
+            batch_df.withColumn("__sign", F.lit(1))
+            if sign_col is None
+            else batch_df.withColumn(
+                "__sign", F.col(sign_col).cast("int")
+            )
+        )
+        new = apply_agg_delta(
+            prev,
+            delta.select(*key_cols, *sum_cols, "__sign"),
+            key_cols,
+            sum_cols,
+            count_col,
+            "__sign",
+        )
+        out_dir = f"{table_dir}/v={batch_id}"
+        # Data under data/ keeps the manifest (and commit marker) out
+        # of the parquet directory the reader loads.
+        new.write.mode("overwrite").parquet(f"{out_dir}/data")
+        _commit_manifest(
+            out_dir,
+            {"kind": "rollup", "schema": new.schema.jsonValue()},
+            fs=fs,
+        )
+
+    return (
+        df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup_snapshot(
+    spark: SparkSession, table_dir: str, fs: "PosixTableFS | None" = None
+) -> DataFrame:
+    """Latest committed rollup written by foreach_batch_rollup_sink."""
+    m = _latest_manifest(table_dir, fs=fs)
+    if m is None:
+        raise FileNotFoundError(f"no committed rollups under {table_dir}")
+    return spark.read.parquet(f"{table_dir}/v={m['version']}/data")

@@ -699,3 +699,109 @@ def test_legacy_migration_refuses_new_layout_debris(spark, tmp_path):
         _assert_genuine_legacy(str(table), 3)
     with _pytest.raises(RuntimeError, match="refusing migration"):
         read_upsert_snapshot(spark, str(table))
+
+
+def test_streaming_rollup_sink_restart_and_retraction(spark, tmp_path):
+    """Rollup-maintenance sink: batch 1 builds the COUNT/SUM rollup;
+    batch 2 (after the query was down) retracts some rows (-1) and
+    inserts others; a third run with no data changes nothing. Each
+    state must equal a full recompute over the surviving base rows —
+    exactly-once across restarts via the versioned manifest commit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from corral_spark.streaming.ops import (
+        foreach_batch_rollup_sink,
+        read_rollup_snapshot,
+    )
+
+    src = tmp_path / "delta"
+    src.mkdir()
+    table = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(name, rows):
+        gs, xs, ss = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "g": pa.array(gs, pa.int64()),
+                    "x": pa.array(xs, pa.int64()),
+                    "sign": pa.array(ss, pa.int32()),
+                }
+            ),
+            str(src / name),
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "g long, x long, sign int"
+        ).parquet(str(src))
+        q = foreach_batch_rollup_sink(
+            stream, table, ckpt, ["g"], ["x"], sign_col="sign"
+        )
+        q.awaitTermination()
+
+    b1 = [(1, 10, 1), (1, 20, 1), (2, 5, 1), (2, 7, 1), (3, 100, 1)]
+    _write("b1.parquet", b1)
+    run_once()
+    snap1 = {
+        r.g: (r.n, r.x) for r in read_rollup_snapshot(spark, table).collect()
+    }
+    assert snap1 == {1: (2, 30), 2: (2, 12), 3: (1, 100)}
+
+    time.sleep(1.1)
+    # Retract one row of group 1, ALL of group 3, insert into group 4.
+    b2 = [(1, 20, -1), (3, 100, -1), (4, 9, 1)]
+    _write("b2.parquet", b2)
+    run_once()
+    snap2 = {
+        r.g: (r.n, r.x) for r in read_rollup_snapshot(spark, table).collect()
+    }
+    assert snap2 == {1: (1, 10), 2: (2, 12), 4: (1, 9)}  # 3 vanished
+
+    run_once()  # no new data
+    snap3 = {
+        r.g: (r.n, r.x) for r in read_rollup_snapshot(spark, table).collect()
+    }
+    assert snap3 == snap2
+
+
+def test_streaming_rollup_append_only_defaults_to_inserts(spark, tmp_path):
+    """Without sign_col every batch row is a +1 insert — the plain
+    streaming-aggregation shape, maintained incrementally."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from corral_spark.streaming.ops import (
+        foreach_batch_rollup_sink,
+        read_rollup_snapshot,
+    )
+
+    src = tmp_path / "delta"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "g": pa.array([1, 1, 2], pa.int64()),
+                "x": pa.array([3, 4, 5], pa.int64()),
+            }
+        ),
+        str(src / "b1.parquet"),
+    )
+    stream = spark.readStream.schema("g long, x long").parquet(str(src))
+    q = foreach_batch_rollup_sink(
+        stream,
+        str(tmp_path / "rollup"),
+        str(tmp_path / "ckpt"),
+        ["g"],
+        ["x"],
+    )
+    q.awaitTermination()
+    snap = {
+        r.g: (r.n, r.x)
+        for r in read_rollup_snapshot(
+            spark, str(tmp_path / "rollup")
+        ).collect()
+    }
+    assert snap == {1: (2, 7), 2: (1, 5)}
