@@ -121,3 +121,36 @@ def apply_agg_delta(
         ],
     )
     return combined.filter(F.col(count_col) > 0)
+
+
+def refresh_affected_groups(
+    snapshot: DataFrame,
+    base: DataFrame,
+    touched_keys: DataFrame,
+    key_cols: list[str],
+    aggregate,
+) -> DataFrame:
+    """The non-additive companion to ``apply_agg_delta``: refresh a
+    group-by view for aggregates that are NOT self-maintainable under
+    deletes (MIN/MAX, exact distinct counts, percentiles) by
+    recomputing ONLY the groups a delta touched against the base
+    table, while every untouched group carries over from the
+    snapshot verbatim. Cost: one base-side scan FILTERED to the
+    touched keys (a semi-join the optimizer can turn into a runtime
+    bloom/DPP prune when the touched set is selective) plus an
+    anti-join over the groups-sized snapshot — never a full-view
+    recompute.
+
+    ``aggregate`` is the view definition: a callable mapping a base
+    frame to its grouped aggregate (the SAME function that built the
+    snapshot — passing it in keeps the two definitions incapable of
+    drifting). ``touched_keys`` holds the key columns of the groups
+    to refresh (dedup not required); a touched group with no
+    remaining base rows simply disappears from the view.
+    """
+    touched = touched_keys.select(*key_cols).distinct()
+    recomputed = aggregate(
+        base.join(touched, key_cols, "leftsemi")
+    )
+    untouched = snapshot.join(touched, key_cols, "left_anti")
+    return untouched.unionByName(recomputed)

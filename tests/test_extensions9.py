@@ -744,3 +744,33 @@ def test_apply_agg_delta_negative_count_raises(spark):
     )
     with pytest.raises(SparkRuntimeException, match="negative maintained"):
         apply_agg_delta(snapshot, delta, ["g"], ["x"]).collect()
+
+
+def test_refresh_affected_groups_minmax_under_delete(spark):
+    """MIN/MAX view after deleting a group's extremum: the additive
+    fold cannot fix it; group-scoped recompute must — and groups the
+    delta never touched must carry over from the snapshot verbatim
+    (not be recomputed)."""
+    from corral_spark.operators.merge import refresh_affected_groups
+
+    def view(df):
+        return df.groupBy("g").agg(
+            F.min("x").alias("mn"), F.max("x").alias("mx")
+        )
+
+    base0 = spark.createDataFrame(
+        [(1, 1), (1, 9), (2, 5), (2, 6), (3, 7)], ["g", "x"]
+    )
+    snapshot = view(base0)
+    # Delete group 1's max and ALL of group 3.
+    base1 = spark.createDataFrame([(1, 1), (2, 5), (2, 6)], ["g", "x"])
+    touched = spark.createDataFrame([(1,), (3,)], ["g"])
+    got = {
+        r.g: (r.mn, r.mx)
+        for r in refresh_affected_groups(
+            snapshot, base1, touched, ["g"], view
+        ).collect()
+    }
+    assert got == {1: (1, 1), 2: (5, 6)}  # 1 refreshed, 2 carried, 3 gone
+    want = {r.g: (r.mn, r.mx) for r in view(base1).collect()}
+    assert got == want
