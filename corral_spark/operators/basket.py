@@ -28,6 +28,7 @@ def association_rules(
     basket_col: str,
     item_col: str,
     min_cooccur: int = 2,
+    max_basket_width: int = 1000,
 ) -> DataFrame:
     """Pairwise association rules over (basket, item) rows: for every
     unordered item pair co-occurring in >= ``min_cooccur`` baskets,
@@ -39,15 +40,50 @@ def association_rules(
     products), so every column replays bit-exactly in SQL.
 
     Output: (item_a, item_b, c_a, c_b, c_ab, conf_a_b, conf_b_a,
-    lift) with item_a < item_b."""
+    lift) with item_a < item_b.
+
+    Scale guard: the pair blow-up is quadratic in BASKET WIDTH, so a
+    single degenerate basket (a user-as-basket or crawl-session key
+    holding 10^6 distinct items) makes one key emit 10^12 pairs. Any
+    basket wider than ``max_basket_width`` distinct items therefore
+    RAISES in-plan (raise_error inside the pair path, same contract
+    as apply_agg_delta's negative-count check) instead of silently
+    running quadratic — baskets that wide mean the basket key is
+    wrong for this analysis, and the caller must either re-key or
+    consciously raise the cap. The guard costs one O(|pp|) width
+    aggregation that reuses the already-materialized distinct
+    (basket, item) table; the engine's precedents are fuzzy.py's
+    ``cap_per_block`` and the LSH ``max_df``, which CAP because their
+    outputs are candidate sets — here the counts are exact, so a
+    silent cap would corrupt c_ab and the only safe behavior is to
+    refuse."""
     pp = df.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
     ).distinct()
     pp = materialize(pp, eager=True)
     n_df = pp.agg(F.countDistinct("b").alias("n_baskets"))
     items = pp.groupBy("i").agg(F.count(F.lit(1)).alias("c"))
+    widths = pp.groupBy("b").agg(F.count(F.lit(1)).alias("__w"))
+    width_ok = F.when(
+        F.col("__w") > max_basket_width,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "association_rules: basket width exceeds "
+                    f"max_basket_width={max_basket_width} for basket "
+                ),
+                F.col("b").cast("string"),
+                F.lit(" (width "),
+                F.col("__w").cast("string"),
+                F.lit(")"),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
     pairs = (
         pp.select(F.col("b"), F.col("i").alias("item_a"))
+        .join(widths, "b")
+        .filter(width_ok)
+        .drop("__w")
         .join(
             pp.select(F.col("b"), F.col("i").alias("item_b")),
             "b",

@@ -1282,9 +1282,13 @@ def prefix_filter_jaccard_pairs(
     jac = F.col("inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("inter")
     )
+    # Threshold on the UNROUNDED ratio and round only in the final
+    # select (the oracle's WHERE-before-ROUND shape): filtering the
+    # 6dp-rounded value would admit pairs with true J in
+    # [t - 5e-7, t) that the exact filter rejects.
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
+        .filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
     )

@@ -165,7 +165,9 @@ def decode_png_dims(payload: bytes) -> tuple[int, int]:
         raise ValueError("PNG missing leading IHDR chunk")
     width = int.from_bytes(payload[16:20], "big")
     height = int.from_bytes(payload[20:24], "big")
-    if width == 0 or height == 0 or width > 2**31 or height > 2**31:
+    if width == 0 or height == 0 or width >= 2**31 or height >= 2**31:
+        # PNG caps dimensions at 2^31 - 1 (spec: "shall not exceed
+        # 2^31-1"), so 2^31 exactly is malformed too.
         raise ValueError("malformed PNG dimensions")
     return width, height
 

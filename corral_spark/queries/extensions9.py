@@ -177,7 +177,7 @@ _HLL_EST_SQL = """
       FROM documents
     ),
     ta AS (SELECT tok FROM toks WHERE source = 'src0' AND tok <> ''),
-    tb AS (SELECT tok FROM toks WHERE source <> 'src0' AND tok <> ''),
+    tb AS (SELECT tok FROM toks WHERE source IS DISTINCT FROM 'src0' AND tok <> ''),
     ra AS ({_HLL_REGS_SQL.format(src="ta")}),
     rb AS ({_HLL_REGS_SQL.format(src="tb")}),
     ru AS (

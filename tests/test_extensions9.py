@@ -641,6 +641,26 @@ def test_association_rules_lift_detects_affinity(spark):
     assert confs[("bread", "butter")] == 1.0
 
 
+def test_association_rules_mega_basket_raises(spark):
+    """Scale guard (r7 verdict item 4): a planted degenerate basket
+    wider than max_basket_width RAISES in-plan instead of running
+    quadratic — the pair blow-up is sum_b k_b^2, so one giant basket
+    (user-as-basket, crawl-session-as-basket) would dominate the job.
+    Legitimate narrow baskets still compute under the same cap."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from corral_spark.operators.basket import association_rules
+
+    rows = [(0, f"item{i}") for i in range(50)]  # mega-basket: width 50
+    rows += [(1, "x"), (1, "y"), (2, "x"), (2, "y")]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    with pytest.raises(SparkRuntimeException, match="max_basket_width"):
+        association_rules(df, "b", "i", max_basket_width=10).collect()
+    # Same data, cap above the widest basket: computes normally.
+    ok = association_rules(df, "b", "i", max_basket_width=50).collect()
+    assert {(r.item_a, r.item_b) for r in ok} >= {("x", "y")}
+
+
 # ----------------------------------------------------------- triangles
 
 
