@@ -121,10 +121,13 @@ def main() -> None:
             "pretrain_corpus",
             "gram_dedup_docs",
         )
-        # min-of-2, interleaved for the same disjoint-window reason as
-        # the base loop; first pass pays the sf1 scan cache.
+        # min-of-3, interleaved round-robin — the same fix the sf0.1
+        # loop got in r6 (one bad host window must not poison all of a
+        # query's samples); raised from min-of-2 per the r7 verdict
+        # item 2 so the sf1 drift canary has the same noise floor as
+        # the headline set. First pass pays the sf1 scan cache.
         sf1_runs: dict[str, list[float]] = {n: [] for n in _sf1_names}
-        for _pass in range(2):
+        for _pass in range(3):
             for name in _sf1_names:
                 t0 = time.perf_counter()
                 REGISTRY[name].spark(spark, sf1_dir).count()

@@ -1,0 +1,132 @@
+"""Unit tests for the round-8 operators: 2-D skyline, fixed-point
+PageRank, and the IVM registry rows' split arithmetic. (The six new
+registry queries are additionally oracle-gated by
+test_correctness.py's auto-parametrization.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from corral_spark.operators.graph import pagerank_fixed_point
+from corral_spark.operators.skyline import skyline_min_max
+
+
+def test_skyline_hand_case_with_ties(spark):
+    """Dominance spec by hand: same-price-taller dominates,
+    cheaper-and-at-least-as-tall dominates, exact (price, size)
+    duplicates both survive."""
+    rows = [
+        (1, 10.0, 5),  # dominated by key 2 (same price, taller)
+        (2, 10.0, 7),  # skyline
+        (3, 12.0, 7),  # dominated by key 2 (cheaper, same size)
+        (4, 9.0, 3),   # skyline (cheapest overall)
+        (5, 12.0, 9),  # skyline (tallest), tie with 6
+        (6, 12.0, 9),  # skyline, duplicate point kept
+    ]
+    df = spark.createDataFrame(rows, ["k", "price", "size"])
+    got = sorted(
+        r.k for r in skyline_min_max(df, "price", "size").collect()
+    )
+    assert got == [2, 4, 5, 6]
+
+
+def test_skyline_single_row_and_monotone_chain(spark):
+    df1 = spark.createDataFrame([(1, 5.0, 5)], ["k", "price", "size"])
+    assert [r.k for r in skyline_min_max(df1, "price", "size").collect()] == [1]
+    # Strictly improving chain: every row on the frontier.
+    chain = spark.createDataFrame(
+        [(i, float(i), i) for i in range(1, 6)], ["k", "price", "size"]
+    )
+    assert sorted(
+        r.k for r in skyline_min_max(chain, "price", "size").collect()
+    ) == [1, 2, 3, 4, 5]
+
+
+def _pagerank_reference(edges, iters=3, scale=10**12):
+    """Independent dict-based fixed-point PageRank (same integer
+    contract: floor divisions, exact integer sums)."""
+    both = set()
+    for u, v in edges:
+        both.add((u, v))
+        both.add((v, u))
+    nodes = sorted({u for u, _ in both})
+    deg = {u: sum(1 for a, _ in both if a == u) for u in nodes}
+    n = len(nodes)
+    r = {u: scale // n for u in nodes}
+    t = (scale // n) * 15 // 100
+    for _ in range(iters):
+        s = {u: 0 for u in nodes}
+        for u, v in both:
+            s[v] += r[u] // deg[u]
+        r = {u: t + 85 * s[u] // 100 for u in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_on_path_graph(spark):
+    edges = [(1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.node: r.pr_e12
+        for r in pagerank_fixed_point(df, iters=3).collect()
+    }
+    assert got == _pagerank_reference(edges)
+    # The center of a path must outrank the leaves.
+    assert got[2] > got[1] == got[3]
+
+
+def test_pagerank_matches_reference_on_star_plus_cycle(spark):
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (4, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.node: r.pr_e12
+        for r in pagerank_fixed_point(df, iters=3).collect()
+    }
+    assert got == _pagerank_reference(edges)
+    assert got[0] == max(got.values())  # hub wins
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_fixed_point(df).count() == 0
+
+
+def test_ivm_rows_equal_full_recompute_shapes(spark):
+    """The two IVM registry rows' defining equivalence, checked
+    directly in Spark (the driver gate checks it against DuckDB):
+    maintained/refreshed view == full recompute over the post-CDC
+    base at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from corral_spark.queries import REGISTRY
+    from corral_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    post = orders.filter(F.col("o_orderkey") % 10 != 1)
+
+    got = REGISTRY["orders_rollup_ivm"].spark(spark, sf).collect()
+    exp = (
+        post.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+        .collect()
+    )
+    assert got == exp
+
+    got2 = REGISTRY["orders_minmax_refresh"].spark(spark, sf).collect()
+    exp2 = (
+        post.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_custkey")
+        .collect()
+    )
+    assert got2 == exp2

@@ -538,3 +538,53 @@ def test_ppjoin_no_cartesian(spark):
     plan = plan_of(spark, "ppjoin_neighbor_counts")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skyline_no_cartesian_and_broadcast_back_join(spark):
+    # The whole point of the sort-based 2-D skyline is replacing the
+    # NOT-EXISTS quadratic join (which the ORACLE deliberately keeps)
+    # with window + equi-join: the plan must contain no nested loop,
+    # and the frontier join back onto the table must broadcast the
+    # (tiny) frontier.
+    plan = plan_of(spark, "skyline_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pagerank_rounds_are_equi_joins(spark, monkeypatch):
+    # Each PageRank round is rank-vector ⋈ edges on the node id plus
+    # a partially-aggregated groupBy; a nested loop anywhere means a
+    # join key was lost and the round went quadratic. The per-round
+    # materialize barrier truncates lineage (the real plan would show
+    # only ExistingRDD), so pin the plan with materialize disabled —
+    # same logical rounds, full tree visible.
+    import corral_spark.operators.graph as g
+
+    monkeypatch.setattr(g, "materialize", lambda df, eager=False: df)
+    plan = plan_of(spark, "part_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_ivm_delta_preaggregates_before_combine(spark):
+    # apply_agg_delta's contract: the shuffle carries one row per
+    # TOUCHED group (map-side combine on the delta), then a single
+    # combine join with the snapshot — the base table is never
+    # rescanned, so exactly two scans of orders (snapshot build +
+    # delta build… the registry row derives both from the same
+    # parquet) may appear, but no third.
+    plan = plan_of(spark, "orders_rollup_ivm")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minmax_refresh_semi_and_anti_join(spark):
+    # refresh_affected_groups must prune the base scan with a
+    # semi-join on the touched keys and carry untouched groups via an
+    # anti-join — both as hash joins, never nested loops.
+    plan = plan_of(spark, "orders_minmax_refresh")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -23,6 +23,13 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf, t)}')")
 
 qs, os_ = e.queries(), e.oracle_sql()
+# Optional dev-loop subset (comma-separated names). The round gates
+# always run the FULL replica — this exists so a query under repair
+# can be re-verified at sf0.01 without paying for all of them.
+only = os.environ.get("CORRAL_SIM_ONLY")
+if only:
+    keep = {n.strip() for n in only.split(",") if n.strip()}
+    qs = {n: f for n, f in qs.items() if n in keep}
 import math
 fails = []
 for name, fn in sorted(qs.items()):
