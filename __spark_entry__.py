@@ -187,6 +187,15 @@ _DEMOTED = (
     "train_test_split_counts",
     "unigram_logprob_docs",
     "user_rolling_1h",
+    # -- NEW in round 8 after the head was sealed (second wave):
+    #    oracle-gated by pytest + driver_sim now, first driver rows
+    #    promised for the round-9 head. Ledger stays closed: r9 = 27
+    #    r6-greens (hard, 2-round limit) + these 3 first rows + 20 of
+    #    the 50 r7-greens, r10 = the remaining 30 r7-greens + 20
+    #    r8-greens — every cohort returns within its limit. --
+    "part_price_bins",
+    "event_transition_matrix",
+    "event_hourly_anomalies",
 )
 
 

@@ -455,7 +455,7 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT printf('%04d-%02d', m0 // 12, m0 % 12 + 1) AS cohort_month,
            month_offset, n_active, cohort_n,
-           ROUND(CAST(n_active AS DOUBLE) / cohort_n, 4) AS retention
+           CAST(n_active AS DOUBLE) / cohort_n AS retention
     FROM c
     ORDER BY cohort_month, month_offset
     """,
@@ -469,7 +469,10 @@ def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     Month arithmetic runs on the integer month index
     (year*12 + month-1: no timestamp subtraction, no months_between
     floats), counts are exact, and the single ratio is one integer
-    division rounded on both sides. Cost shape: one distinct over
+    division of exact BIGINTs — bit-identical on both engines
+    unrounded, so no rounding-mode boundary can flip the hash (the
+    det.py rule: round only when accumulation-order noise exists).
+    Cost shape: one distinct over
     (customer, month), one per-customer min (map-side combined), one
     equi-join back, one grouped count — all partitioned by customer
     or cohort key, nothing driver-side."""
@@ -501,7 +504,179 @@ def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month_offset",
         "n_active",
         "cohort_n",
-        F.round(
-            F.col("n_active").cast("double") / F.col("cohort_n"), 4
-        ).alias("retention"),
+        (F.col("n_active").cast("double") / F.col("cohort_n")).alias(
+            "retention"
+        ),
     ).orderBy("cohort_month", "month_offset")
+
+
+# ------------------------------------------------- second wave (r8)
+#
+# Registered after the r8 head was sealed (its 50 slots are the
+# committed rotation obligations + the six first-wave rows above);
+# oracle-gated by pytest + driver_sim now, first driver rows promised
+# for the round-9 head (ledger note in __spark_entry__.py).
+
+
+@register(
+    "part_price_bins",
+    oracle="""
+    WITH r AS (
+      SELECT p_retailprice,
+             NTILE(10) OVER (ORDER BY p_retailprice, p_partkey) AS bin
+      FROM part
+    )
+    SELECT bin, COUNT(*) AS n_parts,
+           MIN(p_retailprice) AS price_lo,
+           MAX(p_retailprice) AS price_hi
+    FROM r GROUP BY bin ORDER BY bin
+    """,
+    tags=("ranking", "extension"),
+)
+def part_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-frequency decile binning of p_retailprice — the ML
+    feature-prep primitive — built on DISTRIBUTED exact ranking
+    (operators.ranking.global_row_number: range partition + exact
+    per-partition offsets + within-partition row_number) plus the
+    closed-form NTILE bucket rule (ranking.ntile_bucket, exact
+    integer division). A native NTILE window with no PARTITION BY
+    collapses the table into one task — correct and dead at 100 TB;
+    the two-pass rank keeps every stage distributed, and the oracle
+    deliberately uses the native NTILE window, so a gate match proves
+    the distributed construction equals the SQL-standard semantics
+    (first n%k buckets take ceil(n/k) rows), ties broken by the
+    unique (price, partkey) order on both sides."""
+    from corral_spark.operators.ranking import (
+        global_row_number,
+        ntile_bucket,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    n = part.count()
+    ranked = global_row_number(
+        part, ["p_retailprice", "p_partkey"], "rank"
+    )
+    return (
+        ranked.withColumn("bin", ntile_bucket(F.col("rank"), n, 10))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_retailprice").alias("price_lo"),
+            F.max("p_retailprice").alias("price_hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur_event,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_event
+      FROM events
+    ),
+    c AS (
+      SELECT cur_event, next_event, COUNT(*) AS n
+      FROM seq WHERE next_event IS NOT NULL
+      GROUP BY cur_event, next_event
+    )
+    SELECT cur_event, next_event, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY cur_event) AS p
+    FROM c
+    ORDER BY cur_event, next_event
+    """,
+    tags=("sequence", "extension"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's
+    time-ordered event stream: exact pair counts via one lead()
+    window per user (ties broken by event_id — deterministic on both
+    engines) and P(next | cur) as one UNROUNDED division over exact
+    BIGINTs. The user-journey analysis primitive: which step follows
+    which, at what probability. Cost shape: one shuffle on user_id
+    for the lag window (sessions are user-local), one grouped count,
+    one cur_event-partitioned sum — no joins, nothing driver-side."""
+    from corral_spark.queries.streaming_q import _events
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur_event"),
+        F.lead("event_type").over(w).alias("next_event"),
+    ).filter(F.col("next_event").isNotNull())
+    counts = seq.groupBy("cur_event", "next_event").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("cur_event")
+    return counts.select(
+        "cur_event",
+        "next_event",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt)).alias("p"),
+    ).orderBy("cur_event", "next_event")
+
+
+@register(
+    "event_hourly_anomalies",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, hour(ts) AS hr, value,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                    PARTITION BY event_type, hour(ts)) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY event_type, hour(ts))
+               AS avg_v
+      FROM events
+    )
+    SELECT event_type, hr, COUNT(*) AS n_events,
+           MIN(avg_v) AS avg_value,
+           CAST(SUM(CASE WHEN value > 3 * avg_v THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies,
+           CAST(SUM(CASE WHEN value > 3 * avg_v THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS anomaly_rate
+    FROM h
+    GROUP BY event_type, hr
+    ORDER BY event_type, hr
+    """,
+    tags=("quality", "timeseries", "extension"),
+)
+def event_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly screen: each event's value compared
+    against ITS OWN (event_type, hour-of-day) baseline — the screen
+    that doesn't flag nightly batch spikes as anomalies the way a
+    global threshold does. The baseline is the exact decimal-sum
+    average (functions.det pattern: one identical double division on
+    both engines), the flag is value > 3x baseline (exact comparison
+    of bit-identical doubles), and the report is per-cell counts and
+    an unrounded single-division rate (exact quantities in, so the
+    quotient is bit-identical cross-engine without rounding). One
+    window shuffle on the (type, hour) cell, one
+    grouped rollup — the whole screen is two exchanges regardless of
+    input size, and the cell cardinality (types x 24) bounds every
+    window partition."""
+    from corral_spark.queries.streaming_q import _events
+
+    ev = _events(spark, sf_dir)
+    cell = ev.withColumn("hr", F.hour("ts"))
+    w = Window.partitionBy("event_type", "hr")
+    avg_v = F.sum(dec("value")).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
+    flagged = cell.withColumn("avg_v", avg_v).withColumn(
+        "is_anom", (F.col("value") > 3 * F.col("avg_v")).cast("int")
+    )
+    return (
+        flagged.groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("avg_v").alias("avg_value"),
+            F.sum("is_anom").cast("bigint").alias("n_anomalies"),
+            (F.sum("is_anom").cast("double") / F.count(F.lit(1))).alias(
+                "anomaly_rate"
+            ),
+        )
+        .orderBy("event_type", "hr")
+    )

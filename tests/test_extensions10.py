@@ -130,3 +130,61 @@ def test_ivm_rows_equal_full_recompute_shapes(spark):
         .collect()
     )
     assert got2 == exp2
+
+
+def test_global_row_number_matches_native_window(spark):
+    """Distributed two-pass rank == the single-task native window on
+    a shuffled input, for a unique order key."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from corral_spark.operators.ranking import global_row_number
+
+    rows = [(i, random.Random(i).random()) for i in range(500)]
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(7)
+    got = {
+        r.k: r.rank
+        for r in global_row_number(df, ["v", "k"], num_partitions=5).collect()
+    }
+    exp = {
+        r.k: r.exp
+        for r in df.withColumn(
+            "exp", F.row_number().over(Window.orderBy("v", "k"))
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_ntile_bucket_matches_native_ntile(spark):
+    """Closed-form NTILE == the window function across remainder
+    shapes (n % k zero and non-zero, k > n)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from corral_spark.operators.ranking import ntile_bucket
+
+    for n, k in [(13, 5), (10, 10), (3, 10), (100, 7), (1, 1)]:
+        df = spark.range(1, n + 1).withColumnRenamed("id", "rank")
+        got = {
+            r.rank: r.b
+            for r in df.withColumn(
+                "b", ntile_bucket(F.col("rank"), n, k)
+            ).collect()
+        }
+        exp = {
+            r.rank: r.b
+            for r in df.withColumn(
+                "b", F.ntile(k).over(Window.orderBy("rank"))
+            ).collect()
+        }
+        assert got == exp, (n, k)
+
+
+def test_global_row_number_empty(spark):
+    from corral_spark.operators.ranking import global_row_number
+
+    df = spark.createDataFrame([], "k long, v double")
+    assert global_row_number(df, ["v", "k"]).count() == 0
