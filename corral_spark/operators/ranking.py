@@ -46,9 +46,21 @@ def global_row_number(
     tiebreak column if needed); uniqueness is what makes the rank
     deterministic and run-stable.
     """
+    from corral_spark.materialize import materialize
+
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # MATERIALIZED before anything reads it: the size pass and the
+    # rank pass must see the SAME physical partitioning. Without the
+    # barrier each pass re-executes repartitionByRange, whose sampled
+    # boundaries are not guaranteed identical across jobs (AQE can
+    # even change the upstream layout between them) — offsets then
+    # belong to different partitions than the ranks and the result is
+    # silently wrong (caught at sf0.1: an 11th NTILE bucket).
+    ranged = materialize(
+        df.repartitionByRange(n_part, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        eager=True,
     )
     # Partition sizes: a partitions-sized aggregate; the collect is
     # bounded by num_partitions (driver-side by design, like
@@ -107,7 +119,22 @@ def ntile_bucket(rank: Column, n_rows: int, k: int) -> Column:
     a_big = rank - 1
     a_small = rank - 1 - F.lit(big_span)
     return (
-        F.when(rank <= F.lit(big_span), _idiv(a_big, size_big))
+        F.when(
+            (rank < 1) | (rank > F.lit(n_rows)),
+            # Invariant breach (a rank outside [1, n] means the
+            # caller's rank construction lost rows or double-counted
+            # — e.g. a partitioning misalignment): fail loudly
+            # in-plan rather than emit a phantom bucket.
+            F.raise_error(
+                F.concat(
+                    F.lit("ntile_bucket: rank out of [1, "),
+                    F.lit(str(n_rows)),
+                    F.lit("]: "),
+                    rank.cast("string"),
+                )
+            ).cast("long"),
+        )
+        .when(rank <= F.lit(big_span), _idiv(a_big, size_big))
         .otherwise(F.lit(n_big) + _idiv(a_small, size_small))
         + F.lit(1)
     ).cast("int")

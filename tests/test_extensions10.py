@@ -188,3 +188,33 @@ def test_global_row_number_empty(spark):
 
     df = spark.createDataFrame([], "k long, v double")
     assert global_row_number(df, ["v", "k"]).count() == 0
+
+
+def test_skyline_matches_bruteforce_on_random_points(spark):
+    """Seeded random point sets (with duplicate coordinates forced):
+    the window-derived skyline equals the quadratic dominance spec."""
+    import random
+
+    from corral_spark.operators.skyline import skyline_min_max
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        pts = [
+            (i, float(rng.randint(0, 20)), rng.randint(0, 20))
+            for i in range(120)
+        ]
+
+        def dominated(p):
+            return any(
+                q[1] <= p[1]
+                and q[2] >= p[2]
+                and (q[1] < p[1] or q[2] > p[2])
+                for q in pts
+            )
+
+        exp = sorted(p[0] for p in pts if not dominated(p))
+        df = spark.createDataFrame(pts, ["k", "price", "size"])
+        got = sorted(
+            r.k for r in skyline_min_max(df, "price", "size").collect()
+        )
+        assert got == exp, seed
