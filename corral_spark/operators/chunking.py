@@ -72,25 +72,35 @@ def pack_sequences(
     count) ~``budget`` each — streaming sequence packing for training
     batches.
 
-    Deterministic windowed formulation: rows in ``order_col`` order
-    (default: ``id_col``), pack_id = floor(exclusive_cumsum / budget).
-    Each pack's weight is < budget + its last row's weight (a row may
-    straddle the boundary) — the scalable one-window approximation of
-    first-fit packing; exact bin packing is NP-hard and inherently
-    sequential. One global-window cumsum: at cluster scale, partition
-    the corpus (e.g. by shard) and pack within shards to avoid the
-    single-partition window — the per-shard form is this same function
-    applied per shard.
+    Deterministic formulation: rows in ``order_col`` order (default:
+    ``id_col``), pack_id = floor(exclusive_cumsum / budget). Each
+    pack's weight is < budget + its last row's weight (a row may
+    straddle the boundary) — the scalable approximation of first-fit
+    packing; exact bin packing is NP-hard and inherently sequential.
+    The cumsum is DISTRIBUTED (ranking.with_exclusive_prefix_sum:
+    range partition + per-partition totals prefix-combined + local
+    running sums — a prefix sum is an associative scan), so the
+    operator needs no single-task global window and no per-shard
+    workaround at cluster scale. ``order_col`` must be a unique key
+    (the default id_col is). The pack index divides EXACTLY
+    ((excl - excl % budget) / budget): a float divide-then-truncate
+    misplaces pack boundaries once the corpus's total token weight
+    crosses the quotient's ulp spacing — i.e. precisely at the 100 TB
+    corpus sizes packing exists for.
 
     Output: input columns + pack_id (bigint) + pack_offset (bigint,
     the row's starting weight offset inside its pack).
     """
+    from corral_spark.operators.ranking import with_exclusive_prefix_sum
+
     order = order_col or id_col
-    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
-    excl = F.coalesce(F.sum(weight_col).over(w), F.lit(0)).cast("bigint")
-    return df.select(
-        "*",
-        (excl / budget).cast("bigint").alias("pack_id"),
+    packed = with_exclusive_prefix_sum(
+        df, [order], weight_col, "__excl"
+    )
+    excl = F.col("__excl")
+    return packed.select(
+        *df.columns,
+        ((excl - excl % budget) / budget).cast("bigint").alias("pack_id"),
         (excl % budget).cast("bigint").alias("pack_offset"),
     )
 

@@ -138,3 +138,56 @@ def ntile_bucket(rank: Column, n_rows: int, k: int) -> Column:
         .otherwise(F.lit(n_big) + _idiv(a_small, size_small))
         + F.lit(1)
     ).cast("int")
+
+
+def with_exclusive_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col``: the EXCLUSIVE prefix sum of ``value_col``
+    (as BIGINT) under ORDER BY ``order_cols`` — distributed (no
+    single-task global window). A prefix sum is an associative scan,
+    so it runs as the same two-pass construction as
+    ``global_row_number``: range partition (materialized once — the
+    cross-job boundary rule), per-partition totals prefix-combined
+    driver-side (partitions-sized control data), then each row adds
+    its partition's within-partition running sum to the
+    prior-partitions offset. ``order_cols`` MUST be a unique key of
+    ``df`` for the result to be deterministic.
+    """
+    from corral_spark.materialize import materialize
+
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = materialize(
+        df.repartitionByRange(n_part, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        eager=True,
+    )
+    totals = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
+        .collect()
+    }
+    if not totals:
+        return df.withColumn(out_col, F.lit(0).cast("long")).limit(0)
+    offsets = []
+    acc = 0
+    for pid in range(max(totals) + 1):
+        offsets.append(acc)
+        acc += totals.get(pid) or 0
+    lut = F.array(*[F.lit(o) for o in offsets])
+    w = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = F.coalesce(
+        F.sum(F.col(value_col).cast("long")).over(w), F.lit(0)
+    )
+    return ranged.withColumn(
+        out_col,
+        (local + F.element_at(lut, F.col("__pid") + 1)).cast("long"),
+    ).drop("__pid")
