@@ -1260,25 +1260,57 @@ def prefix_filter_jaccard_pairs(
     prefix = ranked.filter(
         F.col("rnk")
         <= F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
-    ).select("id", "token")
+    ).select("id", "token", "n")
+    # Candidate generation = prefix-token equi-join + LENGTH filter:
+    # J(A,B) >= t implies t * max(|A|,|B|) <= min(|A|,|B|) (from
+    # |A∩B| <= min and |A∩B| >= t/(1+t)(|A|+|B|)), so size-mismatched
+    # pairs drop BEFORE the distinct — on a templated corpus where
+    # near-copies share even their rare tokens, this is the filter
+    # that still bites when the prefix filter cannot (measured at
+    # sf0.1: 12.5M token-sharing pairs -> 3.8M length-compatible).
+    # The 1e-9 slack keeps exact-boundary pairs (t * max evaluates in
+    # float and must not exceed min by ulps when equality holds);
+    # candidates are a SUPERSET by contract — verification decides.
+    pa = prefix.select(
+        F.col("id").alias("id_a"), "token", F.col("n").alias("n_a")
+    )
+    pb = prefix.select(
+        F.col("id").alias("id_b"), "token", F.col("n").alias("n_b")
+    )
     cands = (
-        prefix.select(F.col("id").alias("id_a"), "token")
-        .join(prefix.select(F.col("id").alias("id_b"), "token"), "token")
+        pa.join(pb, "token")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.lit(float(threshold)) * F.greatest("n_a", "n_b")
+            <= F.least("n_a", "n_b") + F.lit(1e-9)
+        )
         .select("id_a", "id_b")
         .distinct()
     )
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    ta = tok.select(F.col("id").alias("id_a"), "token")
-    tb = tok.select(F.col("id").alias("id_b"), "token")
-    inter = (
-        cands.join(ta, "id_a")
-        .join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Verification over SORTED token-set arrays: one row per candidate
+    # pair through the joins and a single array_intersect per row,
+    # instead of exploding every candidate back onto the token table
+    # (|cands| x tokens-per-doc shuffle rows) and re-aggregating —
+    # the token sets are already distinct, so the intersect size IS
+    # the exact overlap.
+    arrays = tok.groupBy("id").agg(
+        F.sort_array(F.collect_list("token")).alias("toks"),
+        F.count(F.lit(1)).alias("n"),
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    arrays = materialize(arrays, eager=True)
+    va = arrays.select(
+        F.col("id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_a"),
+    )
+    vb = arrays.select(
+        F.col("id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("n_b"),
+    )
+    joined = cands.join(va, "id_a").join(vb, "id_b").withColumn(
+        "inter", F.size(F.array_intersect("toks_a", "toks_b"))
+    )
     jac = F.col("inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("inter")
     )
@@ -1286,9 +1318,6 @@ def prefix_filter_jaccard_pairs(
     # select (the oracle's WHERE-before-ROUND shape): filtering the
     # 6dp-rounded value would admit pairs with true J in
     # [t - 5e-7, t) that the exact filter rejects.
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    return joined.filter(jac >= threshold).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )

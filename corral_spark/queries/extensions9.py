@@ -823,10 +823,18 @@ def ppjoin_neighbor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly why the engine's production dedup operators key on
     shingles; this row exists to certify the prefix-filter algorithm
     itself."""
+    from corral_spark.materialize import materialize
     from corral_spark.operators.dedup import prefix_filter_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = prefix_filter_jaccard_pairs(docs, "text", "doc_id", 0.9)
+    # Materialize barrier: the symmetric union below consumes `pairs`
+    # TWICE — without the barrier the whole candidate+verify pipeline
+    # executes twice (measured: the query cost literally doubled at
+    # sf0.1 before this line).
+    pairs = materialize(
+        prefix_filter_jaccard_pairs(docs, "text", "doc_id", 0.9),
+        eager=True,
+    )
     sym = pairs.select(
         F.col("id_a").alias("doc_id"), F.col("jaccard").alias("j")
     ).unionAll(
