@@ -141,19 +141,33 @@ def fuzzy_join(
             .filter(F.col("__rn") <= cap_per_block)
             .drop("__rn")
         )
-    a = ex.select(
-        F.col("id").alias("id_a"), F.col("txt").alias("text_a"), "__v"
-    )
-    b = ex.select(
-        F.col("id").alias("id_b"), F.col("txt").alias("text_b"), "__v"
-    )
+    # The variant join and the pair dedup move ONLY ids: on a
+    # template-heavy corpus the raw candidate volume is tens of
+    # millions of rows (hot variant keys), and carrying both texts
+    # through that shuffle multiplies its byte volume severalfold for
+    # nothing — the texts are re-attached from the (distinct) input
+    # AFTER the pair set is deduplicated, one row per surviving pair.
+    # Requires id_col to uniquely identify rows (with duplicate ids
+    # the text choice per pair was already nondeterministic).
+    a = ex.select(F.col("id").alias("id_a"), "__v")
+    b = ex.select(F.col("id").alias("id_b"), "__v")
     cands = (
         a.join(b, on="__v")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "text_a", "text_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    texts = slim.dropDuplicates(["id"])
+    ta = texts.select(
+        F.col("id").alias("id_a"), F.col("txt").alias("text_a")
+    )
+    tb = texts.select(
+        F.col("id").alias("id_b"), F.col("txt").alias("text_b")
+    )
     lev = F.levenshtein("text_a", "text_b")
-    return cands.select(
-        "id_a", "id_b", "text_a", "text_b", lev.alias("lev")
-    ).filter(F.col("lev") <= max_dist)
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", "text_a", "text_b", lev.alias("lev"))
+        .filter(F.col("lev") <= max_dist)
+    )
