@@ -78,85 +78,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # double-green queries so no oracled query's newest driver row goes
 # more than ~2 rounds stale.
 #
-# Round 8 (judge round-7 item 1): the head pays ALL 24 committed
-# rotation obligations — the seven r5-green benched headliners held
-# two rounds (amplab3, pricing_summary, regional_revenue,
-# gram_dedup_docs, shipping_priority, pretrain_corpus, wordcount — at
-# exactly the 2-round staleness limit) and first driver rows for all
-# seventeen r7 wave-2/3 queries (semantic_dedup_docs ..
-# strong_coorder_triangles) — plus first rows for the six NEW r8
-# queries (orders_rollup_ivm + orders_minmax_refresh: the IVM triad
-# driver-gated, judge item 3; layout_skipping_report: the zonemap
-# value claim driver-gated, judge item 5; part_pagerank,
-# skyline_parts, customer_cohort_retention: new first-class
-# operators), and 20 of the 47 r6-green queries demoted in r7 (first
-# 20 alphabetically — deterministic, auditable).
+# Round 9: the head pays the full precomputed docs/NEXT.md ledger —
+# the 27 r6-green queries held out of r8 (rows exactly 2 rounds
+# stale, the policy limit), first driver rows for the 3 round-8
+# second-wave queries (part_price_bins, event_transition_matrix,
+# event_hourly_anomalies), and 20 of the 50 r7-greens demoted in r8:
+# pack_docs_2k + fuzzy_customer_pairs (hard — their implementations
+# changed in r8, house rule is a fresh driver row after any
+# implementation change) plus the first 18 alphabetically for
+# auditability (amplab1 .. doc_provenance).
 #
-# LEDGER (judge round-7 item 7 — the r9 head closes, not grows):
-#   r9 MUST hold the 27 remaining r6-green queries below (their rows
-#   will be exactly 2 rounds stale), leaving 23 slots for the 50
-#   r7-green queries demoted below (due across r9+r10, well within
-#   capacity: 23 in r9, 27 in r10). Steady state is sound: 127
-#   oracled queries / 3-round max staleness = 42.4 required
-#   slots/round < 50, so ~7 slots/round of slack remain for future
-#   first rows. Demotions this round are EXACTLY the fresh r7-greens
-#   (policy: freshest double-greens rotate out) — nothing stale was
-#   demoted, so every returned-row obligation has its offset.
+# LEDGER (r10 obligations, also recorded in docs/NEXT.md):
+#   r10 MUST hold the 30 remaining r7-green queries below (their rows
+#   will be exactly 2 rounds stale), leaving 20 slots for the 50
+#   r8-green queries demoted below (due across r10+r11). Steady
+#   state stays sound: 130 oracled queries / 3-round max staleness =
+#   43.3 required slots/round < 50. Demotions this round are EXACTLY
+#   the fresh r8-greens (policy: freshest double-greens rotate out).
 _DEMOTED = (
-    # -- r6-green, second round out (newest driver row = r6, 2 rounds
-    #    stale at r9: ALL 27 MUST take r9 head slots) --
-    "events_tumbling_1h",
-    "fuzzy_customer_pairs_capped",
-    "fuzzy_customer_pairs_lev2",
-    "heavy_hitter_tokens",
-    "high_value_order_exists",
-    "incremental_dedup_new_docs",
-    "multimodal_ppm_decode",
-    "multimodal_wav_decode",
-    "nation_set_ops",
-    "nations_above_global_share",
-    "null_semantics",
-    "order_item_arrays",
-    "order_latency",
-    "order_percentiles",
-    "orders_above_customer_avg",
-    "orders_by_month",
-    "orders_merge_upsert",
-    "priority_pivot",
-    "quality_score_docs",
-    "segment_dedup_docs",
-    "simhash_md5_pairs",
-    "top_revenue_supplier",
-    "top_tokens_per_lang",
-    "udtf_sentences_docs",
-    "union_all_parties",
-    "weighted_sampled_docs",
-    "window_top_orders",
-    # -- r7-green, rotated out fresh (newest driver row = r7; due
-    #    back across r9/r10; every one stays oracle-gated by pytest +
-    #    the full driver_sim replica every round, and the benched ones
-    #    — minhash_pairs_docs, pretrain_corpus_full among them — are
-    #    additionally timed by bench.py every round) --
-    "amplab1",
-    "amplab2",
-    "ann_cosine_topk",
-    "ann_ivf_kmeans",
-    "ann_ivf_topk",
-    "asof_signup_before_purchase",
-    "bloom_new_docs",
-    "bloom_new_docs_registers",
-    "boilerplate_removed_docs",
-    "click_purchase_leftouter",
-    "cms_bigram_counts",
-    "cross_corpus_near_dups",
-    "customer_name_features",
-    "customer_running_totals",
-    "dedup_exact_docs",
-    "dedup_keep_longest_docs",
-    "doc_chunks",
-    "doc_provenance",
+    # -- r7-green, second round out (newest driver row = r7, 2 rounds
+    #    stale at r10: ALL 30 MUST take r10 head slots). Every one
+    #    stays oracle-gated by pytest + the full driver_sim replica
+    #    every round; the benched ones (minhash_pairs_docs,
+    #    pretrain_corpus_full among them) are additionally timed by
+    #    bench.py every round. --
     "events_in_promo_windows",
-    "fuzzy_customer_pairs",
     "hll_distinct_parts",
     "hll_merged_slices",
     "hygiene_filtered_docs",
@@ -167,7 +113,6 @@ _DEMOTED = (
     "multimodal_features",
     "normalized_redacted_docs",
     "order_date_parts",
-    "pack_docs_2k",
     "parts_never_shipped",
     "pretrain_corpus_full",
     "pretrain_corpus_provenance",
@@ -187,15 +132,58 @@ _DEMOTED = (
     "train_test_split_counts",
     "unigram_logprob_docs",
     "user_rolling_1h",
-    # -- NEW in round 8 after the head was sealed (second wave):
-    #    oracle-gated by pytest + driver_sim now, first driver rows
-    #    promised for the round-9 head. Ledger stays closed: r9 = 27
-    #    r6-greens (hard, 2-round limit) + these 3 first rows + 20 of
-    #    the 50 r7-greens, r10 = the remaining 30 r7-greens + 20
-    #    r8-greens — every cohort returns within its limit. --
-    "part_price_bins",
-    "event_transition_matrix",
-    "event_hourly_anomalies",
+    # -- r8-green, rotated out fresh (newest driver row = r8; due
+    #    back across r10/r11) --
+    "wordcount",
+    "amplab3",
+    "pricing_summary",
+    "shipping_priority",
+    "regional_revenue",
+    "distinct_parts_per_flag",
+    "customers_without_orders",
+    "event_props_json",
+    "cube_sales",
+    "customer_id_parse",
+    "big_orders_in_subquery",
+    "daily_revenue_gapfill",
+    "dedup_clusters_docs",
+    "emb_near_dup_planted",
+    "doc_fingerprint_md5",
+    "dq_report",
+    "pretrain_corpus",
+    "click_purchase_within_1h",
+    "decontaminate_docs",
+    "doc_repetition_stats",
+    "ann_ivf_probes",
+    "bigram_logprob_docs",
+    "gram_dedup_docs",
+    "bottomk_doc_stats",
+    "semantic_dedup_docs",
+    "emb_int8_topk",
+    "domain_mix_docs",
+    "price_histogram_quantiles",
+    "price_outliers_mad",
+    "hll_token_overlap_sources",
+    "part_bfs_hops",
+    "event_funnel_stages",
+    "user_value_ewma",
+    "zorder_parts_locality",
+    "cdc_chunk_dedup_docs",
+    "pq_ann_topk",
+    "qty_discount_linreg",
+    "purchase_by_tier_scd2",
+    "ppjoin_neighbor_counts",
+    "part_pairs_lift",
+    "strong_coorder_triangles",
+    "orders_rollup_ivm",
+    "orders_minmax_refresh",
+    "layout_skipping_report",
+    "part_pagerank",
+    "skyline_parts",
+    "customer_cohort_retention",
+    "events_sliding_1h_30m",
+    "event_props_map",
+    "events_session_30m",
 )
 
 
