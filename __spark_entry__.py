@@ -82,26 +82,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 27 r6-green queries held out of r8 (rows exactly 2 rounds
 # stale, the policy limit), first driver rows for the 3 round-8
 # second-wave queries (part_price_bins, event_transition_matrix,
-# event_hourly_anomalies), and 20 of the 50 r7-greens demoted in r8:
-# pack_docs_2k + fuzzy_customer_pairs (hard — their implementations
+# event_hourly_anomalies), 19 of the 50 r7-greens demoted in r8
+# (pack_docs_2k + fuzzy_customer_pairs hard — their implementations
 # changed in r8, house rule is a fresh driver row after any
-# implementation change) plus the first 18 alphabetically for
-# auditability (amplab1 .. doc_provenance).
+# implementation change — plus the first 17 alphabetically, amplab1
+# .. doc_chunks), and a FIRST row for the one NEW r9 query
+# (phrase_mining_docs — the r8 verdict's hygiene finding: the
+# phrases module enters the driver gate). doc_provenance, the 18th
+# alphabetical fill, yields its slot to the new query and is due r10
+# (NEXT.md allowance: new queries may take head slots directly).
 #
 # LEDGER (r10 obligations, also recorded in docs/NEXT.md):
-#   r10 MUST hold the 30 remaining r7-green queries below (their rows
-#   will be exactly 2 rounds stale), leaving 20 slots for the 50
-#   r8-green queries demoted below (due across r10+r11). Steady
-#   state stays sound: 130 oracled queries / 3-round max staleness =
-#   43.3 required slots/round < 50. Demotions this round are EXACTLY
-#   the fresh r8-greens (policy: freshest double-greens rotate out).
+#   r10 MUST hold the 31 r7-green queries below (30 two rounds
+#   stale + doc_provenance), leaving 19 slots for the 50 r8-green
+#   queries demoted below (due across r10+r11). Steady state stays
+#   sound: 131 oracled queries / 3-round max staleness = 43.7
+#   required slots/round < 50. Demotions this round are EXACTLY the
+#   fresh r8-greens (policy: freshest double-greens rotate out).
 _DEMOTED = (
     # -- r7-green, second round out (newest driver row = r7, 2 rounds
-    #    stale at r10: ALL 30 MUST take r10 head slots). Every one
+    #    stale at r10: ALL 30 + doc_provenance MUST take r10 head
+    #    slots). Every one
     #    stays oracle-gated by pytest + the full driver_sim replica
     #    every round; the benched ones (minhash_pairs_docs,
     #    pretrain_corpus_full among them) are additionally timed by
     #    bench.py every round. --
+    "doc_provenance",
     "events_in_promo_windows",
     "hll_distinct_parts",
     "hll_merged_slices",
