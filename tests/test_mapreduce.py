@@ -74,6 +74,40 @@ def test_fnv64a_partition_reference_golden():
     assert fnv64a_partition("foo", 100) == 0x63
 
 
+def test_emitter_concurrent_emit_thread_safety():
+    """Twin of reference emitter_test.go:45-71
+    (TestReducerEmitterThreadSafety): 10 threads emitting through ONE
+    emitter must each land exactly one intact record — no torn or
+    lost emissions. The reference guards a shared writer with a
+    mutex; the facade's per-task Emitter relies on list.append being
+    atomic in CPython, which this pins against regressions (e.g. a
+    future buffered/str-concat emitter would need its own lock).
+    Spark itself never shares an emitter across tasks (one per
+    mapPartitions task), but user Reducer code may spawn threads —
+    the reference contract covers that, so the facade must too."""
+    import threading
+
+    emitter = Emitter()
+    barrier = threading.Barrier(10)
+
+    def worker(key: int) -> None:
+        barrier.wait()  # maximize real interleaving
+        for _ in range(1000):
+            emitter.emit(str(key), "value")
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(10)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert len(emitter.pairs) == 10_000
+    from collections import Counter
+
+    counts = Counter(emitter.pairs)
+    assert counts == {(str(i), "value"): 1000 for i in range(10)}
+
+
 def test_local_mapreduce_wordcount(spark, tmp_path):
     # reference driver_test.go:82-116
     (tmp_path / "test_input").write_text("the test input\nthe input test\nfoo bar baz")
