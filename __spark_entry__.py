@@ -78,118 +78,117 @@ def entry(spark: SparkSession) -> DataFrame:
 # double-green queries so no oracled query's newest driver row goes
 # more than ~2 rounds stale.
 #
-# Round 9: the head pays the full precomputed docs/NEXT.md ledger —
-# the 27 r6-green queries held out of r8 (rows exactly 2 rounds
-# stale, the policy limit), first driver rows for the 3 round-8
-# second-wave queries (part_price_bins, event_transition_matrix,
-# event_hourly_anomalies), 19 of the 50 r7-greens demoted in r8
-# (pack_docs_2k + fuzzy_customer_pairs hard — their implementations
-# changed in r8, house rule is a fresh driver row after any
-# implementation change — plus the first 17 alphabetically, amplab1
-# .. doc_chunks), and a FIRST row for the one NEW r9 query
-# (phrase_mining_docs — the r8 verdict's hygiene finding: the
-# phrases module enters the driver gate). doc_provenance, the 18th
-# alphabetical fill, yields its slot to the new query and is due r10
-# (NEXT.md allowance: new queries may take head slots directly).
+# Round 10: the head pays the precomputed docs/NEXT.md r10 ledger —
+# the 31 queries whose newest driver row is r7 (exactly 2 rounds
+# stale, the policy limit: the 30 r7-greens held through r8+r9 plus
+# doc_provenance, displaced from the r9 head by phrase_mining_docs),
+# the first 18 of the 50 r8-greens alphabetically, and a FIRST row
+# for the ONE new r10 query (stateful_user_totals — the
+# applyInPandasWithState batch-twin driver row, r9 verdict item 3),
+# which takes the slot of the 19th alphabetical r8-green (dq_report,
+# due r11 — the same documented substitution pattern as r9's
+# doc_provenance; NEXT.md allowance: new queries take head slots
+# directly).
 #
-# LEDGER (r10 obligations, also recorded in docs/NEXT.md):
-#   r10 MUST hold the 31 r7-green queries below (30 two rounds
-#   stale + doc_provenance), leaving 19 slots for the 50 r8-green
-#   queries demoted below (due across r10+r11). Steady state stays
-#   sound: 131 oracled queries / 3-round max staleness = 43.7
-#   required slots/round < 50. Demotions this round are EXACTLY the
-#   fresh r8-greens (policy: freshest double-greens rotate out).
+# LEDGER (r11 obligations, precomputed in docs/NEXT.md):
+#   r11 MUST hold the 32 r8-green queries below (2 rounds stale at
+#   r11, dq_report among them), leaving 18 slots for the 50
+#   r9-greens demoted below (alphabetical; remainder due r12 at
+#   exactly the limit). Steady state stays sound: 132 oracled
+#   queries / 3-round max staleness = 44 required slots/round < 50.
+#   Demotions this round are EXACTLY the fresh r9-greens (policy:
+#   freshest double-greens rotate out).
 _DEMOTED = (
-    # -- r7-green, second round out (newest driver row = r7, 2 rounds
-    #    stale at r10: ALL 30 + doc_provenance MUST take r10 head
-    #    slots). Every one
-    #    stays oracle-gated by pytest + the full driver_sim replica
-    #    every round; the benched ones (minhash_pairs_docs,
-    #    pretrain_corpus_full among them) are additionally timed by
-    #    bench.py every round. --
-    "doc_provenance",
-    "events_in_promo_windows",
-    "hll_distinct_parts",
-    "hll_merged_slices",
-    "hygiene_filtered_docs",
-    "jaccard_pairs_docs",
-    "lang_id_docs",
-    "lang_sampling_weights",
-    "minhash_pairs_docs",
-    "multimodal_features",
-    "normalized_redacted_docs",
-    "order_date_parts",
-    "parts_never_shipped",
-    "pretrain_corpus_full",
-    "pretrain_corpus_provenance",
-    "profile_orders",
-    "promo_revenue_share",
-    "robust_stats",
-    "rollup_sales",
-    "salted_nation_revenue",
-    "sample_docs_10pct",
-    "source_capped_docs",
-    "stratified_sample_orders",
-    "temperature_sampled_docs",
-    "text_stats_docs",
-    "tfidf_top_terms",
-    "token_count_docs",
-    "top_orders",
-    "train_test_split_counts",
-    "unigram_logprob_docs",
-    "user_rolling_1h",
-    # -- r8-green, rotated out fresh (newest driver row = r8; due
-    #    back across r10/r11) --
-    "wordcount",
-    "amplab3",
-    "pricing_summary",
-    "shipping_priority",
-    "regional_revenue",
-    "distinct_parts_per_flag",
-    "customers_without_orders",
-    "event_props_json",
-    "cube_sales",
-    "customer_id_parse",
-    "big_orders_in_subquery",
-    "daily_revenue_gapfill",
-    "dedup_clusters_docs",
-    "emb_near_dup_planted",
-    "doc_fingerprint_md5",
+    # -- r8-green, second round out (newest driver row = r8, 2
+    #    rounds stale at r11: ALL 32 MUST take r11 head slots).
+    #    Every one stays oracle-gated by pytest + the full
+    #    driver_sim replica every round; the benched ones
+    #    (pretrain_corpus, gram_dedup_docs, events_session_30m among
+    #    them) are additionally timed by bench.py every round. --
     "dq_report",
-    "pretrain_corpus",
-    "click_purchase_within_1h",
-    "decontaminate_docs",
-    "doc_repetition_stats",
-    "ann_ivf_probes",
-    "bigram_logprob_docs",
-    "gram_dedup_docs",
-    "bottomk_doc_stats",
-    "semantic_dedup_docs",
     "emb_int8_topk",
-    "domain_mix_docs",
-    "price_histogram_quantiles",
-    "price_outliers_mad",
-    "hll_token_overlap_sources",
-    "part_bfs_hops",
+    "emb_near_dup_planted",
     "event_funnel_stages",
-    "user_value_ewma",
-    "zorder_parts_locality",
-    "cdc_chunk_dedup_docs",
-    "pq_ann_topk",
-    "qty_discount_linreg",
-    "purchase_by_tier_scd2",
-    "ppjoin_neighbor_counts",
-    "part_pairs_lift",
-    "strong_coorder_triangles",
-    "orders_rollup_ivm",
-    "orders_minmax_refresh",
-    "layout_skipping_report",
-    "part_pagerank",
-    "skyline_parts",
-    "customer_cohort_retention",
-    "events_sliding_1h_30m",
+    "event_props_json",
     "event_props_map",
     "events_session_30m",
+    "events_sliding_1h_30m",
+    "gram_dedup_docs",
+    "hll_token_overlap_sources",
+    "layout_skipping_report",
+    "orders_minmax_refresh",
+    "orders_rollup_ivm",
+    "part_bfs_hops",
+    "part_pagerank",
+    "part_pairs_lift",
+    "ppjoin_neighbor_counts",
+    "pq_ann_topk",
+    "pretrain_corpus",
+    "price_histogram_quantiles",
+    "price_outliers_mad",
+    "pricing_summary",
+    "purchase_by_tier_scd2",
+    "qty_discount_linreg",
+    "regional_revenue",
+    "semantic_dedup_docs",
+    "shipping_priority",
+    "skyline_parts",
+    "strong_coorder_triangles",
+    "user_value_ewma",
+    "wordcount",
+    "zorder_parts_locality",
+    # -- r9-green, rotated out fresh (newest driver row = r9; due
+    #    back across r11/r12) --
+    "amplab1",
+    "amplab2",
+    "window_top_orders",
+    "nation_set_ops",
+    "high_value_order_exists",
+    "orders_by_month",
+    "union_all_parties",
+    "orders_above_customer_avg",
+    "priority_pivot",
+    "customer_name_features",
+    "order_item_arrays",
+    "order_latency",
+    "null_semantics",
+    "order_percentiles",
+    "asof_signup_before_purchase",
+    "top_revenue_supplier",
+    "nations_above_global_share",
+    "customer_running_totals",
+    "orders_merge_upsert",
+    "dedup_exact_docs",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "incremental_dedup_new_docs",
+    "fuzzy_customer_pairs",
+    "doc_chunks",
+    "pack_docs_2k",
+    "simhash_md5_pairs",
+    "heavy_hitter_tokens",
+    "udtf_sentences_docs",
+    "click_purchase_leftouter",
+    "fuzzy_customer_pairs_capped",
+    "top_tokens_per_lang",
+    "fuzzy_customer_pairs_lev2",
+    "cms_bigram_counts",
+    "ann_ivf_kmeans",
+    "segment_dedup_docs",
+    "quality_score_docs",
+    "bloom_new_docs",
+    "boilerplate_removed_docs",
+    "multimodal_ppm_decode",
+    "multimodal_wav_decode",
+    "weighted_sampled_docs",
+    "cross_corpus_near_dups",
+    "bloom_new_docs_registers",
+    "dedup_keep_longest_docs",
+    "part_price_bins",
+    "event_transition_matrix",
+    "event_hourly_anomalies",
+    "phrase_mining_docs",
+    "events_tumbling_1h",
 )
 
 

@@ -111,6 +111,67 @@ def event_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATEFUL_MEM_SEQ = 0
+
+
+@register(
+    "stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS total_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT)
+             AS total_value_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "extension"),
+)
+def stateful_user_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-twin driver row for the custom stateful streaming
+    operator (streaming.ops.stateful_user_totals,
+    applyInPandasWithState — the arbitrary stateful-Reducer escape
+    hatch). Unlike the window queries above, whose builders run
+    identically on batch frames, this one RUNS THE REAL STREAMING
+    PATH: readStream over the events parquet, per-user int64 state
+    accumulated in the state store, availableNow trigger into a
+    memory sink. The update-mode emissions (one row per user per
+    micro-batch) are then reduced to the final state per user —
+    total_events is strictly increasing per user across batches, so
+    max/max_by select the last emission deterministically however
+    the file source splits batches. The DuckDB oracle is the batch
+    twin: a plain GROUP BY over the same file, exact because the
+    state sums integer cents (see the operator's exactness
+    contract). Cross-micro-batch state accumulation itself is pinned
+    by tests/test_streaming.py::test_stateful_user_totals_multi_batch.
+    """
+    from pyspark.sql import functions as F
+
+    from corral_spark.streaming.ops import (
+        read_events_stream,
+        run_available_now,
+        stateful_user_totals,
+    )
+
+    global _STATEFUL_MEM_SEQ
+    _STATEFUL_MEM_SEQ += 1
+    out = run_available_now(
+        stateful_user_totals(read_events_stream(spark, sf_dir)),
+        f"mem_stateful_totals_{_STATEFUL_MEM_SEQ}",
+        output_mode="update",
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("total_events").alias("total_events"),
+            F.max_by("total_value_cents", "total_events").alias(
+                "total_value_cents"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 @register(
     "events_session_30m",
     oracle=f"""

@@ -223,17 +223,29 @@ def dedup_stream(
 
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
-    per-user running totals (event count, value sum) maintained in the
-    state store across micro-batches. This is the escape hatch for
-    operators the built-in windows can't express (the reference's
-    arbitrary-Reducer analog, but incremental and fault-tolerant).
+    per-user running totals (event count, exact value sum in integer
+    cents) maintained in the state store across micro-batches. This is
+    the escape hatch for operators the built-in windows can't express
+    (the reference's arbitrary-Reducer analog — reference
+    mapreduce.go Reducer semantics — but incremental and
+    fault-tolerant).
+
+    Exactness contract: ``value`` is projected to integer cents
+    JVM-side (the same decimal(12,2) HALF_UP cast as
+    functions.det.dec) BEFORE the Python state update, so the state
+    accumulation is pure int64 — order-independent across
+    micro-batch boundaries and partitionings, and bit-identical to
+    the batch GROUP BY oracle. NULL values contribute 0 cents (the
+    SQL SUM-ignores-NULL rule, except an all-NULL user sums to 0
+    rather than NULL) and still count as events.
 
     Output per batch: one row per user seen in that batch with the
-    updated cumulative totals.
+    updated cumulative totals — ``update`` output mode; downstream
+    takes the row with the largest total_events per user as the
+    final state (the count is strictly increasing per user).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
-        DoubleType,
         LongType,
         StructField,
         StructType,
@@ -241,36 +253,50 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
 
     import pandas as pd
 
+    from corral_spark.functions.det import dec
+
     out_schema = StructType(
         [
             StructField("user_id", LongType()),
             StructField("total_events", LongType()),
-            StructField("total_value", DoubleType()),
+            StructField("total_value_cents", LongType()),
         ]
     )
     state_schema = StructType(
         [
             StructField("n", LongType()),
-            StructField("v", DoubleType()),
+            StructField("c", LongType()),
         ]
     )
 
+    cents = F.coalesce(
+        (dec("value", 2) * 100).cast("long"), F.lit(0).cast("long")
+    )
+
     def update(key, pdfs, state: GroupState):
-        n, v = state.get if state.exists else (0, 0.0)
+        n, c = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            v += float(pdf["value"].sum())
-        state.update((n, v))
+            c += int(pdf["value_cents"].sum()) if len(pdf) else 0
+        state.update((n, c))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "total_events": [n], "total_value": [v]}
+            {
+                "user_id": [key[0]],
+                "total_events": [n],
+                "total_value_cents": [c],
+            }
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return (
+        events.select("user_id", cents.alias("value_cents"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 

@@ -43,11 +43,16 @@ def test_stream_batch_equivalence(spark, builder, cols):
 
 
 def test_stateful_user_totals_matches_batch(spark):
+    from corral_spark.functions.det import dec
+
     events = load_table(spark, SF, "events")
     expected = {
-        r.user_id: (r.n, round(r.v, 6))
+        r.user_id: (r.n, r.c)
         for r in events.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((dec("value", 2) * 100).cast("long")).alias("c"),
+        )
         .collect()
     }
     out = run_available_now(
@@ -56,10 +61,72 @@ def test_stateful_user_totals_matches_batch(spark):
         output_mode="update",
     )
     got = {
-        r.user_id: (r.total_events, round(r.total_value, 6))
+        r.user_id: (r.total_events, r.total_value_cents)
         for r in out.collect()
     }
     assert got == expected
+
+
+def test_stateful_user_totals_multi_batch(spark, tmp_path):
+    """Cross-micro-batch state: three files streamed one per trigger
+    must ACCUMULATE per-user state (an emission per batch with
+    strictly increasing totals), and the final emission per user must
+    equal the all-files batch GROUP BY — exactly, in integer cents."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datetime import datetime
+
+    src_dir = tmp_path / "ev"
+    src_dir.mkdir()
+
+    def _write(name, rows, mtime):
+        ids, users, vals, tss = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "ts": pa.array(list(tss), pa.timestamp("us")),
+                    "user_id": pa.array(users, pa.int64()),
+                    "event_type": pa.array(["click"] * len(ids)),
+                    "value": pa.array(vals, pa.float64()),
+                    "props": pa.array(["{}"] * len(ids)),
+                }
+            ),
+            str(src_dir / name),
+        )
+        os.utime(src_dir / name, (mtime, mtime))
+
+    d = lambda m: datetime(2026, 1, 1, 10, m)  # noqa: E731
+    _write("f1.parquet", [(1, 7, 1.25, d(0)), (2, 8, 2.00, d(1))], 1_000_000)
+    _write("f2.parquet", [(3, 7, 0.75, d(2))], 1_000_010)
+    _write("f3.parquet", [(4, 7, 10.00, d(3)), (5, 9, 0.10, d(4))], 1_000_020)
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    out = run_available_now(
+        stateful_user_totals(src), "mem_stateful_multi", output_mode="update"
+    )
+    rows = out.collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (r.total_events, r.total_value_cents)
+        )
+    # User 7 appears in all three batches: three emissions, strictly
+    # increasing running totals — state carried across batches.
+    assert sorted(by_user[7]) == [(1, 125), (2, 200), (3, 1200)]
+    # Final state per user == the batch GROUP BY over all files.
+    final = {u: max(v) for u, v in by_user.items()}
+    assert final == {7: (3, 1200), 8: (1, 200), 9: (1, 10)}
 
 
 def test_watermark_attaches_to_plan(spark):
