@@ -1231,36 +1231,85 @@ def prefix_filter_jaccard_pairs(
     data.) Candidates are then verified with exact intersection
     counts over the candidate pairs only.
 
+    Three further exact reductions (r10 — each preserves the
+    qualifying pair set bit-for-bit, re-proven by the unchanged
+    TRUE-all-pairs oracle):
+
+    * **Set-equality grouping.** Jaccard depends only on the token
+      SET, and template-heavy corpora (the 100 TB pretraining case)
+      are full of exact set duplicates (sf0.1: 5000 docs -> 3935
+      distinct sets, largest class 248 docs). Docs are grouped by
+      their sorted distinct-token array; the candidate join and
+      verification run over one REPRESENTATIVE per distinct set, and
+      verified group pairs expand through the membership lists.
+      Within-group pairs are emitted directly with jaccard = 1.0
+      (identical sets; 1.0 >= t for any valid threshold). A group
+      pair's verified jaccard is definitionally every expanded doc
+      pair's jaccard. Empty/NULL token sets are dropped up front —
+      they can never pair under the base algorithm (no tokens -> no
+      prefix rows) and J(∅,∅) is undefined, so the empty-set GROUP
+      must not self-pair either.
+    * **Positional filter (the 'PP' in PPJoin, Xiao et al. 2008).**
+      Both docs rank their tokens under the SAME global total order
+      (tdf asc, token asc — strict), so common tokens appear in the
+      same relative order in both. For a shared prefix token at
+      ranks (i, j): common tokens ordered before it number at most
+      min(i-1, j-1), after it at most min(n_a-i, n_b-j), so
+      |A ∩ B| <= min(i,j) + min(n_a-i, n_b-j). A candidate row whose
+      bound falls below the required overlap t/(1+t)(n_a+n_b) is
+      dropped BEFORE the pair distinct. (A pair with several shared
+      prefix tokens survives if ANY row passes — a superset of the
+      qualifying pairs, which is all candidate generation promises;
+      verification stays exact.)
+    * **Per-row token de-dup.** ``array_distinct`` inside the row
+      replaces the global ``.distinct()`` shuffle — the token set is
+      a per-document property.
+
     Output: (id_a, id_b, jaccard 6dp) with id_a < id_b.
     """
     from corral_spark.functions.text import tokenize
     from pyspark.sql.window import Window
 
-    tok = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(tokenize(F.col(text_col))).alias("token"),
-        )
-        .distinct()
+    t = float(threshold)
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.sort_array(F.array_distinct(tokenize(F.col(text_col)))).alias(
+            "toks"
+        ),
+    ).filter(F.size("toks") > 0)
+    # One row per DISTINCT token set; gid = min member id (any
+    # deterministic choice works — expanded pairs re-order per row).
+    # At 100 TB the array-valued groupBy key is still the right call:
+    # hashing the array would need a collision re-check anyway, and
+    # the shuffle carries each doc's set exactly once either way.
+    groups = sets.groupBy("toks").agg(
+        F.min("id").alias("gid"),
+        F.collect_list("id").alias("members"),
+        F.count(F.lit(1)).alias("gsize"),
     )
-    tok = materialize(tok, eager=True)
+    groups = materialize(groups, eager=True)
+
+    tok = groups.select(
+        "gid",
+        F.explode("toks").alias("token"),
+        F.size("toks").alias("n"),
+    )
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
     ranked = tok.join(dfreq, "token").select(
-        "id",
+        "gid",
         "token",
+        "n",
         F.row_number()
         .over(
-            Window.partitionBy("id").orderBy(
+            Window.partitionBy("gid").orderBy(
                 F.asc("tdf"), F.asc("token")
             )
         )
         .alias("rnk"),
-        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("n"),
     )
     prefix = ranked.filter(
-        F.col("rnk")
-        <= F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
-    ).select("id", "token", "n")
+        F.col("rnk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    ).select("gid", "token", "rnk", "n")
     # Candidate generation = prefix-token equi-join + LENGTH filter:
     # J(A,B) >= t implies t * max(|A|,|B|) <= min(|A|,|B|) (from
     # |A∩B| <= min and |A∩B| >= t/(1+t)(|A|+|B|)), so size-mismatched
@@ -1272,43 +1321,52 @@ def prefix_filter_jaccard_pairs(
     # float and must not exceed min by ulps when equality holds);
     # candidates are a SUPERSET by contract — verification decides.
     pa = prefix.select(
-        F.col("id").alias("id_a"), "token", F.col("n").alias("n_a")
+        F.col("gid").alias("ga"),
+        "token",
+        F.col("rnk").alias("rnk_a"),
+        F.col("n").alias("n_a"),
     )
     pb = prefix.select(
-        F.col("id").alias("id_b"), "token", F.col("n").alias("n_b")
+        F.col("gid").alias("gb"),
+        "token",
+        F.col("rnk").alias("rnk_b"),
+        F.col("n").alias("n_b"),
+    )
+    # Positional bound (docstring): |A∩B| <= min(i,j) + min(n_a-i,
+    # n_b-j); required overlap is t/(1+t)(n_a+n_b). Same 1e-9
+    # boundary slack, keep side.
+    pos_bound = F.least(F.col("rnk_a"), F.col("rnk_b")) + F.least(
+        F.col("n_a") - F.col("rnk_a"), F.col("n_b") - F.col("rnk_b")
     )
     cands = (
         pa.join(pb, "token")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("ga") < F.col("gb"))
         .filter(
-            F.lit(float(threshold)) * F.greatest("n_a", "n_b")
+            F.lit(t) * F.greatest("n_a", "n_b")
             <= F.least("n_a", "n_b") + F.lit(1e-9)
         )
-        .select("id_a", "id_b")
+        .filter(
+            pos_bound.cast("double") + F.lit(1e-9)
+            >= F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b"))
+        )
+        .select("ga", "gb")
         .distinct()
     )
-    # Verification over SORTED token-set arrays: one row per candidate
-    # pair through the joins and a single array_intersect per row,
-    # instead of exploding every candidate back onto the token table
-    # (|cands| x tokens-per-doc shuffle rows) and re-aggregating —
-    # the token sets are already distinct, so the intersect size IS
-    # the exact overlap.
-    arrays = tok.groupBy("id").agg(
-        F.sort_array(F.collect_list("token")).alias("toks"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    arrays = materialize(arrays, eager=True)
-    va = arrays.select(
-        F.col("id").alias("id_a"),
+    # Verification over the SORTED distinct-set arrays: one row per
+    # candidate GROUP pair and a single array_intersect per row —
+    # never exploding candidates back onto the token table
+    # (|cands| x tokens-per-doc shuffle rows).
+    va = groups.select(
+        F.col("gid").alias("ga"),
         F.col("toks").alias("toks_a"),
-        F.col("n").alias("n_a"),
+        F.size("toks").alias("n_a"),
     )
-    vb = arrays.select(
-        F.col("id").alias("id_b"),
+    vb = groups.select(
+        F.col("gid").alias("gb"),
         F.col("toks").alias("toks_b"),
-        F.col("n").alias("n_b"),
+        F.size("toks").alias("n_b"),
     )
-    joined = cands.join(va, "id_a").join(vb, "id_b").withColumn(
+    joined = cands.join(va, "ga").join(vb, "gb").withColumn(
         "inter", F.size(F.array_intersect("toks_a", "toks_b"))
     )
     jac = F.col("inter").cast("double") / (
@@ -1318,6 +1376,33 @@ def prefix_filter_jaccard_pairs(
     # select (the oracle's WHERE-before-ROUND shape): filtering the
     # 6dp-rounded value would admit pairs with true J in
     # [t - 5e-7, t) that the exact filter rejects.
-    return joined.filter(jac >= threshold).select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    gpairs = joined.filter(jac >= t).select(
+        "ga", "gb", F.round(jac, 6).alias("jaccard")
     )
+    # Expand verified group pairs through the membership lists, and
+    # emit within-group pairs (identical sets) at jaccard = 1.0.
+    ma = groups.select(F.col("gid").alias("ga"), F.col("members").alias("mem_a"))
+    mb = groups.select(F.col("gid").alias("gb"), F.col("members").alias("mem_b"))
+    cross = (
+        gpairs.join(ma, "ga")
+        .join(mb, "gb")
+        .select(F.explode("mem_a").alias("ia"), "mem_b", "jaccard")
+        .select("ia", F.explode("mem_b").alias("ib"), "jaccard")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        groups.filter(F.col("gsize") > 1)
+        .select(F.explode("members").alias("ia"), F.col("members").alias("mem"))
+        .select("ia", F.explode("mem").alias("ib"))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
