@@ -149,10 +149,34 @@ def fuzzy_join(
     # AFTER the pair set is deduplicated, one row per surviving pair.
     # Requires id_col to uniquely identify rows (with duplicate ids
     # the text choice per pair was already nondeterministic).
-    a = ex.select(F.col("id").alias("id_a"), "__v")
-    b = ex.select(F.col("id").alias("id_b"), "__v")
+    #
+    # Two r10 measured fixes on the self-join itself (sf0.1 customer
+    # lev<=2: join+dedup 32.4s -> 4.9s, ablated separately):
+    # * SHUFFLE-HASH, never sort-merge. SMJ is pathological under
+    #   hot variant keys (zero-run deletions collide): each
+    #   duplicate-key group is buffered and re-scanned quadratically
+    #   inside the merge while producing the 63M-row key product —
+    #   6.3x slower than hash-probing the same product (32.4s vs
+    #   5.1s, string keys). Build-side memory = |index| / shuffle
+    #   partitions per task — size partitions up at scale; the
+    #   max_block / cap_per_block guards already bound the worst
+    #   per-key product.
+    # * Join on xxhash64(variant), not the variant STRING: the 8-byte
+    #   key halves the shuffle bytes of the widest exchange in the
+    #   plan. On the EXACT path a hash collision can only ADD a
+    #   candidate pair, and every candidate is verified by exact
+    #   levenshtein — the output is collision-proof by construction.
+    #   The guarded paths (max_block / cap_per_block) keep the string
+    #   key: there the candidate set IS the output contract ("pairs
+    #   sharing a SURVIVING variant key"), so a collision could
+    #   resurrect a capped-away qualifying pair — not a superset
+    #   situation verification can repair.
+    exact_path = max_block is None and cap_per_block is None
+    key = F.xxhash64("__v").alias("__k") if exact_path else F.col("__v").alias("__k")
+    a = ex.select(F.col("id").alias("id_a"), key)
+    b = ex.select(F.col("id").alias("id_b"), key)
     cands = (
-        a.join(b, on="__v")
+        a.join(b.hint("shuffle_hash"), on="__k")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -164,10 +188,15 @@ def fuzzy_join(
     tb = texts.select(
         F.col("id").alias("id_b"), F.col("txt").alias("text_b")
     )
-    lev = F.levenshtein("text_a", "text_b")
+    # Banded verification: levenshtein with the threshold argument
+    # runs the O(len * d) early-exit DP and returns -1 past the
+    # band, instead of the full O(len^2) matrix — the returned value
+    # for every SURVIVING pair is the exact distance (measured 2.1x
+    # on the verify stage).
+    lev = F.levenshtein("text_a", "text_b", max_dist)
     return (
         cands.join(ta, "id_a")
         .join(tb, "id_b")
         .select("id_a", "id_b", "text_a", "text_b", lev.alias("lev"))
-        .filter(F.col("lev") <= max_dist)
+        .filter(F.col("lev") >= 0)
     )
