@@ -1282,12 +1282,16 @@ def prefix_filter_jaccard_pairs(
     # At 100 TB the array-valued groupBy key is still the right call:
     # hashing the array would need a collision re-check anyway, and
     # the shuffle carries each doc's set exactly once either way.
-    groups = sets.groupBy("toks").agg(
-        F.min("id").alias("gid"),
-        F.collect_list("id").alias("members"),
-        F.count(F.lit(1)).alias("gsize"),
-    )
+    # Membership stays a (id, gid) DataFrame, NEVER a collect_list
+    # array: a giant exact-duplicate class (boilerplate at corpus
+    # scale) would otherwise assemble one row holding millions of
+    # ids — a single-executor memory cliff. Join-based expansion
+    # below produces the same pair product with no wide row anywhere.
+    sets = materialize(sets, eager=True)
+    groups = sets.groupBy("toks").agg(F.min("id").alias("gid"))
     groups = materialize(groups, eager=True)
+    members = sets.join(groups, on="toks").select("id", "gid")
+    members = materialize(members, eager=True)
 
     tok = groups.select(
         "gid",
@@ -1379,25 +1383,29 @@ def prefix_filter_jaccard_pairs(
     gpairs = joined.filter(jac >= t).select(
         "ga", "gb", F.round(jac, 6).alias("jaccard")
     )
-    # Expand verified group pairs through the membership lists, and
-    # emit within-group pairs (identical sets) at jaccard = 1.0.
-    ma = groups.select(F.col("gid").alias("ga"), F.col("members").alias("mem_a"))
-    mb = groups.select(F.col("gid").alias("gb"), F.col("members").alias("mem_b"))
+    # Expand verified group pairs through the (id, gid) membership
+    # relation — plain equi-joins, so the pair product materializes
+    # as ROWS across partitions, never as one wide array. Within-
+    # group pairs (identical sets) emit at jaccard = 1.0 via a
+    # membership self-join on gid; that join's per-key product IS
+    # the output, and the shuffle_hash hint keeps a hot duplicate
+    # class from hitting sort-merge's quadratic group rescan (the
+    # r10 fuzzy-join lesson).
+    ma = members.select(F.col("gid").alias("ga"), F.col("id").alias("ia"))
+    mb = members.select(F.col("gid").alias("gb"), F.col("id").alias("ib"))
     cross = (
         gpairs.join(ma, "ga")
         .join(mb, "gb")
-        .select(F.explode("mem_a").alias("ia"), "mem_b", "jaccard")
-        .select("ia", F.explode("mem_b").alias("ib"), "jaccard")
         .select(
             F.least("ia", "ib").alias("id_a"),
             F.greatest("ia", "ib").alias("id_b"),
             "jaccard",
         )
     )
+    wa = members.select("gid", F.col("id").alias("ia"))
+    wb = members.select("gid", F.col("id").alias("ib"))
     within = (
-        groups.filter(F.col("gsize") > 1)
-        .select(F.explode("members").alias("ia"), F.col("members").alias("mem"))
-        .select("ia", F.explode("mem").alias("ib"))
+        wa.join(wb.hint("shuffle_hash"), on="gid")
         .filter(F.col("ia") < F.col("ib"))
         .select(
             F.col("ia").alias("id_a"),
