@@ -794,3 +794,26 @@ def test_refresh_affected_groups_minmax_under_delete(spark):
     assert got == {1: (1, 1), 2: (5, 6)}  # 1 refreshed, 2 carried, 3 gone
     want = {r.g: (r.mn, r.mx) for r in view(base1).collect()}
     assert got == want
+
+
+def test_ppjoin_large_identical_class_expands_completely(spark):
+    """Degenerate exact-duplicate class (the 100 TB boilerplate
+    shape): 60 docs with the SAME token set must expand to all
+    C(60,2)=1770 within-group pairs at jaccard exactly 1.0 through
+    the (id, gid) join path — plus the one cross-group near-pair,
+    and no pair involving the unrelated doc."""
+    from corral_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(60)]
+    rows.append((100, "alpha beta gamma delta epsilon eta"))  # J = 5/7
+    rows.append((200, "completely different words here"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = prefix_filter_jaccard_pairs(df, "text", "doc_id", 0.7).collect()
+    within = [(r.id_a, r.id_b) for r in got if r.jaccard == 1.0]
+    cross = [(r.id_a, r.id_b, r.jaccard) for r in got if r.jaccard < 1.0]
+    assert len(within) == 1770
+    assert len(set(within)) == 1770
+    assert all(0 <= a < b < 60 for a, b in within)
+    # J(class, 100) = 5/7 ~= 0.714286 >= 0.7: one pair per member.
+    assert len(cross) == 60
+    assert all(b == 100 and abs(j - round(5 / 7, 6)) < 1e-12 for _, b, j in cross)

@@ -588,3 +588,39 @@ def test_minmax_refresh_semi_and_anti_join(spark):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_variant_join_is_shuffled_hash(spark):
+    # The r10 fix: the variant self-join must stay a shuffled hash
+    # join — sort-merge re-scans each duplicate-key group
+    # quadratically under hot variant keys (zero-run deletions),
+    # ablated at 32.4s vs 5.1s on identical keys at sf0.1. The exact
+    # path also joins on the xxhash64 of the variant (8-byte key),
+    # which the filter condition below witnesses.
+    plan = plan_of(spark, "fuzzy_customer_pairs_lev2")
+    assert "ShuffledHashJoin" in plan
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ppjoin_expansion_has_no_wide_rows(spark, monkeypatch):
+    # The r10 rewrite: group membership is an (id, gid) relation —
+    # no collect_list anywhere in the pair path (a giant duplicate
+    # class must never assemble one wide array row), and the
+    # within-group self-join is shuffled-hash (its per-key product
+    # IS the output). The operator's materialize barriers truncate
+    # lineage in the registry query's executed plan, so pin the
+    # operator plan with materialize disabled (the pagerank pattern).
+    import corral_spark.operators.dedup as d
+    from corral_spark.sources.tables import load_table
+
+    monkeypatch.setattr(d, "materialize", lambda df, eager=False: df)
+    out = d.prefix_filter_jaccard_pairs(
+        load_table(spark, SF, "documents"), "text", "doc_id", 0.9
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
