@@ -624,3 +624,16 @@ def test_ppjoin_expansion_has_no_wide_rows(spark, monkeypatch):
     assert "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_capped_path_keeps_string_variant_key(spark):
+    # Contract twin of the exact-path pin above: with cap_per_block
+    # (or max_block) set, the candidate set IS the oracle contract
+    # ("pairs sharing a SURVIVING variant key"), so the join must
+    # stay on the variant STRING — an xxhash64 collision there could
+    # resurrect a capped-away qualifying pair, which exact
+    # levenshtein verification cannot repair. The hint is still
+    # allowed (strategy is perf-only); the KEY is the contract.
+    plan = plan_of(spark, "fuzzy_customer_pairs_capped")
+    assert "xxhash64" not in plan
+    assert "CartesianProduct" not in plan
