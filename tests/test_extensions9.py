@@ -817,3 +817,43 @@ def test_ppjoin_large_identical_class_expands_completely(spark):
     # J(class, 100) = 5/7 ~= 0.714286 >= 0.7: one pair per member.
     assert len(cross) == 60
     assert all(b == 100 and abs(j - round(5 / 7, 6)) < 1e-12 for _, b, j in cross)
+
+
+def test_ppjoin_randomized_bruteforce_equivalence(spark):
+    """Randomized (fixed-seed) equivalence against brute force across
+    corpus shapes: duplicate classes, near-misses, skewed token
+    frequencies, and varied thresholds. Guards the r10 additions —
+    the positional filter's rank bound and the set-grouping
+    expansion — whose soundness arguments live in the docstring; a
+    lost qualifying pair or a phantom pair here means one of those
+    arguments broke."""
+    import itertools
+    import random
+
+    from corral_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial, thr in ((0, 0.5), (1, 0.7), (2, 0.9)):
+        docs = []
+        for i in range(28):
+            k = rng.randint(3, 12)
+            docs.append((i, " ".join(rng.sample(vocab, k))))
+        # planted duplicate class + near-miss
+        docs.append((100, docs[0][1]))
+        docs.append((101, docs[0][1]))
+        docs.append((102, docs[1][1] + " extraword"))
+        want = {}
+        for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+            a, b = set(ta.split()), set(tb.split())
+            j = len(a & b) / len(a | b)
+            if j >= thr:
+                want[(min(ia, ib), max(ia, ib))] = round(j, 6)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_filter_jaccard_pairs(
+                df, "text", "doc_id", thr
+            ).collect()
+        }
+        assert got == want, f"trial {trial} thr {thr}"
