@@ -78,117 +78,118 @@ def entry(spark: SparkSession) -> DataFrame:
 # double-green queries so no oracled query's newest driver row goes
 # more than ~2 rounds stale.
 #
-# Round 10: the head pays the precomputed docs/NEXT.md r10 ledger —
-# the 31 queries whose newest driver row is r7 (exactly 2 rounds
-# stale, the policy limit: the 30 r7-greens held through r8+r9 plus
-# doc_provenance, displaced from the r9 head by phrase_mining_docs),
-# the first 18 of the 50 r8-greens alphabetically, and a FIRST row
-# for the ONE new r10 query (stateful_user_totals — the
-# applyInPandasWithState batch-twin driver row, r9 verdict item 3),
-# which takes the slot of the 19th alphabetical r8-green (dq_report,
-# due r11 — the same documented substitution pattern as r9's
-# doc_provenance; NEXT.md allowance: new queries take head slots
-# directly).
+# Round 11: the head pays the precomputed docs/NEXT.md r11 ledger —
+# the 32 r8-greens at the 2-round policy limit (dq_report among
+# them), the first FIFTEEN of the 50 r9-greens alphabetically, and
+# the THREE fuzzy queries (fuzzy_customer_pairs/_capped/_lev2) whose
+# underlying operator was rewritten in r10 while they sat demoted —
+# the r8/r9 house rule "fresh driver row after any implementation
+# change" (the r10 ADVICE item). The fuzzy trio displaces the
+# 16th–18th alphabetical r9-greens (dedup_keep_longest_docs,
+# doc_chunks, event_hourly_anomalies — due r12; same documented
+# substitution pattern as r9's doc_provenance and r10's dq_report).
+# ppjoin_neighbor_counts, the other r10 rewrite, is already in the
+# obligated 32 — both r10 rewrites get fresh r11 driver rows.
 #
-# LEDGER (r11 obligations, precomputed in docs/NEXT.md):
-#   r11 MUST hold the 32 r8-green queries below (2 rounds stale at
-#   r11, dq_report among them), leaving 18 slots for the 50
-#   r9-greens demoted below (alphabetical; remainder due r12 at
+# LEDGER (r12 obligations, precomputed in docs/NEXT.md):
+#   r12 MUST hold the 32 r9-green queries below (2 rounds stale at
+#   r12, incl. the 3 displaced), leaving 18 slots for the 50
+#   r10-greens demoted below (alphabetical; remainder due r13 at
 #   exactly the limit). Steady state stays sound: 132 oracled
 #   queries / 3-round max staleness = 44 required slots/round < 50.
-#   Demotions this round are EXACTLY the fresh r9-greens (policy:
+#   Demotions this round are EXACTLY the fresh r10-greens (policy:
 #   freshest double-greens rotate out).
 _DEMOTED = (
-    # -- r8-green, second round out (newest driver row = r8, 2
-    #    rounds stale at r11: ALL 32 MUST take r11 head slots).
+    # -- r9-green, second round out (newest driver row = r9, 2
+    #    rounds stale at r12: ALL 32 MUST take r12 head slots).
     #    Every one stays oracle-gated by pytest + the full
     #    driver_sim replica every round; the benched ones
-    #    (pretrain_corpus, gram_dedup_docs, events_session_30m among
-    #    them) are additionally timed by bench.py every round. --
-    "dq_report",
-    "emb_int8_topk",
-    "emb_near_dup_planted",
-    "event_funnel_stages",
-    "event_props_json",
-    "event_props_map",
-    "events_session_30m",
-    "events_sliding_1h_30m",
-    "gram_dedup_docs",
-    "hll_token_overlap_sources",
-    "layout_skipping_report",
-    "orders_minmax_refresh",
-    "orders_rollup_ivm",
-    "part_bfs_hops",
-    "part_pagerank",
-    "part_pairs_lift",
-    "ppjoin_neighbor_counts",
-    "pq_ann_topk",
-    "pretrain_corpus",
-    "price_histogram_quantiles",
-    "price_outliers_mad",
-    "pricing_summary",
-    "purchase_by_tier_scd2",
-    "qty_discount_linreg",
-    "regional_revenue",
-    "semantic_dedup_docs",
-    "shipping_priority",
-    "skyline_parts",
-    "strong_coorder_triangles",
-    "user_value_ewma",
-    "wordcount",
-    "zorder_parts_locality",
-    # -- r9-green, rotated out fresh (newest driver row = r9; due
-    #    back across r11/r12) --
-    "amplab1",
-    "amplab2",
-    "window_top_orders",
-    "nation_set_ops",
-    "high_value_order_exists",
-    "orders_by_month",
-    "union_all_parties",
-    "orders_above_customer_avg",
-    "priority_pivot",
-    "customer_name_features",
-    "order_item_arrays",
-    "order_latency",
-    "null_semantics",
-    "order_percentiles",
-    "asof_signup_before_purchase",
-    "top_revenue_supplier",
-    "nations_above_global_share",
-    "customer_running_totals",
-    "orders_merge_upsert",
-    "dedup_exact_docs",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "incremental_dedup_new_docs",
-    "fuzzy_customer_pairs",
+    #    (events_tumbling_1h among them) are additionally timed by
+    #    bench.py every round. --
+    "dedup_keep_longest_docs",
     "doc_chunks",
-    "pack_docs_2k",
-    "simhash_md5_pairs",
+    "event_hourly_anomalies",
+    "event_transition_matrix",
+    "events_tumbling_1h",
     "heavy_hitter_tokens",
-    "udtf_sentences_docs",
-    "click_purchase_leftouter",
-    "fuzzy_customer_pairs_capped",
-    "top_tokens_per_lang",
-    "fuzzy_customer_pairs_lev2",
-    "cms_bigram_counts",
-    "ann_ivf_kmeans",
-    "segment_dedup_docs",
-    "quality_score_docs",
-    "bloom_new_docs",
-    "boilerplate_removed_docs",
+    "high_value_order_exists",
+    "incremental_dedup_new_docs",
     "multimodal_ppm_decode",
     "multimodal_wav_decode",
-    "weighted_sampled_docs",
-    "cross_corpus_near_dups",
-    "bloom_new_docs_registers",
-    "dedup_keep_longest_docs",
+    "nation_set_ops",
+    "nations_above_global_share",
+    "null_semantics",
+    "order_item_arrays",
+    "order_latency",
+    "order_percentiles",
+    "orders_above_customer_avg",
+    "orders_by_month",
+    "orders_merge_upsert",
+    "pack_docs_2k",
     "part_price_bins",
-    "event_transition_matrix",
-    "event_hourly_anomalies",
     "phrase_mining_docs",
-    "events_tumbling_1h",
+    "priority_pivot",
+    "quality_score_docs",
+    "segment_dedup_docs",
+    "simhash_md5_pairs",
+    "top_revenue_supplier",
+    "top_tokens_per_lang",
+    "udtf_sentences_docs",
+    "union_all_parties",
+    "weighted_sampled_docs",
+    "window_top_orders",
+    # -- r10-green, rotated out fresh (newest driver row = r10; due
+    #    back across r12/r13) --
+    "amplab3",
+    "ann_ivf_probes",
+    "big_orders_in_subquery",
+    "bigram_logprob_docs",
+    "bottomk_doc_stats",
+    "cdc_chunk_dedup_docs",
+    "click_purchase_within_1h",
+    "cube_sales",
+    "customer_cohort_retention",
+    "customer_id_parse",
+    "customers_without_orders",
+    "daily_revenue_gapfill",
+    "decontaminate_docs",
+    "dedup_clusters_docs",
+    "distinct_parts_per_flag",
+    "doc_fingerprint_md5",
+    "doc_provenance",
+    "doc_repetition_stats",
+    "domain_mix_docs",
+    "events_in_promo_windows",
+    "hll_distinct_parts",
+    "hll_merged_slices",
+    "hygiene_filtered_docs",
+    "jaccard_pairs_docs",
+    "lang_id_docs",
+    "lang_sampling_weights",
+    "minhash_pairs_docs",
+    "multimodal_features",
+    "normalized_redacted_docs",
+    "order_date_parts",
+    "parts_never_shipped",
+    "pretrain_corpus_full",
+    "pretrain_corpus_provenance",
+    "profile_orders",
+    "promo_revenue_share",
+    "robust_stats",
+    "rollup_sales",
+    "salted_nation_revenue",
+    "sample_docs_10pct",
+    "source_capped_docs",
+    "stateful_user_totals",
+    "stratified_sample_orders",
+    "temperature_sampled_docs",
+    "text_stats_docs",
+    "tfidf_top_terms",
+    "token_count_docs",
+    "top_orders",
+    "train_test_split_counts",
+    "unigram_logprob_docs",
+    "user_rolling_1h",
 )
 
 

@@ -178,6 +178,37 @@ def main() -> None:
                 threshold=0.5,
             )
             _clear_storage(spark)
+        # Fuzzy-join linearity canary (r10 verdict item 4): the one
+        # blocked-candidate operator with no 10x count evidence. The
+        # shared sf1 corpus cannot serve (c_name replicates verbatim
+        # -> TRUE pair set grows quadratically), so both sides use
+        # the marker-perturbed customer_fuzzy variant: base = the
+        # R=1 variant, sf1 = 10 disjoint replicas with cross-replica
+        # lev >= 18 guaranteed (tools/scale_data.py docstring). Depth
+        # 1 exercises the same neighborhood/equi-join/verify path as
+        # lev2 at a tenth of the index volume — the blocking-
+        # completeness contract is parameter-independent.
+        import contextlib as _ctx
+
+        from corral_spark.operators.fuzzy import fuzzy_counts
+        from tools.scale_data import scale_fuzzy_customers
+
+        fuzzy_base_dir = os.environ.get(
+            "SPARK_GRAFT_FUZZY_BASE_DIR", "/tmp/sf01_fuzzy"
+        )
+        for d, reps in ((fuzzy_base_dir, 1), (sf1_dir, 10)):
+            if not os.path.exists(os.path.join(d, "customer_fuzzy.parquet")):
+                with _ctx.redirect_stdout(sys.stderr):
+                    scale_fuzzy_customers(reps, d)
+        fcounts = {}
+        for label, d in (("base", fuzzy_base_dir), ("sf1", sf1_dir)):
+            cust = spark.read.parquet(
+                os.path.join(d, "customer_fuzzy.parquet")
+            )
+            fcounts[label] = fuzzy_counts(
+                cust, "c_name", "c_custkey", max_dist=1
+            )
+            _clear_storage(spark)
         out["sf1"] = {
             "queries": sf1_timings,
             "runs": sf1_runs,
@@ -226,6 +257,18 @@ def main() -> None:
                     ),
                 }
                 for metric in xcounts["base"]
+            },
+            "fuzzy_counts": {
+                metric: {
+                    "base": fcounts["base"][metric],
+                    "sf1": fcounts["sf1"][metric],
+                    "ratio": round(
+                        fcounts["sf1"][metric]
+                        / max(fcounts["base"][metric], 1),
+                        1,
+                    ),
+                }
+                for metric in fcounts["base"]
             },
         }
         # gram_dedup_docs is ROW-COMPLETE (one output row per input

@@ -1266,6 +1266,15 @@ def prefix_filter_jaccard_pairs(
       a per-document property.
 
     Output: (id_a, id_b, jaccard 6dp) with id_a < id_b.
+
+    ``id_col`` must be UNIQUE per row (the same contract
+    ``fuzzy_join`` documents): a repeated id with two different
+    texts lands in two set-groups, and the cross-group expansion
+    would otherwise emit its self-pair. The expansion guards
+    ``ia != ib`` so a duplicate id degrades to dropped self-pairs
+    rather than an ``id_a == id_b`` contract violation — but the
+    (a, b) pair can still carry whichever duplicate's jaccard
+    verified, so dedupe ids upstream.
     """
     from corral_spark.functions.text import tokenize
     from pyspark.sql.window import Window
@@ -1396,6 +1405,9 @@ def prefix_filter_jaccard_pairs(
     cross = (
         gpairs.join(ma, "ga")
         .join(mb, "gb")
+        # Guard for the documented unique-id contract: a duplicate id
+        # spanning two groups must not surface as a self-pair.
+        .filter(F.col("ia") != F.col("ib"))
         .select(
             F.least("ia", "ib").alias("id_a"),
             F.greatest("ia", "ib").alias("id_b"),

@@ -200,3 +200,36 @@ def fuzzy_join(
         .select("id_a", "id_b", "text_a", "text_b", lev.alias("lev"))
         .filter(F.col("lev") >= 0)
     )
+
+
+def fuzzy_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> dict[str, int]:
+    """Scaling diagnostic (r10 verdict item 4): the two volume drivers
+    of the exact fuzzy join, as noise-free linearity evidence in the
+    style of ``dedup.minhash_pair_counts``. On the marker-perturbed
+    ``customer_fuzzy`` corpus (tools/scale_data.py) cross-replica
+    pairs are impossible by construction, so at R disjoint replicas a
+    linear engine must read EXACTLY R x both counters:
+
+    * ``variant_rows`` — the deletion-neighborhood index size (the
+      widest exchange in the plan; per-row neighborhood size depends
+      only on the string, so replicas contribute identically);
+    * ``pairs`` — the verified lev <= max_dist output (the
+      blocking-completeness contract of ``fuzzy_join``: a superlinear
+      ratio here means candidates leaked across blocks; a sublinear
+      one means blocking dropped qualifying pairs).
+    """
+    txt = F.col(text_col)
+    variant_rows = (
+        df.select(
+            F.size(_deletion_neighborhood(txt, max_dist)).alias("nv")
+        )
+        .agg(F.sum("nv").alias("s"))
+        .collect()[0]["s"]
+    )
+    pairs = fuzzy_join(df, text_col, id_col, max_dist=max_dist).count()
+    return {"variant_rows": int(variant_rows), "pairs": int(pairs)}

@@ -119,8 +119,15 @@ _STATEFUL_MEM_SEQ = 0
     oracle="""
     SELECT user_id,
            COUNT(*) AS total_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT)
-             AS total_value_cents
+           -- COALESCE: the operator sums per-row coalesce(value, 0)
+           -- cents, so an all-NULL user totals 0 — SQL's SUM would
+           -- return NULL there (r10 ADVICE: latent-only today, the
+           -- generator emits no NULL values, but the twin must match
+           -- the documented 0-cents semantics either way).
+           COALESCE(
+             CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT),
+             0
+           ) AS total_value_cents
     FROM events
     GROUP BY user_id
     ORDER BY user_id

@@ -421,3 +421,39 @@ def test_temperature_sample_null_groups_excluded_from_budget(spark):
     assert got_clean == got_dirty
     assert got_clean, "sample unexpectedly empty"
     assert all(d < 1000 for d in got_dirty), "a NULL-group row leaked through"
+
+
+def test_fuzzy_scaling_canary_exact_linearity(spark, tmp_path):
+    """The bench sf1 fuzzy canary's exactness contract (r10 verdict
+    item 4): on the marker-perturbed customer_fuzzy corpus, R
+    disjoint replicas must give EXACTLY R x variant_rows and R x
+    pairs — within-replica pair sets are isomorphic to replica 0's
+    (bijective char rename) and cross-replica lev >= 18 makes
+    cross pairs impossible (tools/scale_data.py docstring). R=3
+    catches pairwise leaks R=2 could mask; limit keeps it cheap."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.scale_data import scale_fuzzy_customers
+
+    from corral_spark.operators.fuzzy import fuzzy_counts
+
+    d1, d3 = str(tmp_path / "r1"), str(tmp_path / "r3")
+    scale_fuzzy_customers(1, d1, limit=1500)
+    scale_fuzzy_customers(3, d3, limit=1500)
+    c1 = fuzzy_counts(
+        spark.read.parquet(d1 + "/customer_fuzzy.parquet"),
+        "c_name",
+        "c_custkey",
+        max_dist=1,
+    )
+    c3 = fuzzy_counts(
+        spark.read.parquet(d3 + "/customer_fuzzy.parquet"),
+        "c_name",
+        "c_custkey",
+        max_dist=1,
+    )
+    assert c1["pairs"] > 0 and c1["variant_rows"] > 0
+    assert c3["variant_rows"] == 3 * c1["variant_rows"]
+    assert c3["pairs"] == 3 * c1["pairs"]

@@ -23,6 +23,23 @@ Replication rules (replica k of R, key offset k * 10**9):
   vectors across replicas — the adversarial case for ANN/near-dup:
   every vector gains R-1 planted neighbors).
 
+- customer_fuzzy (EXTRA table, r10 verdict item 4): the plain
+  replicated customer table cannot canary the fuzzy (levenshtein)
+  join — c_name replicates VERBATIM, so every name gains R-1 exact
+  copies and the TRUE lev<=d pair set grows quadratically in R. This
+  variant interleaves a replica-unique marker letter before EVERY
+  character of c_name (replica k: "Customer#07" -> "kCkuk...k0k7"
+  with marker FUZZY_MARKERS[k]). Two guarantees make the 10x canary
+  exact: (1) a bijective per-character rename is a string isomorphism
+  — levenshtein distances WITHIN a replica are identical to replica
+  0's, so per-replica pair sets match the R=1 variant by
+  construction; (2) across replicas i != j, none of the 18 marker
+  occurrences in a name can ever match any character of the other
+  replica's name (markers are pairwise distinct and drawn from
+  letters absent from c_name), so every alignment pays >= 18 edits —
+  cross-replica lev is >= 18 >> any useful threshold, and TRUE pairs
+  at R replicas are EXACTLY R x pairs(R=1).
+
 Usage: python tools/scale_data.py [R] [out_dir]   (defaults: 10 /tmp/sf1)
 """
 
@@ -35,6 +52,42 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 KOFF = 10**9
+
+# Replica marker letters for customer_fuzzy: pairwise distinct, and
+# none occurs in any c_name ("Customer#" + digits — note lowercase
+# markers never collide with the uppercase 'C').
+FUZZY_MARKERS = "abdfghijkl"
+
+
+def scale_fuzzy_customers(
+    r: int, out_dir: str, limit: int | None = None
+) -> None:
+    """Write ``customer_fuzzy.parquet``: R disjoint-key replicas of
+    customer with the per-replica marker-interleaved c_name (module
+    docstring has the exactness argument). Callable on its own so
+    bench.py can backfill the table into an sf1 dir generated before
+    this canary existed, and generate the R=1 base variant. ``limit``
+    keeps only base rows with c_custkey < limit — every replica
+    replicates the SAME subset, so the R-linearity guarantee is
+    unchanged (used by the pytest pin to stay cheap)."""
+    if r > len(FUZZY_MARKERS):
+        raise ValueError(f"at most {len(FUZZY_MARKERS)} replicas")
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    where = f" WHERE c_custkey < {int(limit)}" if limit is not None else ""
+    parts = [
+        f"SELECT c_custkey + {k * KOFF} AS c_custkey,"
+        f" regexp_replace(c_name, '(.)', '{FUZZY_MARKERS[k]}\\1', 'g')"
+        f" AS c_name"
+        f" FROM read_parquet('{SRC}/customer.parquet'){where}"
+        for k in range(r)
+    ]
+    out = f"{out_dir}/customer_fuzzy.parquet"
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{out}' (FORMAT PARQUET)"
+    )
+    n = con.execute(f"SELECT COUNT(*) FROM '{out}'").fetchone()[0]
+    print(f"customer_fuzzy: {n} rows")
 
 
 def scale(r: int, out_dir: str) -> None:
@@ -101,6 +154,7 @@ def scale(r: int, out_dir: str) -> None:
         f"SELECT vec_id + {{off}} AS vec_id, embedding, label"
         f" FROM {src('embeddings')}",
     )
+    scale_fuzzy_customers(r, out_dir)
 
 
 if __name__ == "__main__":
