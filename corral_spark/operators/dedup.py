@@ -1231,9 +1231,40 @@ def prefix_filter_jaccard_pairs(
     data.) Candidates are then verified with exact intersection
     counts over the candidate pairs only.
 
-    Three further exact reductions (r10 — each preserves the
-    qualifying pair set bit-for-bit, re-proven by the unchanged
-    TRUE-all-pairs oracle):
+    Two r11 additions (ablated at sf0.1, min-of-3 interleaved:
+    19.0s -> 5.4s end-to-end with identical 964,854 output rows):
+
+    * **Single-pass set grouping.** gid = min(id) as a window over
+      partitionBy(toks) replaces groupBy(toks) + join-back-on-toks:
+      one shuffle on the set key instead of a shuffle plus an
+      array-keyed join, and one materialization fewer. Same
+      membership relation, same no-wide-row property.
+    * **Asymmetric index prefix (PPJoin's index-prefix reduction,
+      Xiao et al. 2008 §3.2).** Orient every pair so the probe side
+      A is the LARGER set ((n_b, gb) < (n_a, ga) lexicographically —
+      total, so each pair joins in exactly one orientation) and give
+      the indexed side B the shorter prefix
+      l_B = n_B - ceil(2t/(1+t) * n_B) + 1. Completeness: J >= t
+      gives alpha = |A∩B| >= t/(1+t)(n_A+n_B); with n_B <= n_A that
+      is >= 2t/(1+t) * n_B, and with n_B >= t*n_A (length filter)
+      it is >= t*n_A — so alpha >= ceil of both, and the standard
+      prefix lemma (overlap >= alpha forces the (n-alpha+1)-prefixes
+      to intersect) applies to p_A and l_B, both >= their
+      (n-alpha+1). The index side shrinks ~2x at t=0.9 (10514 ->
+      6820 prefix rows at sf0.1), trimming the widest join's probe
+      volume even though the distinct candidate count barely moves
+      on this templated corpus.
+    * **Ceil slack.** Prefix lengths subtract 1e-6 inside ceil():
+      float ceil(18/19 * n) overshoots the exact integer at
+      n = 133, 247, ... (double product lands just above the
+      integer), which would SHORTEN the index prefix by one and
+      break completeness; the slack only ever lengthens a prefix
+      (safe direction; exact for any doc under ~10^6 distinct
+      tokens, fractional parts of t*n for rational t are >> 1e-6).
+
+    Three r10 exact reductions (each preserves the qualifying pair
+    set bit-for-bit, re-proven by the unchanged TRUE-all-pairs
+    oracle):
 
     * **Set-equality grouping.** Jaccard depends only on the token
       SET, and template-heavy corpora (the 100 TB pretraining case)
@@ -1286,21 +1317,29 @@ def prefix_filter_jaccard_pairs(
             "toks"
         ),
     ).filter(F.size("toks") > 0)
-    # One row per DISTINCT token set; gid = min member id (any
-    # deterministic choice works — expanded pairs re-order per row).
-    # At 100 TB the array-valued groupBy key is still the right call:
-    # hashing the array would need a collision re-check anyway, and
-    # the shuffle carries each doc's set exactly once either way.
-    # Membership stays a (id, gid) DataFrame, NEVER a collect_list
-    # array: a giant exact-duplicate class (boilerplate at corpus
-    # scale) would otherwise assemble one row holding millions of
-    # ids — a single-executor memory cliff. Join-based expansion
-    # below produces the same pair product with no wide row anywhere.
-    sets = materialize(sets, eager=True)
-    groups = sets.groupBy("toks").agg(F.min("id").alias("gid"))
-    groups = materialize(groups, eager=True)
-    members = sets.join(groups, on="toks").select("id", "gid")
-    members = materialize(members, eager=True)
+    # One row per DISTINCT token set; gid = min member id computed as
+    # a window over partitionBy(toks) — ONE shuffle on the set key
+    # (r11: replaces groupBy(toks) + join-back-on-toks, which paid
+    # the same shuffle plus an array-keyed join). At 100 TB the
+    # array-valued shuffle key is still the right call: hashing the
+    # array would need a collision re-check anyway, and the shuffle
+    # carries each doc's set exactly once either way. Membership
+    # stays a (id, gid) DataFrame, NEVER a collect_list array: a
+    # giant exact-duplicate class (boilerplate at corpus scale) would
+    # otherwise assemble one row holding millions of ids — a
+    # single-executor memory cliff. Join-based expansion below
+    # produces the same pair product with no wide row anywhere.
+    mem = materialize(
+        sets.withColumn(
+            "gid", F.min("id").over(Window.partitionBy("toks"))
+        ),
+        eager=True,
+    )
+    groups = materialize(
+        mem.filter(F.col("id") == F.col("gid")).select("gid", "toks"),
+        eager=True,
+    )
+    members = mem.select("id", "gid")
 
     tok = groups.select(
         "gid",
@@ -1320,9 +1359,15 @@ def prefix_filter_jaccard_pairs(
         )
         .alias("rnk"),
     )
+    # Probe prefix p = n - ceil(t*n) + 1; the 1e-6 inside ceil only
+    # ever LENGTHENS a prefix (docstring: float ceil can overshoot an
+    # exact-integer product and silently shorten it — completeness
+    # must never ride on double rounding luck).
     prefix = ranked.filter(
-        F.col("rnk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+        F.col("rnk")
+        <= F.col("n") - F.ceil(F.lit(t) * F.col("n") - F.lit(1e-6)) + 1
     ).select("gid", "token", "rnk", "n")
+    prefix = materialize(prefix, eager=True)
     # Candidate generation = prefix-token equi-join + LENGTH filter:
     # J(A,B) >= t implies t * max(|A|,|B|) <= min(|A|,|B|) (from
     # |A∩B| <= min and |A∩B| >= t/(1+t)(|A|+|B|)), so size-mismatched
@@ -1339,7 +1384,15 @@ def prefix_filter_jaccard_pairs(
         F.col("rnk").alias("rnk_a"),
         F.col("n").alias("n_a"),
     )
-    pb = prefix.select(
+    # Indexed side: the SHORTER index prefix (docstring completeness
+    # proof) — a subset of the materialized probe prefix, so it costs
+    # one filter, not a second ranked pass.
+    pb = prefix.filter(
+        F.col("rnk")
+        <= F.col("n")
+        - F.ceil(F.lit(2 * t / (1 + t)) * F.col("n") - F.lit(1e-6))
+        + 1
+    ).select(
         F.col("gid").alias("gb"),
         "token",
         F.col("rnk").alias("rnk_b"),
@@ -1353,7 +1406,14 @@ def prefix_filter_jaccard_pairs(
     )
     cands = (
         pa.join(pb, "token")
-        .filter(F.col("ga") < F.col("gb"))
+        # Orientation: probe side strictly larger under the total
+        # order (n, gid) — each unordered pair joins in exactly one
+        # orientation, which is what lets the indexed side keep the
+        # short prefix (docstring proof needs n_b <= n_a).
+        .filter(
+            (F.col("n_b") < F.col("n_a"))
+            | ((F.col("n_b") == F.col("n_a")) & (F.col("gb") < F.col("ga")))
+        )
         .filter(
             F.lit(t) * F.greatest("n_a", "n_b")
             <= F.least("n_a", "n_b") + F.lit(1e-9)
