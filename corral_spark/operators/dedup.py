@@ -585,8 +585,16 @@ def _short_exact_cands(
         hc = hot_tokens.groupBy("id").agg(F.count(F.lit(1)).alias("__hc"))
         return (
             n.join(hc, on="id")
+            # Same float-ceil completeness slack as the ppjoin prefix
+            # lengths: double rounding can overshoot an exact-integer
+            # t*n and exclude a boundary doc from the fallback — the
+            # one direction that loses pairs. The slack only ever
+            # ADMITS more docs (superset; verification prunes).
+            # Binary-exact at the shipped t=0.5, so no behavior
+            # change on the registry corpus.
             .filter(
-                F.col("__hc") >= F.ceil(F.lit(threshold) * F.col("__n"))
+                F.col("__hc")
+                >= F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-6))
             )
             .select("id")
         )
@@ -1231,8 +1239,9 @@ def prefix_filter_jaccard_pairs(
     data.) Candidates are then verified with exact intersection
     counts over the candidate pairs only.
 
-    Two r11 additions (ablated at sf0.1, min-of-3 interleaved:
-    19.0s -> 5.4s end-to-end with identical 964,854 output rows):
+    Three r11 additions (ablated at sf0.1 — registry query 20.0s ->
+    7.4s min-of-3 — with identical 964,854 output rows; sf1 56.3s ->
+    35.1s with pairs exactly 10.0x):
 
     * **Single-pass set grouping.** gid = min(id) as a window over
       partitionBy(toks) replaces groupBy(toks) + join-back-on-toks:
