@@ -158,9 +158,15 @@ def fuzzy_join(
     #   inside the merge while producing the 63M-row key product —
     #   6.3x slower than hash-probing the same product (32.4s vs
     #   5.1s, string keys). Build-side memory = |index| / shuffle
-    #   partitions per task — size partitions up at scale; the
-    #   max_block / cap_per_block guards already bound the worst
-    #   per-key product.
+    #   partitions per task — size partitions up at scale, AND lower
+    #   spark.sql.adaptive.advisoryPartitionSizeInBytes with them:
+    #   AQE coalescing re-merges the exchange to ~advisory-sized
+    #   partitions and each SHJ build must hold one WHOLE coalesced
+    #   partition (measured at a 97M-row depth-2 index: 256
+    #   partitions coalesced back to 43 and the build died with
+    #   "Can't acquire 64MB"; 16m advisory ran clean — SCALE.md
+    #   round-11). The max_block / cap_per_block guards already
+    #   bound the worst per-key product.
     # * Join on xxhash64(variant), not the variant STRING: the 8-byte
     #   key halves the shuffle bytes of the widest exchange in the
     #   plan. On the EXACT path a hash collision can only ADD a
