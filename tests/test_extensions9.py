@@ -857,3 +857,73 @@ def test_ppjoin_randomized_bruteforce_equivalence(spark):
             ).collect()
         }
         assert got == want, f"trial {trial} thr {thr}"
+
+
+def test_ppjoin_adversarial_sizes_and_thresholds(spark):
+    """Guards the r11 additions — the asymmetric index prefix and the
+    float-ceil completeness slack. Sizes are chosen so ceil((2t/(1+t))
+    * n) lands ON an integer where double rounding overshoots
+    (n = 133 at t = 0.9: float ceil reads 127, true 126 — one prefix
+    token short without the slack), and thresholds include 18/19 and
+    2/3 whose products hit exact integers at multiples of 19 and 3.
+    One-off 120-trial fuzz vs brute force passed at r11 close; this
+    is the compact permanent pin."""
+    import itertools
+    import random
+
+    from corral_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rng = random.Random(133)
+    for thr in (0.9, 18 / 19, 2 / 3):
+        docs = []
+        i = 0
+        # Ceil-adversarial exact-size docs (distinct wide vocab), with
+        # a planted near-identical partner one token off so the pair's
+        # survival depends on the FULL prefix length.
+        for n in (19, 38, 57, 126, 133):
+            base = [f"u{n}x{j}" for j in range(n)]
+            docs.append((i, " ".join(base))); i += 1
+            partner = list(base)
+            partner[-1] = f"u{n}xsub"
+            docs.append((i, " ".join(partner))); i += 1
+        # Plus a shared-vocab background population.
+        vocab = [f"w{j}" for j in range(25)]
+        for _ in range(20):
+            docs.append((i, " ".join(rng.sample(vocab, rng.randint(2, 10)))))
+            i += 1
+        want = {}
+        for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+            a, b = set(ta.split()), set(tb.split())
+            j = len(a & b) / len(a | b)
+            if j >= thr:
+                want[(min(ia, ib), max(ia, ib))] = round(j, 6)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_filter_jaccard_pairs(
+                df, "text", "doc_id", thr
+            ).collect()
+        }
+        assert got == want, f"thr {thr}"
+
+
+def test_ppjoin_ceil_slack_is_load_bearing(spark):
+    """The constructed pair that the float-ceil slack rescues —
+    verified lost without it (r11 close ablation: candidate count 1
+    with slack, 0 without). n = 133, t = 0.9: double ceil(18/19*133)
+    reads 127 (true 126), shortening the index prefix to 7; the two
+    docs share exactly 126 of 133 tokens (J = 126/140 = 0.9, exactly
+    at threshold) and each side's 7 unique tokens are globally
+    rarest, so the ONLY shared prefix token sits at index-prefix
+    position 8 — present under the correct length, cut off under the
+    overshot one."""
+    from corral_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    shared = [f"s{i:03d}" for i in range(126)]
+    a = [f"a{i}" for i in range(7)] + shared
+    b = [f"b{i}" for i in range(7)] + shared
+    df = spark.createDataFrame(
+        [(0, " ".join(a)), (1, " ".join(b))], ["doc_id", "text"]
+    )
+    rows = prefix_filter_jaccard_pairs(df, "text", "doc_id", 0.9).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(0, 1, 0.9)]
