@@ -473,3 +473,42 @@ def test_histogram_bin_rule_in_range(v, nbins):
     raw = math.floor((v - lo) * float(nbins) / (hi - lo))
     bin_ = min(max(raw, 0), nbins - 1)
     assert 0 <= bin_ <= nbins - 1
+
+
+def test_short_path_nonbinary_thresholds_match_bruteforce(spark):
+    """Complement of the hypothesis test above, at thresholds whose
+    t*n products are NOT binary-exact (2/3, 0.7, 0.75) — the ones
+    that exercise the hot-heavy fallback's ceil boundary (r11
+    float-ceil slack) — with word shingles (shingle_n=1) so every
+    random doc contributes and dfs collide hard at df_max=2.
+    Distilled from an 80/80-trial r11-close fuzz; fixed seed."""
+    import itertools
+    import random
+
+    from corral_spark.operators.dedup import minhash_verified_pairs
+
+    rng = random.Random(7)
+    for thr in (2 / 3, 0.7, 0.75):
+        vocab = [f"w{i}" for i in range(10)]
+        docs = []
+        for i in range(22):
+            k = rng.randint(1, 8)
+            docs.append((i, " ".join(rng.sample(vocab, k))))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_verified_pairs(
+                df,
+                "text",
+                "doc_id",
+                threshold=thr,
+                shingle_n=1,
+                short_df_max=2,
+            ).collect()
+        }
+        want = set()
+        for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+            a, b = set(ta.split()), set(tb.split())
+            if len(a & b) / len(a | b) >= thr:
+                want.add((min(ia, ib), max(ia, ib)))
+        assert got == want, f"thr {thr}"
