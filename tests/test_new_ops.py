@@ -457,3 +457,48 @@ def test_fuzzy_scaling_canary_exact_linearity(spark, tmp_path):
     assert c1["pairs"] > 0 and c1["variant_rows"] > 0
     assert c3["variant_rows"] == 3 * c1["variant_rows"]
     assert c3["pairs"] == 3 * c1["pairs"]
+
+
+def test_fuzzy_join_binary_alphabet_bruteforce(spark):
+    """Collision-adversarial complement of the fixed-corpus
+    brute-force tests: strings over a 2-letter alphabet (lengths
+    0-10, empties included) make deletion variants collide maximally
+    — zero-run deletions map many strings onto the same variant key,
+    the hot-key regime the shuffle_hash hint and the ids-only join
+    exist for. Distilled from a 60/60-trial r11-close fuzz at depths
+    1 and 2; fixed seed."""
+    import itertools
+    import random
+
+    from corral_spark.operators.fuzzy import fuzzy_join
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(99)
+    for d in (1, 2):
+        docs = [
+            (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 10))))
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(docs, ["id", "w"])
+        got = {
+            (r.id_a, r.id_b, r.lev)
+            for r in fuzzy_join(df, "w", "id", max_dist=d).collect()
+        }
+        want = set()
+        for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+            dd = lev(ta, tb)
+            if dd <= d:
+                want.add((min(ia, ib), max(ia, ib), dd))
+        assert got == want, f"depth {d}"
