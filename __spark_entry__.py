@@ -100,64 +100,67 @@ def entry(spark: SparkSession) -> DataFrame:
 #   Demotions this round are EXACTLY the fresh r10-greens (policy:
 #   freshest double-greens rotate out).
 _DEMOTED = (
-    # -- r9-green, second round out (newest driver row = r9, 2
-    #    rounds stale at r12: ALL 32 MUST take r12 head slots).
-    #    Every one stays oracle-gated by pytest + the full
-    #    driver_sim replica every round; the benched ones
-    #    (events_tumbling_1h among them) are additionally timed by
-    #    bench.py every round. --
-    "dedup_keep_longest_docs",
-    "doc_chunks",
-    "event_hourly_anomalies",
-    "event_transition_matrix",
-    "events_tumbling_1h",
-    "heavy_hitter_tokens",
-    "high_value_order_exists",
-    "incremental_dedup_new_docs",
-    "multimodal_ppm_decode",
-    "multimodal_wav_decode",
-    "nation_set_ops",
-    "nations_above_global_share",
-    "null_semantics",
-    "order_item_arrays",
-    "order_latency",
-    "order_percentiles",
-    "orders_above_customer_avg",
-    "orders_by_month",
-    "orders_merge_upsert",
-    "pack_docs_2k",
-    "part_price_bins",
-    "phrase_mining_docs",
-    "priority_pivot",
-    "quality_score_docs",
-    "segment_dedup_docs",
-    "simhash_md5_pairs",
-    "top_revenue_supplier",
-    "top_tokens_per_lang",
-    "udtf_sentences_docs",
-    "union_all_parties",
-    "weighted_sampled_docs",
-    "window_top_orders",
-    # -- r10-green, rotated out fresh (newest driver row = r10; due
-    #    back across r12/r13) --
-    "amplab3",
-    "ann_ivf_probes",
-    "big_orders_in_subquery",
-    "bigram_logprob_docs",
-    "bottomk_doc_stats",
-    "cdc_chunk_dedup_docs",
-    "click_purchase_within_1h",
-    "cube_sales",
-    "customer_cohort_retention",
-    "customer_id_parse",
-    "customers_without_orders",
-    "daily_revenue_gapfill",
-    "decontaminate_docs",
-    "dedup_clusters_docs",
-    "distinct_parts_per_flag",
-    "doc_fingerprint_md5",
-    "doc_provenance",
-    "doc_repetition_stats",
+    # -- r11-green, rotated out fresh (newest driver row = r11; the
+    #    first 18 alphabetical are due back at r13, the rest at r14 —
+    #    both precomputed in docs/NEXT.md ROUND 13 LEDGER). Every one
+    #    stays oracle-gated by pytest + the full driver_sim replica
+    #    every round; the benched ones (wordcount, pricing_summary,
+    #    shipping_priority, regional_revenue, dedup_exact_docs,
+    #    ann_cosine_topk, pretrain_corpus, gram_dedup_docs among
+    #    them) are additionally timed by bench.py every round. --
+    "amplab1",
+    "amplab2",
+    "ann_cosine_topk",
+    "ann_ivf_kmeans",
+    "ann_ivf_topk",
+    "asof_signup_before_purchase",
+    "bloom_new_docs",
+    "bloom_new_docs_registers",
+    "boilerplate_removed_docs",
+    "click_purchase_leftouter",
+    "cms_bigram_counts",
+    "cross_corpus_near_dups",
+    "customer_name_features",
+    "customer_running_totals",
+    "dedup_exact_docs",
+    "dq_report",
+    "emb_int8_topk",
+    "emb_near_dup_planted",
+    "event_funnel_stages",
+    "event_props_json",
+    "event_props_map",
+    "events_session_30m",
+    "events_sliding_1h_30m",
+    "fuzzy_customer_pairs",
+    "fuzzy_customer_pairs_capped",
+    "fuzzy_customer_pairs_lev2",
+    "gram_dedup_docs",
+    "hll_token_overlap_sources",
+    "layout_skipping_report",
+    "orders_minmax_refresh",
+    "orders_rollup_ivm",
+    "part_bfs_hops",
+    "part_pagerank",
+    "part_pairs_lift",
+    "ppjoin_neighbor_counts",
+    "pq_ann_topk",
+    "pretrain_corpus",
+    "price_histogram_quantiles",
+    "price_outliers_mad",
+    "pricing_summary",
+    "purchase_by_tier_scd2",
+    "qty_discount_linreg",
+    "regional_revenue",
+    "semantic_dedup_docs",
+    "shipping_priority",
+    "skyline_parts",
+    "strong_coorder_triangles",
+    "user_value_ewma",
+    "wordcount",
+    "zorder_parts_locality",
+    # -- r10-green, second round out (newest driver row = r10, 2
+    #    rounds stale at r13: ALL 32 MUST take r13 head slots — the
+    #    NEXT.md ROUND 13 LEDGER obligated block IS this list) --
     "domain_mix_docs",
     "events_in_promo_windows",
     "hll_distinct_parts",
