@@ -1,8 +1,17 @@
 #!/usr/bin/env python
 """Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ..., "sf1": {...}}.
+TWO JSON lines: a diagnostic line with the full per-run arrays, then
+the compact contract line the driver parses (LAST on stdout):
+{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: min_sec}, "probe": {...}, "sf": ..., "sf1": {...}}.
+The split exists because the driver captures only the final 2000
+chars of stdout — with the runs arrays inline the contract line
+outgrew the window every round since r8 and recorded "parsed": null.
+The "probe" fields (tools/hostprobe.light_probe, repeated inside
+"sf1" as "probe") make each recorded bench self-adjudicating against
+host-epoch drift: compare py_single_ms/scan_mb_s across rounds before
+reading anything into a wall-clock delta (SCALE.md standing rule).
 
 Each query is executed to completion (count() of the final result —
 every declared query is an agg/top-k, so result sets are small and the
@@ -47,6 +56,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from corral_spark.queries import REGISTRY
     from corral_spark.session import local_session
+    from tools.hostprobe import light_probe
+
+    # Self-adjudicating epoch evidence (r11 verdict item 2): the
+    # driver benches after snapshot, so its host epoch could never be
+    # probed after the fact — BENCH_r11's sf1 readings sat 2.3x above
+    # two same-code builder/judge re-measurements with every count
+    # canary exactly 10.0x. Probe INSIDE the output, immediately
+    # before the headline loop and again before the sf1 block.
+    probe_open = light_probe()
 
     spark = local_session("corral_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -95,9 +113,17 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "runs": all_runs,
+        "probe": probe_open,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Full per-run arrays go on this EARLIER diagnostic line, not the
+    # final one: the driver captures only the last 2000 chars of
+    # stdout and json-parses the final line, and with the runs dicts
+    # inline the final line outgrew the window every round since r8
+    # ("parsed": null, tail starting mid-object — r11 verdict item 3).
+    # The final line below is kept compact (mins + ratios only) so it
+    # always fits and parses; builder-run logs retain both lines.
+    diag = {"diag": "runs", "runs": all_runs}
 
     # sf1 scaling canary: min-of-1 on the dedup headliners (the only
     # queries whose cost structure could hide an O(n^2) candidate
@@ -106,6 +132,7 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
         and sf_dir.rstrip("/") == "/root/testdata/sf0.1"
     ):
+        probe_sf1 = light_probe()
         sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
         if not os.path.exists(os.path.join(sf1_dir, "documents.parquet")):
             import contextlib
@@ -193,6 +220,8 @@ def main() -> None:
         from corral_spark.operators.fuzzy import fuzzy_counts
         from tools.scale_data import scale_fuzzy_customers
 
+        from tools.scale_data import KOFF
+
         fuzzy_base_dir = os.environ.get(
             "SPARK_GRAFT_FUZZY_BASE_DIR", "/tmp/sf01_fuzzy"
         )
@@ -201,17 +230,86 @@ def main() -> None:
                 with _ctx.redirect_stdout(sys.stderr):
                     scale_fuzzy_customers(reps, d)
         fcounts = {}
+        freps = {}
         for label, d in (("base", fuzzy_base_dir), ("sf1", sf1_dir)):
             cust = spark.read.parquet(
                 os.path.join(d, "customer_fuzzy.parquet")
+            )
+            # Derive R from the data itself (r11 ADVICE item 2): each
+            # replica's keys live in a disjoint KOFF band, so the
+            # distinct band count IS the replica count — a
+            # pre-existing SPARK_GRAFT_SF1_DIR generated with a
+            # different R can no longer silently skew the expected
+            # ratio. Recorded alongside the counters so the expected
+            # linearity factor is explicit in the output.
+            freps[label] = (
+                cust.select(
+                    (F.col("c_custkey") / F.lit(KOFF))
+                    .cast("long")
+                    .alias("band")
+                )
+                .distinct()
+                .count()
             )
             fcounts[label] = fuzzy_counts(
                 cust, "c_name", "c_custkey", max_dist=1
             )
             _clear_storage(spark)
+        # Depth-2 replica canary, promoted from the r11 one-off to a
+        # cheap per-round line (r11 verdict item 6): the full-corpus
+        # d=2 run costs 680s at sf1 so it stays one-off, but on a
+        # LIMITED replica set (same marker construction, every replica
+        # replicating the SAME 1000-key subset) the exact-3x contract
+        # is parameter-identical and costs seconds. R=3 catches
+        # pairwise leaks R=2 could mask (same choice as the pytest
+        # pin, which runs d=1).
+        d2_dirs = {
+            "base": os.environ.get(
+                "SPARK_GRAFT_FUZZY_D2_R1_DIR", "/tmp/fuzzy_d2_r1"
+            ),
+            "sf1": os.environ.get(
+                "SPARK_GRAFT_FUZZY_D2_R3_DIR", "/tmp/fuzzy_d2_r3"
+            ),
+        }
+        for d, reps in ((d2_dirs["base"], 1), (d2_dirs["sf1"], 3)):
+            if not os.path.exists(os.path.join(d, "customer_fuzzy.parquet")):
+                with _ctx.redirect_stdout(sys.stderr):
+                    scale_fuzzy_customers(reps, d, limit=1000)
+        f2counts = {}
+        f2reps = {}
+        for label, d in d2_dirs.items():
+            cust = spark.read.parquet(
+                os.path.join(d, "customer_fuzzy.parquet")
+            )
+            f2reps[label] = (
+                cust.select(
+                    (F.col("c_custkey") / F.lit(KOFF))
+                    .cast("long")
+                    .alias("band")
+                )
+                .distinct()
+                .count()
+            )
+            f2counts[label] = fuzzy_counts(
+                cust, "c_name", "c_custkey", max_dist=2
+            )
+            _clear_storage(spark)
+        def _ctable(pair: dict, metrics=None) -> dict:
+            """{metric: [base, sf1, ratio]} — the compact triple form
+            the final line uses (the verbose {base/sf1/ratio} dicts
+            outgrew the driver's 2000-char tail window)."""
+            return {
+                m: [
+                    pair["base"][m],
+                    pair["sf1"][m],
+                    round(pair["sf1"][m] / max(pair["base"][m], 1), 1),
+                ]
+                for m in (metrics or pair["base"])
+            }
+
         out["sf1"] = {
+            "probe": probe_sf1,
             "queries": sf1_timings,
-            "runs": sf1_runs,
             "ratio_vs_base": {
                 n: round(sf1_timings[n] / max(timings.get(n, 0.0), 1e-9), 1)
                 for n in sf1_timings
@@ -222,55 +320,19 @@ def main() -> None:
             # (short_candidates / hot_shingles / hot_heavy_docs — r6
             # verdict item 3): a superlinear ratio in ANY of them is
             # the candidate-generator O(n^2) signal, window-free.
-            "minhash_counts": {
-                metric: {
-                    "base": counts["base"][metric],
-                    "sf1": counts["sf1"][metric],
-                    "ratio": round(
-                        counts["sf1"][metric]
-                        / max(counts["base"][metric], 1),
-                        1,
-                    ),
-                }
-                for metric in counts["base"]
-            },
-            "gram_counts": {
-                metric: {
-                    "base": gcounts["base"][metric],
-                    "sf1": gcounts["sf1"][metric],
-                    "ratio": round(
-                        gcounts["sf1"][metric]
-                        / max(gcounts["base"][metric], 1),
-                        1,
-                    ),
-                }
-                for metric in ("windows", "coverage_rows", "distinct_grams")
-            },
-            "cross_corpus_counts": {
-                metric: {
-                    "base": xcounts["base"][metric],
-                    "sf1": xcounts["sf1"][metric],
-                    "ratio": round(
-                        xcounts["sf1"][metric]
-                        / max(xcounts["base"][metric], 1),
-                        1,
-                    ),
-                }
-                for metric in xcounts["base"]
-            },
-            "fuzzy_counts": {
-                metric: {
-                    "base": fcounts["base"][metric],
-                    "sf1": fcounts["sf1"][metric],
-                    "ratio": round(
-                        fcounts["sf1"][metric]
-                        / max(fcounts["base"][metric], 1),
-                        1,
-                    ),
-                }
-                for metric in fcounts["base"]
-            },
+            "minhash_counts": _ctable(counts),
+            "gram_counts": _ctable(
+                gcounts, ("windows", "coverage_rows", "distinct_grams")
+            ),
+            "cross_corpus_counts": _ctable(xcounts),
+            # expected linearity factor = replicas[sf1]/replicas[base],
+            # derived from the data's KOFF bands, never assumed.
+            "fuzzy_counts": _ctable(fcounts),
+            "fuzzy_replicas": [freps["base"], freps["sf1"]],
+            "fuzzy_d2_counts": _ctable(f2counts),
+            "fuzzy_d2_replicas": [f2reps["base"], f2reps["sf1"]],
         }
+        diag["sf1_runs"] = sf1_runs
         # gram_dedup_docs is ROW-COMPLETE (one output row per input
         # doc), so count() lets Catalyst prune the unique-key rebuild
         # join and the timing above measures little. Time the VALUE
@@ -295,14 +357,19 @@ def main() -> None:
                 _clear_storage(spark)
             vp_runs[label] = runs
             vp[label] = min(runs)
-        out["sf1"]["gram_dedup_value_path"] = {
-            "base": vp["base"],
-            "sf1": vp["sf1"],
-            "runs": vp_runs,
-            "ratio": round(vp["sf1"] / max(vp["base"], 1e-9), 1),
-        }
+        out["sf1"]["gram_dedup_value_path"] = [
+            vp["base"],
+            vp["sf1"],
+            round(vp["sf1"] / max(vp["base"], 1e-9), 1),
+        ]
+        diag["vp_runs"] = vp_runs
 
-    print(json.dumps(out))
+    # Diagnostic line FIRST (full per-run arrays), compact contract
+    # line LAST — the driver tail-captures 2000 chars and parses the
+    # final line, which must therefore stay small (measured ~1.4 KB
+    # with the full sf1 block; pinned by test_bench_line_budget).
+    print(json.dumps(diag, separators=(",", ":")))
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

@@ -234,7 +234,9 @@ def fuzzy_counts(
         df.select(
             F.size(_deletion_neighborhood(txt, max_dist)).alias("nv")
         )
-        .agg(F.sum("nv").alias("s"))
+        # SUM over zero rows is NULL, not 0 — coalesce so an empty
+        # input reports {0, 0} instead of raising on int(None).
+        .agg(F.coalesce(F.sum("nv"), F.lit(0)).alias("s"))
         .collect()[0]["s"]
     )
     pairs = fuzzy_join(df, text_col, id_col, max_dist=max_dist).count()

@@ -29,3 +29,13 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     # Must build a valid plan and execute; aggregates over empty input
     # may legitimately emit a single all-NULL/zero row.
     assert df.count() >= 0
+
+
+def test_fuzzy_counts_empty_input(spark):
+    """r11 ADVICE item 1: SUM over zero rows is NULL; fuzzy_counts
+    must report {0, 0} on an empty frame, not raise on int(None)."""
+    from corral_spark.operators.fuzzy import fuzzy_counts
+
+    empty = spark.createDataFrame([], "c_custkey: long, c_name: string")
+    got = fuzzy_counts(empty, "c_name", "c_custkey", max_dist=1)
+    assert got == {"variant_rows": 0, "pairs": 0}

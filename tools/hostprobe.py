@@ -47,14 +47,14 @@ def _time(fn, reps: int = 3) -> float:
     return round(best * 1000, 1)
 
 
-def main() -> None:
+def light_probe() -> dict:
+    """The two adjudication dimensions (py_single CPU clock + scan
+    MB/s), ~2s total — cheap enough for bench.py to embed INSIDE its
+    output JSON before the headline loop and again before the sf1
+    block, so every driver-run BENCH_r{N}.json carries its own epoch
+    evidence (r11 verdict item 2: the driver benches after snapshot,
+    so its epoch could never be probed after the fact)."""
     py_single = _time(_spin)
-
-    def fanout():
-        with mp.Pool(8) as p:
-            p.map(_spin, [2_000_000] * 8)
-
-    py_fanout = _time(fanout)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     total = 0
@@ -71,22 +71,42 @@ def main() -> None:
                     total += len(chunk)
 
     scan_ms = _time(scan)
-    scan_mb_s = round((total / (1 << 20)) / (scan_ms / 1000), 1)
+    return {
+        "py_single_ms": py_single,
+        "scan_mb_s": round((total / (1 << 20)) / (scan_ms / 1000), 1),
+        "scan_bytes": total,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+
+
+def main() -> None:
+    out = light_probe()
+
+    def fanout():
+        with mp.Pool(8) as p:
+            p.map(_spin, [2_000_000] * 8)
+
+    py_fanout = _time(fanout)
 
     jvm = _time(
         lambda: subprocess.run(
             ["java", "-version"], capture_output=True, check=True
         )
     )
+    out["py_fanout8_ms"] = py_fanout
+    out["jvm_start_ms"] = jvm
     print(
         json.dumps(
             {
-                "py_single_ms": py_single,
-                "py_fanout8_ms": py_fanout,
-                "scan_mb_s": scan_mb_s,
-                "scan_bytes": total,
-                "jvm_start_ms": jvm,
-                "loadavg_1m": round(os.getloadavg()[0], 2),
+                k: out[k]
+                for k in (
+                    "py_single_ms",
+                    "py_fanout8_ms",
+                    "scan_mb_s",
+                    "scan_bytes",
+                    "jvm_start_ms",
+                    "loadavg_1m",
+                )
             }
         )
     )
