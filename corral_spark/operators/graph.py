@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from corral_spark.materialize import materialize
+from corral_spark.materialize import iter_barrier, materialize
 
 
 def connected_components(
@@ -41,9 +41,13 @@ def connected_components(
     Near-dup graphs are tiny relative to the corpus (LSH pairs, not
     all rows), so below ``collect_threshold`` edges the component
     computation runs as driver-side union-find — one collect instead
-    of diameter-many distributed iterations (measured: 14s -> ~2s on
-    the capstone pipeline). Larger graphs take the distributed
-    label-propagation path below.
+    of many distributed iterations (measured: 14s -> ~2s on the
+    capstone pipeline). Larger graphs take the distributed two-phase
+    (large-star/small-star) path below — O(log^2 n) rounds regardless
+    of graph diameter; duplication chains in web-scale near-dup
+    graphs routinely exceed ``max_iter`` HOPS, which silently broke
+    the pre-r12 one-hop label-propagation loop, and a non-fixpoint
+    exit now raises instead of mislabeling.
     """
     spark = edges.sparkSession
     # Tunable without code changes (driver-memory dependent bound).
@@ -100,46 +104,93 @@ def connected_components(
         rows = [(x, comp_min[roots[x]]) for x in sorted(roots)]
         return spark.createDataFrame(rows, ["node", "component"])
 
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # Distributed path: alternating large-star / small-star (Kiveris
+    # et al. 2014, "Connected Components in MapReduce and Beyond") —
+    # each round is a constant number of shuffles and the edge set
+    # converges to a star per component in O(log^2 n) rounds (~10
+    # measured on 3000-node adversarially-shuffled path graphs,
+    # ~5 on random graphs). The pre-r12 loop was one-hop min-label
+    # propagation, which needs O(diameter) rounds: a duplication
+    # CHAIN longer than max_iter — entirely plausible in the 2M+-edge
+    # near-dup graphs that are the only inputs reaching this path —
+    # exhausted the loop and returned silently-wrong labels (found by
+    # the r12 fuzz campaign's shuffled-chain graphs, where hop-only
+    # and hop+pointer-chase variants both ran 60+ rounds without
+    # converging while two-phase took 10). Every per-round frame goes
+    # through iter_barrier, not materialize: checkpoint stats
+    # inheritance compounds through iterated self-joins into a
+    # Catalyst stats overflow (see iter_barrier's docstring).
+    nodes = iter_barrier(
+        edges.select(
+            F.explode(F.array(F.col(src), F.col(dst))).alias("node")
+        ).distinct()
+    )
+    E = iter_barrier(
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+        )
         .distinct()
     )
-    sym = materialize(sym, eager=True)
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
-    labels = materialize(labels, eager=True)
-
+    n_e = E.count()
     for _ in range(max_iter):
-        # Each node pulls the minimum label among its neighbors.
-        neighbor_min = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy(F.col("u").alias("node2"))
-            .agg(F.min("component").alias("nmin"))
+        if n_e == 0:
+            break  # already a (possibly empty) set of isolated nodes
+        # large-star: every node u connects its STRICTLY LARGER
+        # neighbors to m = min(N(u) + {u}). Centers need the full
+        # adjacency, so explode both orientations.
+        adj = E.select(
+            F.col("hi").alias("c"), F.col("lo").alias("n")
+        ).union(E.select(F.col("lo").alias("c"), F.col("hi").alias("n")))
+        lmin = adj.groupBy("c").agg(
+            F.least(F.min("n"), F.first("c")).alias("m")
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
-            )
+        e1 = iter_barrier(
+            adj.filter(F.col("n") > F.col("c"))
+            .join(lmin, "c")
+            # n > c >= m, so (n, m) is already canonical hi/lo.
+            .select(F.col("n").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
         )
-        new_labels = materialize(new_labels, eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+        # small-star: every node u connects its smaller-or-equal
+        # neighbors AND ITSELF to m = min of its smaller neighbors.
+        # The canonical (hi, lo) orientation IS the smaller-neighbor
+        # adjacency, no explode needed.
+        smin = e1.groupBy("hi").agg(F.min("lo").alias("m"))
+        e2 = iter_barrier(
+            e1.join(smin, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            # lo > m within the group (m is the group min), canonical.
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .union(smin.select(F.col("hi"), F.col("m").alias("lo")))
+            .distinct()
         )
-        labels = new_labels
-        if changed == 0:
+        n_e2 = e2.count()
+        converged = (
+            n_e2 == n_e
+            and e2.join(E, ["hi", "lo"], "left_anti").count() == 0
+        )
+        E, n_e = e2, n_e2
+        if converged:
             break
-    return labels
+    else:
+        # Exhausting max_iter without a fixpoint would silently
+        # mislabel components. Two-phase converges in O(log^2 n)
+        # rounds, so reaching this guard indicates something
+        # structurally wrong (or a truly astronomical graph), not a
+        # tuning issue.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "two-phase rounds; raise max_iter or lower "
+            "collect_threshold to use the exact driver-side union-find"
+        )
+    # Converged E is one star per component: (member, min). Nodes
+    # absent from E (isolated via self-loops or filtered duplicates)
+    # label themselves.
+    return nodes.join(E, nodes.node == E.hi, "left").select(
+        "node", F.coalesce(F.col("lo"), F.col("node")).alias("component")
+    )
 
 
 def dedup_clusters(

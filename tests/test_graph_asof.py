@@ -94,3 +94,209 @@ def test_asof_join_tied_right_timestamps_deterministic(spark):
     assert results[0] == results[1] == results[2]
     # Both left rows see the same winning payload for the ts=10 tie.
     assert results[0][0][1] == results[0][1][1]
+
+
+# --- r12 fuzz-campaign distillations -------------------------------------
+# The campaign (20 seeds x 4 graph shapes x both paths vs Python
+# union-find; 60 asof trials vs per-row scan; 60 interval trials vs
+# O(n*m) scan) found two real defects in the distributed CC path:
+# one-hop label propagation needs O(diameter) rounds so a shuffled
+# chain longer than max_iter returned silently-wrong labels, and
+# localCheckpoint stats inheritance compounded through the iterated
+# joins into "BigInteger would overflow supported range" in a vanilla
+# session. Fixed by the two-phase (large-star/small-star) rewrite +
+# iter_barrier. These pins are the distilled survivors.
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min = {}
+    for x in parent:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    return {x: comp_min[find(x)] for x in parent}
+
+
+def test_cc_distributed_long_shuffled_chain(spark):
+    """A 200-node shuffled path graph through the DISTRIBUTED path
+    with the default max_iter: diameter 199 >> 25, so one-hop
+    propagation could never converge here — two-phase does (~10
+    rounds measured). Shuffled ids are the adversarial layout: they
+    also defeat the pointer-chase variant (measured 60+ rounds
+    without convergence)."""
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(200))
+    rng.shuffle(ids)
+    edges = [(ids[i], ids[i + 1]) for i in range(199)]
+    want = _uf_components(edges)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, collect_threshold=0).collect()
+    }
+    assert got == want
+    assert set(got.values()) == {0}
+
+
+def test_cc_fuzz_shapes_both_paths(spark):
+    """Fixed-seed distillation of the r12 campaign's remaining graph
+    shapes: random multigraphs (self-loops + duplicate edges, both
+    orientations), hub stars, and two cliques with/without a bridge —
+    driver AND distributed paths vs union-find."""
+    import random
+
+    def gen(rng, kind):
+        if kind == "random":
+            n = rng.randint(2, 60)
+            return [
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(1, 2 * n))
+            ]
+        if kind == "stars":
+            out, nid = [], 100
+            for h in range(rng.randint(1, 4)):
+                for _ in range(rng.randint(1, 15)):
+                    out.append((nid, h) if rng.random() < 0.5 else (h, nid))
+                    nid += 1
+            return out
+        a, b = list(range(0, 8)), list(range(50, 58))
+        out = [(x, y) for i, x in enumerate(a) for y in a[i + 1 :]]
+        out += [(x, y) for i, x in enumerate(b) for y in b[i + 1 :]]
+        if rng.random() < 0.5:
+            out.append((a[-1], b[0]))
+        return out
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        for kind in ("random", "stars", "two_cliques_bridge"):
+            edges = gen(rng, kind)
+            want = _uf_components(edges)
+            df = spark.createDataFrame(edges, ["src", "dst"])
+            for thresh in (10**9, 0):
+                got = {
+                    r["node"]: r["component"]
+                    for r in connected_components(
+                        df, collect_threshold=thresh
+                    ).collect()
+                }
+                assert got == want, f"{seed}/{kind}/thresh={thresh}"
+
+
+def test_iter_barrier_stats_stay_accurate(spark):
+    """The stats-overflow pin: iter_barrier output must carry the
+    ACTUAL materialized size, not an inherited join-product estimate.
+    Before the fix, one barriered self-join round already reported
+    sizeInBytes ~9E+75 on a 128-row frame (vanilla session), and the
+    estimates compounded per round into a Catalyst ArithmeticException
+    by round ~12."""
+    from pyspark.sql import functions as F
+
+    from corral_spark.materialize import iter_barrier
+
+    base = iter_barrier(
+        spark.range(128).select(
+            F.col("id").alias("node"), F.col("id").alias("component")
+        )
+    )
+    joined = iter_barrier(
+        base.alias("a")
+        .join(base.alias("b"), F.col("a.component") == F.col("b.node"))
+        .select(F.col("a.node").alias("node"), F.col("b.component").alias("component"))
+    )
+    stats = joined._jdf.queryExecution().optimizedPlan().stats()
+    assert int(stats.sizeInBytes()) < 10**6, (
+        f"iter_barrier inherited an estimate: {stats.toString()}"
+    )
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """Fixed-seed distillation of 60 randomized trials: small key
+    space (forced key collisions), ts range 0-20 (forced left/right
+    ties pinning <= semantics), keys with no prior right row, empty
+    right sides. Right rows unique per (key, ts) so the Python scan
+    is the unambiguous oracle."""
+    import random
+
+    for seed in (1003, 1017, 1042):
+        rng = random.Random(seed)
+        nkeys = rng.randint(1, 4)
+        lrows = [
+            (rng.randrange(nkeys), rng.randint(0, 20), rng.randint(0, 999))
+            for _ in range(rng.randint(5, 25))
+        ]
+        seen, rrows = set(), []
+        for _ in range(rng.randint(0, 25)):
+            k, t = rng.randrange(nkeys), rng.randint(0, 20)
+            if (k, t) not in seen:
+                seen.add((k, t))
+                rrows.append((k, t, rng.randint(0, 999)))
+        ldf = spark.createDataFrame(lrows, ["k", "ts", "lval"])
+        rdf = (
+            spark.createDataFrame(rrows, ["k", "ts", "rval"])
+            if rrows
+            else spark.createDataFrame([], "k: bigint, ts: bigint, rval: bigint")
+        )
+        got = sorted(
+            (r["k"], r["ts"], r["lval"], r["ts_right"], r["rval_right"])
+            for r in asof_join(ldf, rdf, on="ts", by="k").collect()
+        )
+        want = []
+        for key, lts, lval in lrows:
+            cands = [
+                (rts, rval)
+                for rkey, rts, rval in rrows
+                if rkey == key and rts <= lts
+            ]
+            want.append(
+                (key, lts, lval, *max(cands)) if cands else (key, lts, lval, None, None)
+            )
+        assert got == sorted(want), f"seed {seed}"
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Fixed-seed distillation: negative domains, zero-length
+    intervals, intervals spanning many buckets, bucket widths from 1
+    to wider-than-domain — vs the O(n*m) scan."""
+    import random
+
+    from corral_spark.operators.ranges import interval_bucket_join
+
+    for seed in (2005, 2023, 2048):
+        rng = random.Random(seed)
+        lo_dom = -30 if rng.random() < 0.3 else 0
+        pts = [(i, rng.randint(lo_dom, 60)) for i in range(rng.randint(5, 30))]
+        ivs = []
+        for j in range(rng.randint(1, 15)):
+            lo = rng.randint(lo_dom, 60)
+            ivs.append((j, lo, lo + rng.choice([0, 1, 2, 5, 40])))
+        width = rng.choice([1, 3, 7, 64])
+        pdf = spark.createDataFrame(pts, ["pid", "p"])
+        idf = spark.createDataFrame(ivs, ["iid", "lo", "hi"])
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in interval_bucket_join(
+                pdf, idf, "p", "lo", "hi", bucket_width=width
+            ).collect()
+        )
+        want = sorted(
+            (pid, iid)
+            for pid, p in pts
+            for iid, lo, hi in ivs
+            if lo <= p < hi
+        )
+        assert got == want, f"seed {seed} width {width}"
