@@ -286,16 +286,22 @@ def bfs_hops(
     deterministic joins: a DuckDB recursive CTE replays the result
     exactly.
     """
+    # iter_barrier (not materialize) on every loop-carried frame: the
+    # accurate inherited stats both stop estimate compounding and let
+    # Catalyst BROADCAST a small frontier against the edge table —
+    # with checkpoint-estimate stats every frame looks infinite and
+    # each hop pays a full sort-merge shuffle of sym (see
+    # materialize.iter_barrier).
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
-    sym = materialize(sym, eager=True)
+    sym = iter_barrier(sym)
     dist = seeds.select(
         F.col(seed_col).alias("node"), F.lit(0).alias("hops")
     ).distinct()
-    dist = materialize(dist, eager=True)
+    dist = iter_barrier(dist)
     frontier = dist
     for hop in range(1, max_hops + 1):
         reached = (
@@ -308,10 +314,10 @@ def bfs_hops(
             reached.join(dist.select("node"), "node", "left_anti")
             .distinct()
         )
-        frontier = materialize(frontier, eager=True)
+        frontier = iter_barrier(frontier)
         if frontier.isEmpty():
             break
-        dist = materialize(dist.unionByName(frontier), eager=True)
+        dist = iter_barrier(dist.unionByName(frontier))
     return dist
 
 
@@ -427,9 +433,12 @@ def pagerank_fixed_point(
     both = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    both = materialize(both.distinct(), eager=True)
+    # iter_barrier for the loop-static and loop-carried frames: the
+    # ranks frame is re-joined every round, and accurate stats keep
+    # its estimate from degrading (see materialize.iter_barrier).
+    both = iter_barrier(both.distinct())
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
-    deg = materialize(deg, eager=True)
+    deg = iter_barrier(deg)
     n = deg.count()
     if n == 0:
         return edges.sparkSession.createDataFrame([], "node long, pr_e12 long")
@@ -448,14 +457,13 @@ def pagerank_fixed_point(
             .groupBy("v")
             .agg(F.sum("contrib").alias("s"))
         )
-        ranks = materialize(
+        ranks = iter_barrier(
             contribs.select(
                 F.col("v").alias("node"),
                 (
                     teleport
                     + F.expr(f"{damp_num} * s div {damp_den}").cast("long")
                 ).alias("pr"),
-            ),
-            eager=True,
+            )
         )
     return ranks.select("node", F.col("pr").alias("pr_e12"))
