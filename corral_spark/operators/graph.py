@@ -286,23 +286,27 @@ def bfs_hops(
     deterministic joins: a DuckDB recursive CTE replays the result
     exactly.
     """
-    # iter_barrier (not materialize) on every loop-carried frame: the
-    # accurate inherited stats both stop estimate compounding and let
-    # Catalyst BROADCAST a small frontier against the edge table —
-    # with checkpoint-estimate stats every frame looks infinite and
-    # each hop pays a full sort-merge shuffle of sym (see
-    # materialize.iter_barrier).
+    # Barrier choice per frame (measured at sf0.1: every iter_barrier
+    # adds one count job per hop, so it goes only where it buys a
+    # structural win): the FRONTIER gets iter_barrier — its accurate
+    # stats let Catalyst BROADCAST a small frontier against the edge
+    # table instead of sort-merge-shuffling sym every hop (with
+    # checkpoint-estimate stats every frame looks infinite). sym and
+    # the dist union chain keep plain materialize: their estimates
+    # grow only linearly (no self-join squaring — see
+    # materialize.iter_barrier), sym is never the broadcast side, and
+    # the dist anti-join's strategy doesn't change with stats.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
-    sym = iter_barrier(sym)
+    sym = materialize(sym, eager=True)
     dist = seeds.select(
         F.col(seed_col).alias("node"), F.lit(0).alias("hops")
     ).distinct()
-    dist = iter_barrier(dist)
-    frontier = dist
+    dist = materialize(dist, eager=True)
+    frontier = iter_barrier(dist)
     for hop in range(1, max_hops + 1):
         reached = (
             sym.join(frontier, sym.u == frontier.node)
@@ -317,7 +321,7 @@ def bfs_hops(
         frontier = iter_barrier(frontier)
         if frontier.isEmpty():
             break
-        dist = iter_barrier(dist.unionByName(frontier))
+        dist = materialize(dist.unionByName(frontier), eager=True)
     return dist
 
 
@@ -433,12 +437,16 @@ def pagerank_fixed_point(
     both = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    # iter_barrier for the loop-static and loop-carried frames: the
-    # ranks frame is re-joined every round, and accurate stats keep
-    # its estimate from degrading (see materialize.iter_barrier).
-    both = iter_barrier(both.distinct())
+    # Plain materialize throughout: PageRank's rank<->edges join is
+    # large-vs-large at every scale (no broadcast to unlock), and its
+    # linear iteration chain cannot compound estimates into the
+    # overflow (see materialize.iter_barrier) — the accurate-stats
+    # barrier would add one count job per round for zero structural
+    # gain, so only operators that NEED it (self-join loops, or a
+    # broadcastable small side like the BFS frontier) pay it.
+    both = materialize(both.distinct(), eager=True)
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
-    deg = iter_barrier(deg)
+    deg = materialize(deg, eager=True)
     n = deg.count()
     if n == 0:
         return edges.sparkSession.createDataFrame([], "node long, pr_e12 long")
