@@ -78,50 +78,89 @@ def entry(spark: SparkSession) -> DataFrame:
 # double-green queries so no oracled query's newest driver row goes
 # more than ~2 rounds stale.
 #
-# Round 11: the head pays the precomputed docs/NEXT.md r11 ledger —
-# the 32 r8-greens at the 2-round policy limit (dq_report among
-# them), the first FIFTEEN of the 50 r9-greens alphabetically, and
-# the THREE fuzzy queries (fuzzy_customer_pairs/_capped/_lev2) whose
-# underlying operator was rewritten in r10 while they sat demoted —
-# the r8/r9 house rule "fresh driver row after any implementation
-# change" (the r10 ADVICE item). The fuzzy trio displaces the
-# 16th–18th alphabetical r9-greens (dedup_keep_longest_docs,
-# doc_chunks, event_hourly_anomalies — due r12; same documented
-# substitution pattern as r9's doc_provenance and r10's dq_report).
-# ppjoin_neighbor_counts, the other r10 rewrite, is already in the
-# obligated 32 — both r10 rewrites get fresh r11 driver rows.
+# Round 13: the head pays the precomputed docs/NEXT.md r13 ledger —
+# the 32 r10-greens at the 2-round policy limit, the first FOURTEEN
+# of the 50 r11-greens alphabetically, and FOUR substitutions under
+# the "fresh driver row after any implementation change" house rule:
+# semantic_dedup_docs + pretrain_corpus (connected_components was
+# rewritten two-phase star in r12 while they sat demoted; recorded at
+# r12) and part_bfs_hops + part_pagerank (their operators changed in
+# r12's FINAL barrier commits deb88ff/42d2f8d with no recorded
+# substitution — the r12 verdict's top finding; recorded at r13
+# open). The four displace the 15th-18th alphabetical r11-greens
+# (dedup_exact_docs, dq_report, emb_int8_topk, emb_near_dup_planted —
+# due r14; same documented substitution pattern as r9's
+# doc_provenance, r10's dq_report, r11's fuzzy trio).
 #
-# LEDGER (r12 obligations, precomputed in docs/NEXT.md):
-#   r12 MUST hold the 32 r9-green queries below (2 rounds stale at
-#   r12, incl. the 3 displaced), leaving 18 slots for the 50
-#   r10-greens demoted below (alphabetical; remainder due r13 at
-#   exactly the limit). Steady state stays sound: 132 oracled
-#   queries / 3-round max staleness = 44 required slots/round < 50.
-#   Demotions this round are EXACTLY the fresh r10-greens (policy:
-#   freshest double-greens rotate out).
+# LEDGER (r14 obligations, precomputed in docs/NEXT.md):
+#   r14 MUST hold the 32 r11-green queries below (2 rounds stale at
+#   r14, incl. the 4 displaced), leaving 18 slots for the 50
+#   r12-greens demoted below (alphabetical, amplab3 ..
+#   doc_fingerprint_md5; remainder due r15 at exactly the limit).
+#   Steady state stays sound: 132 oracled queries / 3-round max
+#   staleness = 44 required slots/round < 50. Demotions this round
+#   are EXACTLY the fresh r12-greens (policy: freshest double-greens
+#   rotate out).
 _DEMOTED = (
-    # -- r11-green, rotated out fresh (newest driver row = r11; the
-    #    first 18 alphabetical are due back at r13, the rest at r14 —
-    #    both precomputed in docs/NEXT.md ROUND 13 LEDGER). Every one
+    # -- r12-green, rotated out fresh (newest driver row = r12; the
+    #    first 18 alphabetical are due back at r14, the rest at r15 —
+    #    both precomputed in docs/NEXT.md ROUND 14 LEDGER). Every one
     #    stays oracle-gated by pytest + the full driver_sim replica
-    #    every round; the benched ones (wordcount, pricing_summary,
-    #    shipping_priority, regional_revenue, dedup_exact_docs,
-    #    ann_cosine_topk, pretrain_corpus, gram_dedup_docs among
-    #    them) are additionally timed by bench.py every round. --
-    "amplab1",
-    "amplab2",
-    "ann_cosine_topk",
-    "ann_ivf_kmeans",
-    "ann_ivf_topk",
-    "asof_signup_before_purchase",
-    "bloom_new_docs",
-    "bloom_new_docs_registers",
-    "boilerplate_removed_docs",
-    "click_purchase_leftouter",
-    "cms_bigram_counts",
-    "cross_corpus_near_dups",
-    "customer_name_features",
-    "customer_running_totals",
+    #    every round; the benched ones (amplab3, events_tumbling_1h
+    #    among them) are additionally timed by bench.py every round. --
+    "amplab3",
+    "ann_ivf_probes",
+    "big_orders_in_subquery",
+    "bigram_logprob_docs",
+    "bottomk_doc_stats",
+    "cdc_chunk_dedup_docs",
+    "click_purchase_within_1h",
+    "cube_sales",
+    "customer_cohort_retention",
+    "customer_id_parse",
+    "customers_without_orders",
+    "daily_revenue_gapfill",
+    "decontaminate_docs",
+    "dedup_clusters_docs",
+    "dedup_keep_longest_docs",
+    "distinct_parts_per_flag",
+    "doc_chunks",
+    "doc_fingerprint_md5",
+    "doc_provenance",
+    "doc_repetition_stats",
+    "event_hourly_anomalies",
+    "event_transition_matrix",
+    "events_tumbling_1h",
+    "heavy_hitter_tokens",
+    "high_value_order_exists",
+    "incremental_dedup_new_docs",
+    "multimodal_ppm_decode",
+    "multimodal_wav_decode",
+    "nation_set_ops",
+    "nations_above_global_share",
+    "null_semantics",
+    "order_item_arrays",
+    "order_latency",
+    "order_percentiles",
+    "orders_above_customer_avg",
+    "orders_by_month",
+    "orders_merge_upsert",
+    "pack_docs_2k",
+    "part_price_bins",
+    "phrase_mining_docs",
+    "priority_pivot",
+    "quality_score_docs",
+    "segment_dedup_docs",
+    "simhash_md5_pairs",
+    "top_revenue_supplier",
+    "top_tokens_per_lang",
+    "udtf_sentences_docs",
+    "union_all_parties",
+    "weighted_sampled_docs",
+    "window_top_orders",
+    # -- r11-green, second round out (newest driver row = r11, 2
+    #    rounds stale at r14: ALL 32 MUST take r14 head slots — the
+    #    NEXT.md ROUND 14 LEDGER obligated block IS this list) --
     "dedup_exact_docs",
     "dq_report",
     "emb_int8_topk",
@@ -139,60 +178,21 @@ _DEMOTED = (
     "layout_skipping_report",
     "orders_minmax_refresh",
     "orders_rollup_ivm",
-    "part_bfs_hops",
-    "part_pagerank",
     "part_pairs_lift",
     "ppjoin_neighbor_counts",
     "pq_ann_topk",
-    "pretrain_corpus",
     "price_histogram_quantiles",
     "price_outliers_mad",
     "pricing_summary",
     "purchase_by_tier_scd2",
     "qty_discount_linreg",
     "regional_revenue",
-    "semantic_dedup_docs",
     "shipping_priority",
     "skyline_parts",
     "strong_coorder_triangles",
     "user_value_ewma",
     "wordcount",
     "zorder_parts_locality",
-    # -- r10-green, second round out (newest driver row = r10, 2
-    #    rounds stale at r13: ALL 32 MUST take r13 head slots — the
-    #    NEXT.md ROUND 13 LEDGER obligated block IS this list) --
-    "domain_mix_docs",
-    "events_in_promo_windows",
-    "hll_distinct_parts",
-    "hll_merged_slices",
-    "hygiene_filtered_docs",
-    "jaccard_pairs_docs",
-    "lang_id_docs",
-    "lang_sampling_weights",
-    "minhash_pairs_docs",
-    "multimodal_features",
-    "normalized_redacted_docs",
-    "order_date_parts",
-    "parts_never_shipped",
-    "pretrain_corpus_full",
-    "pretrain_corpus_provenance",
-    "profile_orders",
-    "promo_revenue_share",
-    "robust_stats",
-    "rollup_sales",
-    "salted_nation_revenue",
-    "sample_docs_10pct",
-    "source_capped_docs",
-    "stateful_user_totals",
-    "stratified_sample_orders",
-    "temperature_sampled_docs",
-    "text_stats_docs",
-    "tfidf_top_terms",
-    "token_count_docs",
-    "top_orders",
-    "train_test_split_counts",
-    "unigram_logprob_docs",
-    "user_rolling_1h",
 )
 
 
