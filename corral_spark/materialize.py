@@ -46,7 +46,7 @@ _MODES = ("localCheckpoint", "checkpoint", "persist")
 _BOUND_CKDIR: dict[int, str] = {}
 
 
-def iter_barrier(df: DataFrame) -> DataFrame:
+def iter_barrier(df: DataFrame, with_count: bool = False):
     """Materialization barrier for ITERATIVE loops — like
     ``materialize`` but guarantees the barrier output carries
     ACCURATE stats, not estimates.
@@ -68,18 +68,30 @@ def iter_barrier(df: DataFrame) -> DataFrame:
 
     In ``persist`` mode the cache IS the barrier (no truncation —
     the module docstring already flags persist as wrong for deep
-    loops), so the frame is returned still-cached.
+    loops), so the frame is returned still-cached. Loop frames are
+    deliberately NOT unpersisted by callers in this mode: persist
+    keeps lineage, so releasing a parent frame re-expands every later
+    plan back through the whole iteration history (measured OOM — see
+    the r12 SCALE.md entry); the cost of keeping them is bounded by
+    the loop's max_iter and MEMORY_AND_DISK evicts to disk rather
+    than OOM. Deep iterative loops should run under the default
+    localCheckpoint (or checkpoint) mode.
+
+    ``with_count=True`` returns ``(frame, row_count)`` — the barrier
+    already pays a count job to materialize the cache, so loop
+    callers that need the cardinality (convergence checks) must reuse
+    it rather than paying a second count job per round.
     """
     spark = df.sparkSession
     if spark.conf.get(CONF_KEY, "localCheckpoint") == "persist":
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
-        out.count()
-        return out
+        n = out.count()
+        return (out, n) if with_count else out
     cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-    cached.count()
+    n = cached.count()
     out = materialize(cached, eager=True)
     cached.unpersist(False)
-    return out
+    return (out, n) if with_count else out
 
 
 def materialize(df: DataFrame, eager: bool = True) -> DataFrame:

@@ -5,15 +5,20 @@ dedup GROUPS via connected components: every document in a component
 keeps one canonical representative. This is the standard last step of
 large-scale fuzzy dedup (SURVEY §2.4).
 
-Algorithm: iterative hash-min label propagation — every node adopts
-the minimum label among itself and its neighbors until fixpoint.
-Each iteration is one join + one aggregation (shuffle on node id);
-iterations needed = graph diameter, which for near-dup graphs is tiny
-(clusters are cliques-ish). Lineage is truncated per iteration with
-a materialize() barrier (corral_spark.materialize; localCheckpoint
-by default, conf-switchable to reliable checkpointing for spot
-fleets) so plans don't grow exponentially — the classic
-iterative-DataFrame pitfall.
+Algorithm: two paths behind one conf-tunable edge-count threshold.
+Below it (near-dup graphs are tiny relative to the corpus) the
+components run as ONE Arrow-batched collect + driver union-find.
+Above it, the distributed path runs alternating large-star /
+small-star rounds (Kiveris et al. 2014): each round is a constant
+number of equi-join/groupBy shuffles and converges in O(log^2 n)
+rounds REGARDLESS of graph diameter — one-hop min-label propagation
+(the pre-r12 implementation) needs O(diameter) rounds and silently
+mislabels chains longer than max_iter; non-fixpoint exit now raises.
+Per-round lineage is truncated with iter_barrier
+(corral_spark.materialize; cache -> count -> checkpoint -> unpersist)
+so plans don't grow and checkpoint stats stay ACTUAL — estimated
+stats compound through iterated self-joins into a Catalyst
+BigInteger overflow.
 """
 
 from __future__ import annotations
@@ -125,15 +130,17 @@ def connected_components(
             F.explode(F.array(F.col(src), F.col(dst))).alias("node")
         ).distinct()
     )
-    E = iter_barrier(
+    # with_count reuses the count job the barrier already pays to
+    # materialize its cache — no second count job per round.
+    E, n_e = iter_barrier(
         edges.filter(F.col(src) != F.col(dst))
         .select(
             F.greatest(F.col(src), F.col(dst)).alias("hi"),
             F.least(F.col(src), F.col(dst)).alias("lo"),
         )
-        .distinct()
+        .distinct(),
+        with_count=True,
     )
-    n_e = E.count()
     for _ in range(max_iter):
         if n_e == 0:
             break  # already a (possibly empty) set of isolated nodes
@@ -158,15 +165,15 @@ def connected_components(
         # The canonical (hi, lo) orientation IS the smaller-neighbor
         # adjacency, no explode needed.
         smin = e1.groupBy("hi").agg(F.min("lo").alias("m"))
-        e2 = iter_barrier(
+        e2, n_e2 = iter_barrier(
             e1.join(smin, "hi")
             .filter(F.col("lo") != F.col("m"))
             # lo > m within the group (m is the group min), canonical.
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
             .union(smin.select(F.col("hi"), F.col("m").alias("lo")))
-            .distinct()
+            .distinct(),
+            with_count=True,
         )
-        n_e2 = e2.count()
         converged = (
             n_e2 == n_e
             and e2.join(E, ["hi", "lo"], "left_anti").count() == 0

@@ -26,6 +26,7 @@ sys.path.insert(0, str(REPO))
 # real run would overflow the window.
 _PROBE = {
     "py_single_ms": 99999.9,
+    "py_fanout8_ms": 99999.9,
     "scan_mb_s": 99999.9,
     "scan_bytes": 999999999,
     "loadavg_1m": 99.99,

@@ -562,7 +562,9 @@ def test_pagerank_rounds_are_equi_joins(spark, monkeypatch):
     import corral_spark.operators.graph as g
 
     monkeypatch.setattr(g, "materialize", lambda df, eager=False: df)
-    monkeypatch.setattr(g, "iter_barrier", lambda df: df)
+    monkeypatch.setattr(
+        g, "iter_barrier", lambda df, with_count=False: (df, -1) if with_count else df
+    )
     plan = plan_of(spark, "part_pagerank")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -48,13 +48,26 @@ def _time(fn, reps: int = 3) -> float:
 
 
 def light_probe() -> dict:
-    """The two adjudication dimensions (py_single CPU clock + scan
-    MB/s), ~2s total — cheap enough for bench.py to embed INSIDE its
-    output JSON before the headline loop and again before the sf1
-    block, so every driver-run BENCH_r{N}.json carries its own epoch
-    evidence (r11 verdict item 2: the driver benches after snapshot,
-    so its epoch could never be probed after the fact)."""
+    """The adjudication dimensions (py_single CPU clock, 8-process
+    fan-out, scan MB/s), ~3s total — cheap enough for bench.py to
+    embed INSIDE its output JSON before the headline loop and again
+    before the sf1 block, so every driver-run BENCH_r{N}.json carries
+    its own epoch evidence (r11 verdict item 2: the driver benches
+    after snapshot, so its epoch could never be probed after the
+    fact). py_fanout8 joined in r13 (r12 verdict item 3): the r12
+    driver headline read 45-56% above two same-code probe-paired
+    runs while py_single/scan read FAST — only loadavg flagged the
+    contention; a fan-out dimension MEASURES a contended scheduler
+    instead of inferring it. Fork context explicitly: the probe runs
+    inside a live Spark driver, and the children only execute the
+    module-level arithmetic loop and exit."""
     py_single = _time(_spin)
+
+    def fanout():
+        with mp.get_context("fork").Pool(8) as p:
+            p.map(_spin, [2_000_000] * 8)
+
+    py_fanout = _time(fanout)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     total = 0
@@ -73,6 +86,7 @@ def light_probe() -> dict:
     scan_ms = _time(scan)
     return {
         "py_single_ms": py_single,
+        "py_fanout8_ms": py_fanout,
         "scan_mb_s": round((total / (1 << 20)) / (scan_ms / 1000), 1),
         "scan_bytes": total,
         "loadavg_1m": round(os.getloadavg()[0], 2),
@@ -82,18 +96,11 @@ def light_probe() -> dict:
 def main() -> None:
     out = light_probe()
 
-    def fanout():
-        with mp.Pool(8) as p:
-            p.map(_spin, [2_000_000] * 8)
-
-    py_fanout = _time(fanout)
-
     jvm = _time(
         lambda: subprocess.run(
             ["java", "-version"], capture_output=True, check=True
         )
     )
-    out["py_fanout8_ms"] = py_fanout
     out["jvm_start_ms"] = jvm
     print(
         json.dumps(
