@@ -106,6 +106,24 @@ def test_bench_doc_reconstructs_legacy_tail():
     assert "| minhash_pairs_docs | 4.464 | 56.654 | 12.7x |" in md
 
 
+def test_bench_doc_tail_starting_inside_sf1_block():
+    """r12 ADVICE pin: when the tail window happens to start INSIDE
+    the sf1 block, the first '\"sf1\":' occurrence in the tail is an
+    inner per-metric {"base","sf1","ratio"} dict — reconstruction
+    must skip it and brace-match the real section (validated by its
+    own "queries" key), never silently return the inner scalar dict."""
+    from tools.bench_doc import reconstruct_from_tail
+
+    tail = (
+        '{"wordcount":[0.5,0.4]},"watch":{"sf1":{"t":9.9}},'
+        '"sf1":{"queries":{"minhash_pairs_docs":5.0},'
+        '"ratio_vs_base":{"minhash_pairs_docs":1.1}}}\n'
+    )
+    bench = reconstruct_from_tail(tail)
+    assert bench["queries"]["wordcount"] == 0.4
+    assert bench["sf1"]["queries"]["minhash_pairs_docs"] == 5.0
+
+
 def test_bench_doc_renders_compact_format():
     """The r12+ triple form renders through the same tables, and the
     probe fields appear so the section is epoch-adjudicable."""
