@@ -325,8 +325,11 @@ def bfs_hops(
             reached.join(dist.select("node"), "node", "left_anti")
             .distinct()
         )
-        frontier = iter_barrier(frontier)
-        if frontier.isEmpty():
+        # with_count folds the loop-exit emptiness check into the
+        # count job the barrier already pays (r13: was a separate
+        # isEmpty job per hop).
+        frontier, n_frontier = iter_barrier(frontier, with_count=True)
+        if n_frontier == 0:
             break
         dist = materialize(dist.unionByName(frontier), eager=True)
     return dist
@@ -472,13 +475,21 @@ def pagerank_fixed_point(
             .groupBy("v")
             .agg(F.sum("contrib").alias("s"))
         )
-        ranks = iter_barrier(
+        # Plain materialize, NOT iter_barrier (r13 ablation, calm
+        # epoch, min-of-3 sf0.1: 2.91s vs 3.93s): unlike the BFS
+        # frontier, ranks is one row PER NODE — at 100x node counts
+        # it is never the broadcastable side of the contribution
+        # join (both sides scale with the graph, sort-merge is the
+        # right strategy at every size), so the accurate-stats count
+        # job per round buys nothing structural.
+        ranks = materialize(
             contribs.select(
                 F.col("v").alias("node"),
                 (
                     teleport
                     + F.expr(f"{damp_num} * s div {damp_den}").cast("long")
                 ).alias("pr"),
-            )
+            ),
+            eager=True,
         )
     return ranks.select("node", F.col("pr").alias("pr_e12"))
