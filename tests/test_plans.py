@@ -640,3 +640,69 @@ def test_fuzzy_capped_path_keeps_string_variant_key(spark):
     plan = plan_of(spark, "fuzzy_customer_pairs_capped")
     assert "xxhash64" not in plan
     assert "CartesianProduct" not in plan
+
+
+# Queries whose plan legitimately contains BroadcastNestedLoopJoin —
+# every one verified (r13 audit) to be BuildRight over a BOUNDED
+# broadcast side: a single-row keyless aggregate (global total / max /
+# corpus doc count joined onto every row: the scalar-subquery shape)
+# or, for the ANN family, the bounded query-vector set that the
+# brute-force baseline contract broadcasts BY DESIGN against the
+# embedding corpus. Broadcasting O(1)-or-bounded rows is sound at any
+# scale; what this lint forbids is an UNBOUNDED nested-loop side.
+_BNLJ_BOUNDED_BROADCAST = {
+    "ann_cosine_topk",
+    "ann_ivf_kmeans",
+    "ann_ivf_probes",
+    "ann_ivf_topk",
+    "bigram_logprob_docs",
+    "bloom_new_docs",
+    "bottomk_doc_stats",
+    "emb_int8_topk",
+    "heavy_hitter_tokens",
+    "hll_token_overlap_sources",
+    "hygiene_filtered_docs",
+    "lang_sampling_weights",
+    "nations_above_global_share",
+    "part_pairs_lift",
+    "temperature_sampled_docs",
+    "tfidf_top_terms",
+    "unigram_logprob_docs",
+    "weighted_sampled_docs",
+}
+
+
+def test_registry_wide_plan_lint(spark):
+    """Standing lint over EVERY registry query's physical plan — the
+    per-query pins above guard the queries someone thought to pin;
+    this guards the ones nobody did (r13). Three structural
+    properties that are scale-independent (no stats change can
+    manufacture an equi-key, and the Python-boundary policy is
+    architectural):
+
+    * CartesianProduct never appears (a lost join key gone quadratic);
+    * BatchEvalPython never appears (row-at-a-time Python UDF — the
+      policy is expressions or Arrow only, SCALE.md);
+    * BroadcastNestedLoopJoin appears exactly in the audited
+      bounded-broadcast allowlist above, and only as BuildRight — a
+      BuildLeft flip would broadcast the UNBOUNDED side (executor OOM
+      at scale). Set equality keeps the allowlist honest: a query
+      that stops needing its BNLJ must leave the list.
+
+    sf0.001 keeps the sweep cheap; the asserted properties do not
+    depend on data volume.
+    """
+    sf = "/root/testdata/sf0.001"
+    seen_bnlj = set()
+    for name, q in sorted(REGISTRY.items()):
+        plan = q.spark(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "BroadcastNestedLoopJoin BuildLeft" not in plan, name
+        if "BroadcastNestedLoopJoin" in plan:
+            seen_bnlj.add(name)
+        spark.catalog.clearCache()
+    assert seen_bnlj == _BNLJ_BOUNDED_BROADCAST, (
+        f"unexpected: {sorted(seen_bnlj - _BNLJ_BOUNDED_BROADCAST)}; "
+        f"stale allowlist: {sorted(_BNLJ_BOUNDED_BROADCAST - seen_bnlj)}"
+    )
