@@ -300,3 +300,77 @@ def test_interval_join_matches_bruteforce(spark):
             if lo <= p < hi
         )
         assert got == want, f"seed {seed} width {width}"
+
+
+def test_pagerank_and_bfs_fuzz_random_graphs(spark):
+    """Fixed-seed distillation of the r13 campaign (40 random graphs,
+    80/80 clean): pagerank_fixed_point must be BIT-exact vs the
+    dict-based integer reference (same floor-division contract), and
+    bfs_hops exact vs dict BFS — random graphs, random seed sets,
+    random iters/max_hops. Guards the r13 barrier work (PageRank
+    ranks reverted to plain materialize; BFS frontier emptiness
+    folded into the barrier count)."""
+    import random
+
+    from corral_spark.operators.graph import bfs_hops, pagerank_fixed_point
+
+    def pr_ref(edges, iters, scale=10**12):
+        both = set()
+        for u, v in edges:
+            both.add((u, v))
+            both.add((v, u))
+        nodes = sorted({u for u, _ in both})
+        deg = {u: sum(1 for a, _ in both if a == u) for u in nodes}
+        n = len(nodes)
+        r = {u: scale // n for u in nodes}
+        t = (scale // n) * 15 // 100
+        for _ in range(iters):
+            s = {u: 0 for u in nodes}
+            for u, v in both:
+                s[v] += r[u] // deg[u]
+            r = {u: t + 85 * s[u] // 100 for u in nodes}
+        return r
+
+    def bfs_ref(edges, seeds, max_hops):
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        dist = {s: 0 for s in seeds}
+        frontier = set(seeds)
+        for hop in range(1, max_hops + 1):
+            nxt = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = hop
+                        nxt.add(v)
+            frontier = nxt
+            if not frontier:
+                break
+        return dist
+
+    rng = random.Random(20260815)
+    for _ in range(5):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 3 * n)
+        edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+        edges = [(u, v) for u, v in edges if u != v] or [(0, 1)]
+        iters = rng.randint(1, 5)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r.node: r.pr_e12
+            for r in pagerank_fixed_point(df, iters=iters).collect()
+        }
+        assert got == pr_ref(edges, iters)
+        ns = sorted({x for e in edges for x in e})
+        seeds = rng.sample(ns, k=min(len(ns), rng.randint(1, 3)))
+        max_hops = rng.randint(1, 6)
+        sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+        gbfs = {
+            r.node: r.hops
+            for r in bfs_hops(
+                df, sdf, seed_col="node", max_hops=max_hops
+            ).collect()
+        }
+        assert gbfs == bfs_ref(edges, seeds, max_hops)
