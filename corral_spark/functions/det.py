@@ -43,6 +43,28 @@ def dsum_expr(expr: Column) -> Column:
     return F.sum(expr).cast("double")
 
 
+def dsum_money(expr: Column) -> Column:
+    """Exact SUM of a decimal-product expression, rounded to 2 dp IN
+    DECIMAL (deterministic HALF_UP on the exact value in both
+    engines), THEN surfaced as double.
+
+    Use this instead of ``dsum_expr`` whenever the summed expression
+    has scale > 2 (decimal products widen the scale) and the sum's
+    magnitude can grow with the data: the "one IEEE rounding of the
+    same exact value" guarantee in the module docstring holds only
+    while the SCALED integer stays below 2^53 — above it the JVM's
+    decimal->double conversion is correctly-rounded while DuckDB's is
+    double-rounded (1-ulp divergence; observed on pricing_summary
+    sum_charge at the sf1 replica: scale-6 sum 2.8e10 -> scaled
+    2.8e16 > 2^53). Rounding to scale 2 first is an exact decimal
+    operation with identical semantics in both engines and moves the
+    2^53 boundary out by the dropped digits (scale-6 money sums:
+    10^4x headroom). Mirror in the oracle as
+    ``CAST(ROUND(SUM(...), 2) AS DOUBLE)``.
+    """
+    return F.round(F.sum(expr), 2).cast("double")
+
+
 def davg(col: Column | str, scale: int = 2) -> Column:
     """Exact-sum average: CAST(SUM(dec) AS DOUBLE)/COUNT(*)."""
     return F.sum(dec(col, scale)).cast("double") / F.count(F.lit(1))

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from corral_spark.functions.det import davg, dec, dsum, dsum_expr
+from corral_spark.functions.det import davg, dec, dsum, dsum_expr, dsum_money
 from corral_spark.functions.text import substr_prefix, tokenize
 from corral_spark.queries.registry import register
 from corral_spark.sources.tables import load_table
@@ -172,8 +172,8 @@ def amplab3(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM({_REVENUE_SQL}) AS DOUBLE)                         AS sum_disc_price,
-           CAST(SUM({_REVENUE_SQL} * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE)               AS sum_disc_price,
+           CAST(ROUND(SUM({_REVENUE_SQL} * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_disc,
@@ -190,7 +190,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: wide multi-aggregate hash agg
     with arithmetic expressions, all inside whole-stage codegen. The
     reference can express only single SUM/COUNT/AVG reducers
-    (amplab2.go:34-43, word_count.go:29-35); this is the scaled-up form."""
+    (amplab2.go:34-43, word_count.go:29-35); this is the scaled-up form.
+
+    The two decimal-PRODUCT sums (scale 6) go through dsum_money —
+    exact-decimal ROUND to 2 dp before the double cast — because
+    their scaled-integer magnitude crosses 2^53 already at the sf1
+    replica (observed 1-ulp cross-engine divergence on sum_charge,
+    r13; see functions/det.py:dsum_money)."""
     li = _t(spark, sf_dir, "lineitem")
     revenue = _revenue_dec()
     return (
@@ -199,8 +205,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum_expr(revenue).alias("sum_disc_price"),
-            dsum_expr(revenue * (_one_dec() + dec("l_tax"))).alias("sum_charge"),
+            dsum_money(revenue).alias("sum_disc_price"),
+            dsum_money(revenue * (_one_dec() + dec("l_tax"))).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),
