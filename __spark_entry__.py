@@ -159,8 +159,13 @@ _DEMOTED = (
     "weighted_sampled_docs",
     "window_top_orders",
     # -- r11-green, second round out (newest driver row = r11, 2
-    #    rounds stale at r14: ALL 32 MUST take r14 head slots — the
-    #    NEXT.md ROUND 14 LEDGER obligated block IS this list) --
+    #    rounds stale at r14: ALL 35 MUST take r14 head slots — the
+    #    NEXT.md ROUND 14 LEDGER obligated block IS this list; the
+    #    first three were displaced mid-r13 by the new extensions12
+    #    queries per the standing new-query allowance) --
+    "cross_corpus_near_dups",
+    "customer_name_features",
+    "customer_running_totals",
     "dedup_exact_docs",
     "dq_report",
     "emb_int8_topk",

@@ -500,3 +500,100 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .select(qid_col, id_col, "score_micro", "rnk")
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.7,
+    exclude_ids: tuple[int, ...] = (),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_sim: int = 4,
+) -> DataFrame:
+    """Greedy maximal-marginal-relevance selection (Carbonell &
+    Goldstein 1998): pick ``k`` corpus vectors maximizing
+    ``lam * sim(query, d) - (1 - lam) * max_{s in selected} sim(d, s)``
+    — diversified retrieval, the standard de-redundancy step when
+    sampling demonstration/eval sets from an embedded corpus.
+
+    MMR is inherently sequential (round i's penalty depends on rounds
+    1..i-1), so the operator is a bounded driver-side control loop —
+    the k-means-iteration shape already used by ``kmeans_centroids``
+    and ``phrases.learn_phrases``: each round is ONE distributed
+    argmax over the candidate projection (TakeOrderedAndProject — no
+    full sort, no shuffle beyond the per-partition top-1 reduce) with
+    the <= k selected vectors embedded as broadcast literals in the
+    scoring expression. Total cost is k linear scans of a 2-column
+    projection; the candidate frame is cached across rounds so the
+    parquet scan is paid once. No UDFs anywhere — similarity is
+    JVM-side ``zip_with``/``aggregate`` expression code.
+
+    Determinism: the query similarity and every pairwise penalty are
+    quantized to ``round_sim`` decimals BEFORE the argmax, and the
+    combination ``lam*q - (1-lam)*p`` is plain IEEE arithmetic on
+    those identical doubles, so an unrolled SQL oracle reproduces the
+    selection bit-exactly (ties break to the lowest id).
+
+    Output: one row per selection — (rnk, id, relevance, mmr_score),
+    rnk 1..k in pick order. The result is O(k) control rows built on
+    the driver; the heavy lifting per round is distributed.
+    """
+    from pyspark import StorageLevel
+
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    base = corpus
+    if exclude_ids:
+        base = base.filter(~F.col(id_col).isin(list(exclude_ids)))
+    cand = base.select(
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+        F.round(
+            cosine_sim(_as_double(F.col(vec_col)), qlit), round_sim
+        ).alias("__qsim"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        picked: list[tuple] = []  # (id, vector) in pick order
+        rows: list[tuple] = []
+        for rnk in range(1, k + 1):
+            c = cand
+            if picked:
+                c = c.filter(~F.col("__id").isin([p[0] for p in picked]))
+                pens = [
+                    F.round(
+                        cosine_sim(
+                            F.col("__v"),
+                            F.array(*[F.lit(float(x)) for x in vec]),
+                        ),
+                        round_sim,
+                    )
+                    for _, vec in picked
+                ]
+                penalty = pens[0] if len(pens) == 1 else F.greatest(*pens)
+            else:
+                penalty = F.lit(0.0)
+            score = F.lit(lam) * F.col("__qsim") - F.lit(1.0 - lam) * penalty
+            top = (
+                c.select("__id", "__v", "__qsim", score.alias("__score"))
+                .orderBy(F.desc("__score"), F.asc("__id"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # corpus exhausted before k picks
+            r = top[0]
+            picked.append((r["__id"], list(r["__v"])))
+            rows.append((rnk, r["__id"], r["__qsim"], r["__score"]))
+        spark = corpus.sparkSession
+        out = spark.createDataFrame(
+            rows, schema=f"rnk int, {id_col} long, relevance double, __raw double"
+        )
+        return out.select(
+            "rnk",
+            id_col,
+            "relevance",
+            F.round(F.col("__raw"), round_sim).alias("mmr_score"),
+        ).orderBy("rnk")
+    finally:
+        cand.unpersist(False)

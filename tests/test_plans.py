@@ -657,6 +657,7 @@ _BNLJ_BOUNDED_BROADCAST = {
     "ann_ivf_topk",
     "bigram_logprob_docs",
     "bloom_new_docs",
+    "bm25_top_docs",
     "bottomk_doc_stats",
     "emb_int8_topk",
     "heavy_hitter_tokens",
