@@ -78,29 +78,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # double-green queries so no oracled query's newest driver row goes
 # more than ~2 rounds stale.
 #
-# Round 13: the head pays the precomputed docs/NEXT.md r13 ledger —
-# the 32 r10-greens at the 2-round policy limit, the first FOURTEEN
-# of the 50 r11-greens alphabetically, and FOUR substitutions under
-# the "fresh driver row after any implementation change" house rule:
-# semantic_dedup_docs + pretrain_corpus (connected_components was
-# rewritten two-phase star in r12 while they sat demoted; recorded at
-# r12) and part_bfs_hops + part_pagerank (their operators changed in
-# r12's FINAL barrier commits deb88ff/42d2f8d with no recorded
-# substitution — the r12 verdict's top finding; recorded at r13
-# open). The four displace the 15th-18th alphabetical r11-greens
-# (dedup_exact_docs, dq_report, emb_int8_topk, emb_near_dup_planted —
-# due r14; same documented substitution pattern as r9's
-# doc_provenance, r10's dq_report, r11's fuzzy trio).
+# Round 13 (final state after the two mid-round amendments — the full
+# narrative lives in docs/NEXT.md ROUND 13 LEDGER): the head = the 32
+# obligated r10-greens at the 2-round policy limit + FOUR r13-open
+# substitutions (part_bfs_hops, part_pagerank, pretrain_corpus,
+# semantic_dedup_docs — r12 implementation changes) + THREE new
+# extensions12 queries (bm25_top_docs, mmr_diverse_topk,
+# psi_drift_docs — new queries take head slots directly) + SIX
+# NULL-campaign substitutions (orders_rollup_ivm,
+# orders_minmax_refresh, ann_ivf_probes, pq_ann_topk,
+# emb_near_dup_planted, segment_dedup_docs — their operators gained
+# defined NULL semantics mid-r13) + ZERO alphabetical promotions:
+# every r11-green alphabetical promotion was displaced by the
+# amendments and returns r14 at exactly the limit.
 #
 # LEDGER (r14 obligations, precomputed in docs/NEXT.md):
-#   r14 MUST hold the 32 r11-green queries below (2 rounds stale at
-#   r14, incl. the 4 displaced), leaving 18 slots for the 50
+#   r14 MUST hold the 37 r11-green queries below (2 rounds stale at
+#   r14, incl. the 9 displaced), leaving 13 slots for the 48
 #   r12-greens demoted below (alphabetical, amplab3 ..
-#   doc_fingerprint_md5; remainder due r15 at exactly the limit).
-#   Steady state stays sound: 132 oracled queries / 3-round max
-#   staleness = 44 required slots/round < 50. Demotions this round
-#   are EXACTLY the fresh r12-greens (policy: freshest double-greens
-#   rotate out).
+#   dedup_clusters_docs; remainder due r15 at exactly the limit).
+#   Steady state stays sound: 135 oracled queries / 3-round max
+#   staleness = 45 required slots/round < 50.
 _DEMOTED = (
     # -- r12-green, rotated out fresh (newest driver row = r12; the
     #    first 18 alphabetical are due back at r14, the rest at r15 —
@@ -109,7 +107,6 @@ _DEMOTED = (
     #    every round; the benched ones (amplab3, events_tumbling_1h
     #    among them) are additionally timed by bench.py every round. --
     "amplab3",
-    "ann_ivf_probes",
     "big_orders_in_subquery",
     "bigram_logprob_docs",
     "bottomk_doc_stats",
@@ -150,7 +147,6 @@ _DEMOTED = (
     "phrase_mining_docs",
     "priority_pivot",
     "quality_score_docs",
-    "segment_dedup_docs",
     "simhash_md5_pairs",
     "top_revenue_supplier",
     "top_tokens_per_lang",
@@ -159,17 +155,23 @@ _DEMOTED = (
     "weighted_sampled_docs",
     "window_top_orders",
     # -- r11-green, second round out (newest driver row = r11, 2
-    #    rounds stale at r14: ALL 35 MUST take r14 head slots — the
+    #    rounds stale at r14: ALL 37 MUST take r14 head slots — the
     #    NEXT.md ROUND 14 LEDGER obligated block IS this list; the
-    #    first three were displaced mid-r13 by the new extensions12
+    #    first six were displaced mid-r13 by the NULL-campaign
+    #    substitutions, the next three by the new extensions12
     #    queries per the standing new-query allowance) --
+    "amplab1",
+    "amplab2",
+    "bloom_new_docs",
+    "bloom_new_docs_registers",
+    "click_purchase_leftouter",
+    "cms_bigram_counts",
     "cross_corpus_near_dups",
     "customer_name_features",
     "customer_running_totals",
     "dedup_exact_docs",
     "dq_report",
     "emb_int8_topk",
-    "emb_near_dup_planted",
     "event_funnel_stages",
     "event_props_json",
     "event_props_map",
@@ -181,11 +183,8 @@ _DEMOTED = (
     "gram_dedup_docs",
     "hll_token_overlap_sources",
     "layout_skipping_report",
-    "orders_minmax_refresh",
-    "orders_rollup_ivm",
     "part_pairs_lift",
     "ppjoin_neighbor_counts",
-    "pq_ann_topk",
     "price_histogram_quantiles",
     "price_outliers_mad",
     "pricing_summary",

@@ -35,7 +35,18 @@ def asof_join(
 
     Right payload columns come back suffixed; left rows with no prior
     right row keep nulls (left-outer as-of).
+
+    NULL semantics are JOIN semantics, not window semantics: a right
+    row with a NULL ``by`` key or NULL ``on`` timestamp matches
+    nothing and is dropped at ingress. Without the filter the
+    union-window implementation silently groups NULL keys together
+    (partitionBy treats NULL as a value), so a NULL-keyed left row
+    would "match" a NULL-keyed right row — diverging from the
+    correlated-subquery spec every SQL engine implements (found by
+    the r13 NULL-injection campaign). Left rows always pass through:
+    NULL-keyed or NULL-ts left rows simply match nothing.
     """
+    right = right.filter(F.col(by).isNotNull() & F.col(on).isNotNull())
     right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
     payload = F.struct(F.col(on).alias(on), *[F.col(c) for c in right_cols])
 

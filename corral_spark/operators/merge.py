@@ -86,6 +86,13 @@ def apply_agg_delta(
 
     Output: same schema as ``snapshot``. Equivalence to a full
     recompute over base+delta is pytest-pinned.
+
+    Group keys are matched NULL-SAFELY (``<=>``): GROUP BY collects
+    all-NULL keys into one group, but a plain equi-join would never
+    match that group between snapshot and delta — a delete against a
+    NULL-keyed group then sees snapshot-side 0 and trips the
+    negative-count guard (found by the r13 NULL-injection campaign;
+    silently-wrong instead of loud on insert-heavy deltas).
     """
     s = F.col(sign_col)
     dagg = delta.groupBy(*key_cols).agg(
@@ -105,12 +112,26 @@ def apply_agg_delta(
         F.raise_error(
             F.concat(
                 F.lit("apply_agg_delta: negative maintained count for group "),
-                F.concat_ws(",", *[F.col(k).cast("string") for k in key_cols]),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}"))
+                        .cast("string")
+                        for k in key_cols
+                    ],
+                ),
             )
         ).cast(snapshot.schema[count_col].dataType),
     ).otherwise(new_n)
-    combined = snap.join(d, on=key_cols, how="full_outer").select(
-        *key_cols,
+    cond = None
+    for k in key_cols:
+        c = F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = c if cond is None else cond & c
+    combined = snap.join(d, on=cond, how="full_outer").select(
+        *[
+            F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k)
+            for k in key_cols
+        ],
         checked_n.alias(count_col),
         *[
             (
@@ -147,10 +168,27 @@ def refresh_affected_groups(
     drifting). ``touched_keys`` holds the key columns of the groups
     to refresh (dedup not required); a touched group with no
     remaining base rows simply disappears from the view.
+
+    The semi/anti joins match keys NULL-SAFELY (``<=>``): a
+    NULL-keyed touched group would otherwise neither select its base
+    rows for recompute nor evict its stale snapshot row (anti-join
+    keeps non-matches), silently carrying the old aggregate forward
+    (found by the r13 NULL-injection campaign).
     """
     touched = touched_keys.select(*key_cols).distinct()
+
+    def _cond(left_alias: str):
+        cond = None
+        for k in key_cols:
+            c = F.col(f"{left_alias}.{k}").eqNullSafe(F.col(f"t.{k}"))
+            cond = c if cond is None else cond & c
+        return cond
+
     recomputed = aggregate(
-        base.join(touched, key_cols, "leftsemi")
+        base.alias("b")
+        .join(touched.alias("t"), _cond("b"), "leftsemi")
     )
-    untouched = snapshot.join(touched, key_cols, "left_anti")
+    untouched = snapshot.alias("v").join(
+        touched.alias("t"), _cond("v"), "left_anti"
+    )
     return untouched.unionByName(recomputed)

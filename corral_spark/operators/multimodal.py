@@ -329,7 +329,15 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
     """Manufacture a binary asset table from the documents corpus
     (text bytes as payload) — the container has no real media files;
     the column types and row shapes match what real ingestion would
-    produce."""
+    produce.
+
+    Rows with NULL text are dropped: a NULL payload is not an asset
+    (ingestion would have nothing to write), and downstream
+    Arrow-batched decoders receive ``bytes`` per row by contract —
+    without the filter a NULL reaches ``bytes(None)`` and kills the
+    whole batch (r13 NULL-injection campaign). Mirrored in the
+    multimodal_features oracle as ``text IS NOT NULL``."""
+    docs = docs.filter(F.col("text").isNotNull())
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("image/fake").alias("media_type"),

@@ -31,6 +31,18 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _drop_null_vecs(df: DataFrame, vec_col: str) -> DataFrame:
+    """NULL embeddings are dropped at every operator's ingress — the
+    COUNT(DISTINCT) convention: NULL is absence of a vector, not a
+    vector, so it has no geometry to rank, assign, or pair. Without
+    the filter the engines genuinely diverge (DuckDB's
+    list_cosine_similarity raises on NULL input, Spark propagates a
+    NULL score into engine-specific null ordering) — found by the r13
+    NULL-injection campaign; every ANN oracle mirrors this as
+    ``embedding IS NOT NULL``."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.45,
@@ -73,6 +85,7 @@ def cosine_near_dup_pairs(
 
     from corral_spark.operators.dedup import bucket_pairs
 
+    corpus = _drop_null_vecs(corpus, vec_col)
     keyed = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("__v"),
@@ -104,6 +117,8 @@ def cosine_topk(
     neighbor id).
     Output: (query_id, vec_id, sim, rnk).
     """
+    corpus = _drop_null_vecs(corpus, vec_col)
+    queries = _drop_null_vecs(queries, vec_col)
     q = F.broadcast(
         queries.select(
             F.col("query_id"), _as_double(F.col(vec_col)).alias("__qv")
@@ -146,6 +161,7 @@ def ivf_assign(
             F.col("cell_id"), _as_double(F.col(vec_col)).alias("__cenv")
         )
     )
+    corpus = _drop_null_vecs(corpus, vec_col)
     scored = corpus.select(
         F.col(id_col), F.col(vec_col), _as_double(F.col(vec_col)).alias("__v")
     ).crossJoin(cen)
@@ -174,7 +190,7 @@ def deterministic_centroids(
     """First ``ncells`` vectors by id as coarse centroids (reproducible
     k-means init; the IVF plumbing is identical either way)."""
     return (
-        corpus.orderBy(F.asc(id_col))
+        _drop_null_vecs(corpus, vec_col).orderBy(F.asc(id_col))
         .limit(ncells)
         .select(F.col(id_col).alias("cell_id"), F.col(vec_col))
     )
@@ -284,6 +300,7 @@ def semantic_dedup(
     apply the dedup."""
     from corral_spark.operators.graph import dedup_clusters
 
+    corpus = _drop_null_vecs(corpus, vec_col)
     pairs = semantic_near_dup_pairs(corpus, ncells, threshold, id_col, vec_col)
     return dedup_clusters(corpus, pairs, id_col)
 
@@ -313,7 +330,9 @@ def ivf_topk(
     cen = F.broadcast(
         centroids.select("cell_id", _as_double(F.col(vec_col)).alias("__cenv"))
     )
-    q = queries.select(F.col("query_id"), _as_double(F.col(vec_col)).alias("__qv"))
+    q = _drop_null_vecs(queries, vec_col).select(
+        F.col("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
     qsim = cosine_sim(F.col("__qv"), F.col("__cenv"))
     wq = Window.partitionBy("query_id").orderBy(F.desc(qsim), F.asc("cell_id"))
     probes = (
@@ -389,7 +408,7 @@ def pq_codebooks(
     from pyspark.sql.window import Window
 
     first = (
-        corpus.orderBy(F.asc(id_col))
+        _drop_null_vecs(corpus, vec_col).orderBy(F.asc(id_col))
         .limit(ksub)
         .select(
             (
@@ -421,7 +440,7 @@ def pq_encode(
     (vector, subspace); no corpus shuffle beyond the code collapse.
     Output: (id_col, codes array<int> ordered by subspace)."""
     dsub = dims // m_sub
-    sub = corpus.select(
+    sub = _drop_null_vecs(corpus, vec_col).select(
         F.col(id_col),
         F.posexplode(_subvectors(F.col(vec_col), m_sub, dsub)).alias(
             "m", "__x"
@@ -466,7 +485,7 @@ def pq_topk(
     dsub = dims // m_sub
     cb = pq_codebooks(corpus, m_sub, ksub, dims, id_col, vec_col)
     codes = pq_encode(corpus, cb, m_sub, dims, id_col, vec_col)
-    qsub = queries.select(
+    qsub = _drop_null_vecs(queries, vec_col).select(
         F.col(qid_col),
         F.posexplode(_subvectors(F.col(vec_col), m_sub, dsub)).alias(
             "m", "__q"
@@ -543,7 +562,7 @@ def mmr_topk(
     from pyspark import StorageLevel
 
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    base = corpus
+    base = _drop_null_vecs(corpus, vec_col)
     if exclude_ids:
         base = base.filter(~F.col(id_col).isin(list(exclude_ids)))
     cand = base.select(

@@ -265,13 +265,13 @@ def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id < 5
+      FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
     ),
     scored AS (
       SELECT q.query_id, e.vec_id,
              round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS sim
       FROM q CROSS JOIN embeddings e
-      WHERE e.vec_id <> q.query_id
+      WHERE e.vec_id <> q.query_id AND e.embedding IS NOT NULL
     )
     SELECT query_id, vec_id, sim, rnk
     FROM (
@@ -302,13 +302,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id < 5
+      FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
     ),
     scored AS (
       SELECT q.query_id, e.vec_id,
              round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS sim
       FROM q CROSS JOIN embeddings e
-      WHERE e.vec_id <> q.query_id
+      WHERE e.vec_id <> q.query_id AND e.embedding IS NOT NULL
     )
     SELECT query_id, vec_id, sim, rnk
     FROM (
@@ -362,10 +362,11 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH aug AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE embedding IS NOT NULL
       UNION ALL
       SELECT vec_id + 100000,
              list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)
-      FROM embeddings WHERE vec_id < 50
+      FROM embeddings WHERE vec_id < 50 AND embedding IS NOT NULL
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
@@ -886,7 +887,7 @@ _HEXB = (
              'image/fake' AS media_type,
              CAST(strlen(text) AS BIGINT) AS n_bytes,
              sha256(text) AS sha
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT asset_id, media_type, n_bytes,
            CAST(64 + {_HEXB.format(a=1, b=2)} % 192 AS INT) AS width,

@@ -363,13 +363,14 @@ def _mmr_oracle(k: int = _MMR_K, lam: float = _MMR_LAM) -> str:
     parts = [
         f"""q AS (
       SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-      WHERE vec_id = {_MMR_QID}
+      WHERE vec_id = {_MMR_QID} AND embedding IS NOT NULL
     ),
     cand AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              round(list_cosine_similarity(
                CAST(embedding AS DOUBLE[]), q.qv), 4) AS qsim
-      FROM embeddings, q WHERE vec_id <> {_MMR_QID}
+      FROM embeddings, q
+      WHERE vec_id <> {_MMR_QID} AND embedding IS NOT NULL
     ),
     s1 AS (
       SELECT vec_id, v, qsim, {lam} * qsim AS score
@@ -422,9 +423,19 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized to 4dp before every argmax so the unrolled SQL oracle
     replays the selection bit-exactly."""
     emb = _t(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == _MMR_QID).select(
-        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
-    ).collect()
+    qrow = (
+        emb.filter(
+            (F.col("vec_id") == _MMR_QID) & F.col("embedding").isNotNull()
+        )
+        .select(
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+        )
+        .collect()
+    )
+    if not qrow:  # empty corpus / missing query vector -> empty result
+        return spark.createDataFrame(
+            [], "rnk int, vec_id long, relevance double, mmr_score double"
+        )
     qv = list(qrow[0]["qv"])
     return mmr_topk(
         emb, qv, k=_MMR_K, lam=_MMR_LAM, exclude_ids=(_MMR_QID,)

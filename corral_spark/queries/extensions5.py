@@ -84,7 +84,7 @@ def _blocked_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN (i - 1) // {_BS} = vec_id % {_NBLOCKS}
                     THEN abs(CAST(embedding[i] AS DOUBLE)) + 0.5
                     ELSE 0.0 END) AS e
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     q AS (
       SELECT vec_id AS query_id, e AS qv FROM blocked WHERE vec_id < 5
@@ -239,7 +239,7 @@ def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN (i - 1) // {_BS} = vec_id % {_NBLOCKS}
                     THEN abs(CAST(embedding[i] AS DOUBLE)) + 0.5
                     ELSE 0.0 END) AS e
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     q AS (
       SELECT vec_id AS query_id, e AS qv FROM blocked WHERE vec_id < 5
@@ -287,7 +287,8 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segment_dedup_docs",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '),
+                                 x -> x <> '') AS words
       FROM documents
     ),
     base AS (
@@ -328,9 +329,12 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-on-segment window + per-doc reassembly end to end. One
     segment-keyed shuffle + one doc-keyed group-by — linear, no
     self-join (operators.dedup.segment_dedup)."""
-    out = segment_dedup(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id", seg_words=10
+    # NULL text is the EMPTY document — same boundary rule (and
+    # rationale) as boilerplate_removed_docs below.
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
     )
+    out = segment_dedup(docs, "text", "doc_id", seg_words=10)
     return out.orderBy("doc_id")
 
 
@@ -474,7 +478,8 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boilerplate_removed_docs",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '),
+                                 x -> x <> '') AS words
       FROM documents
     ),
     base AS (
@@ -517,9 +522,15 @@ def boilerplate_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.dedup.remove_boilerplate_segments)."""
     from corral_spark.operators.dedup import remove_boilerplate_segments
 
+    # NULL text is the EMPTY document (0 segments, clean_text '') —
+    # declared at the query boundary on both sides: without it Spark's
+    # legacy size(split(NULL)) = -1 ceils to n_total 0 while the
+    # oracle propagates NULL (r13 NULL-injection campaign).
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
     out = remove_boilerplate_segments(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id",
-        seg_words=10, max_df=2,
+        docs, "text", "doc_id", seg_words=10, max_df=2,
     )
     return out.orderBy("doc_id")
 
@@ -638,7 +649,7 @@ def temperature_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hashed AS (
       SELECT l_returnflag AS flag,
              md5('hll:' || CAST(l_partkey AS VARCHAR)) AS h
-      FROM lineitem
+      FROM lineitem WHERE l_partkey IS NOT NULL
     ),
     rb AS (
       SELECT flag,
@@ -693,7 +704,13 @@ def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined without rescanning."""
     from corral_spark.operators.sketches import hll_estimate, hll_registers
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # NULL is not a value: the sketch hashes only non-null keys, the
+    # convention countDistinct (the true_parts column) already uses —
+    # without the filter the oracle's md5(NULL || ...) register file
+    # grows a phantom NULL bucket (r13 NULL-injection campaign).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull()
+    )
     regs = hll_registers(li, "l_partkey", ("l_returnflag",))
     est = hll_estimate(regs, ("l_returnflag",)).drop("hll_est")
     exact = li.groupBy("l_returnflag").agg(

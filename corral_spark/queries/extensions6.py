@@ -418,7 +418,8 @@ def _hll_regs_sql(src_filter: str) -> str:
           FROM (
             SELECT l_returnflag,
                    md5('hll:' || CAST(l_partkey AS VARCHAR)) AS h
-            FROM lineitem WHERE {src_filter}
+            FROM lineitem
+            WHERE ({src_filter}) AND l_partkey IS NOT NULL
           )
         )
       ) GROUP BY flag, bucket
@@ -483,6 +484,7 @@ def hll_merged_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_linestatus").isin("O", "F")
+        & F.col("l_partkey").isNotNull()  # NULL is not a value (r13)
     )
     regs = materialize(
         hll_registers(

@@ -29,7 +29,8 @@ from corral_spark.sources.tables import load_table
     "semantic_dedup_docs",
     oracle="""
     WITH RECURSIVE
-    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+          WHERE embedding IS NOT NULL),
     cen AS (
       SELECT vec_id AS cell_id, ve AS cv FROM v ORDER BY vec_id LIMIT 16
     ),
@@ -58,7 +59,7 @@ from corral_spark.sources.tables import load_table
       SELECT id_b AS u, id_a AS w FROM edges
     ),
     reach(node, root) AS (
-      SELECT vec_id, vec_id FROM embeddings
+      SELECT vec_id, vec_id FROM embeddings WHERE embedding IS NOT NULL
       UNION
       SELECT s.w, r.root FROM reach r JOIN sym s ON s.u = r.node
     )

@@ -536,6 +536,7 @@ def cdc_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+      WHERE embedding IS NOT NULL
     ),
     cbv AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, ve

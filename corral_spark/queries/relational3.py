@@ -61,14 +61,19 @@ def big_orders_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, p_type
     FROM part
-    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity >= 48)
     ORDER BY p_partkey
     """,
     tags=("subquery", "anti"),
 )
 def parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT IN over a filtered fact scan -> null-safe left-anti join
-    (l_partkey is non-null in this schema, so NOT IN == anti join).
+    """Anti-join semantics, stated null-robustly: parts with no
+    QUALIFYING shipment. The oracle is NOT EXISTS, not NOT IN — a
+    single NULL l_partkey makes NOT IN return zero rows (three-valued
+    logic) while the left-anti join keeps every non-matching part;
+    NOT EXISTS matches the anti join exactly under NULLs (r13
+    NULL-injection campaign: 31 vs 0 rows under 5% null FKs).
     Threshold 48 keeps the result non-empty at every SF."""
     part = _t(spark, sf_dir, "part")
     shipped = (
