@@ -62,6 +62,13 @@ KEEP = {
 }
 RATE_DEN = 20  # ~5%
 
+#: Queries whose operators RAISE on null input BY DOCUMENTED CONTRACT
+#: (loud beats silently-wrong); the raise message is matched so an
+#: unrelated crash still reports as ERROR_SPARK.
+EXPECTED_RAISES = {
+    "skyline_parts": "skyline_min_max: NULL in dimension column",
+}
+
 
 def _mask(keys: np.ndarray, colidx: int) -> np.ndarray:
     """Deterministic ~1/RATE_DEN boolean mask from key values."""
@@ -136,7 +143,13 @@ def run(null_dir: str) -> None:
     if only:
         keep = {n.strip() for n in only.split(",") if n.strip()}
         qs = {n: f for n, f in qs.items() if n in keep}
-    counts = {"MATCH": 0, "DIVERGE": 0, "ERROR_SPARK": 0, "ERROR_ORACLE": 0}
+    counts = {
+        "MATCH": 0,
+        "DIVERGE": 0,
+        "ERROR_SPARK": 0,
+        "ERROR_ORACLE": 0,
+        "EXPECTED_RAISE": 0,
+    }
     bad = []
     for name, fn in sorted(qs.items()):
         if name not in os_:
@@ -144,6 +157,14 @@ def run(null_dir: str) -> None:
         try:
             sdf = fn(spark, null_dir).toPandas()
         except Exception as exc:  # noqa: BLE001 — classify and continue
+            marker = EXPECTED_RAISES.get(name)
+            if marker and marker in str(exc):
+                # The operator's DOCUMENTED loud contract on null
+                # input — the correct at-scale behavior (silently
+                # wrong is the failure mode this campaign hunts).
+                print(f"{name}: EXPECTED_RAISE ({marker!r})")
+                counts["EXPECTED_RAISE"] += 1
+                continue
             print(f"{name}: ERROR_SPARK {type(exc).__name__}: {str(exc)[:160]}")
             counts["ERROR_SPARK"] += 1
             bad.append(name)
