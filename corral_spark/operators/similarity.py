@@ -75,6 +75,8 @@ def cosine_near_dup_pairs(
     @F.pandas_udf(ArrayType(LongType()))
     def band_keys(vecs: pd.Series) -> pd.Series:
         M = np.array(vecs.tolist(), dtype=np.float64)
+        if len(M) == 0:  # empty Arrow batch (filters upstream can
+            return pd.Series([], dtype=object)  # starve a partition)
         H = np.random.RandomState(seed).randn(M.shape[1], bands * bits)
         signs = (M @ H) > 0  # (n, bands*bits)
         weights = (1 << np.arange(bits, dtype=np.int64))
