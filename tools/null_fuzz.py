@@ -60,7 +60,9 @@ KEEP = {
     "documents": {"doc_id"},
     "embeddings": {"vec_id"},
 }
-RATE_DEN = 20  # ~5%
+import os as _os
+
+RATE_DEN = int(_os.environ.get("CORRAL_NULL_RATE_DEN", "20"))  # ~1/N nulls
 
 #: Queries whose operators RAISE on null input BY DOCUMENTED CONTRACT
 #: (loud beats silently-wrong); the raise message is matched so an
