@@ -91,8 +91,9 @@ def apply_agg_delta(
     all-NULL keys into one group, but a plain equi-join would never
     match that group between snapshot and delta — a delete against a
     NULL-keyed group then sees snapshot-side 0 and trips the
-    negative-count guard (found by the r13 NULL-injection campaign;
-    silently-wrong instead of loud on insert-heavy deltas).
+    negative-count guard (loud), and an insert-only delta silently
+    DUPLICATES the group instead (both unmatched rows survive the
+    full outer). Found by the r13 NULL-injection campaign.
     """
     s = F.col(sign_col)
     dagg = delta.groupBy(*key_cols).agg(
