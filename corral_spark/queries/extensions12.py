@@ -142,7 +142,6 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 per doc) so the per-doc arithmetic is engine-identical IEEE
     rationals; scores emitted as integer micros."""
     docs = _t(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
 
     # NB: the predicate must be an ARITY-1 lambda — F.filter treats a
     # two-parameter lambda as (element, index), so the usual
@@ -151,11 +150,21 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _eq(term: str):
         return lambda w: w == F.lit(term)
 
-    perdoc = docs.select(
+    # Tokenize in its OWN projection: dl + the per-term tfs reference
+    # the array 4x, and CollapseProject declines to re-inline a
+    # multiply-referenced non-cheap expression — so the regex
+    # tokenizer runs once per row instead of four times (verified in
+    # the physical plan: 1 regexp_replace per scan, was 4).
+    with_toks = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("__toks")
+    )
+    perdoc = with_toks.select(
         "doc_id",
-        F.size(toks).cast("bigint").alias("dl"),
+        F.size("__toks").cast("bigint").alias("dl"),
         *[
-            F.size(F.filter(toks, _eq(t))).cast("bigint").alias(f"tf{i}")
+            F.size(F.filter(F.col("__toks"), _eq(t)))
+            .cast("bigint")
+            .alias(f"tf{i}")
             for i, t in enumerate(_BM25_TERMS)
         ],
     )
