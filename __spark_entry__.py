@@ -78,38 +78,89 @@ def entry(spark: SparkSession) -> DataFrame:
 # double-green queries so no oracled query's newest driver row goes
 # more than ~2 rounds stale.
 #
-# Round 13 (final state after the two mid-round amendments — the full
-# narrative lives in docs/NEXT.md ROUND 13 LEDGER): the head = the 32
-# obligated r10-greens at the 2-round policy limit + FOUR r13-open
-# substitutions (part_bfs_hops, part_pagerank, pretrain_corpus,
-# semantic_dedup_docs — r12 implementation changes) + THREE new
-# extensions12 queries (bm25_top_docs, mmr_diverse_topk,
-# psi_drift_docs — new queries take head slots directly) + SIX
-# NULL-campaign substitutions (orders_rollup_ivm,
-# orders_minmax_refresh, ann_ivf_probes, pq_ann_topk,
-# emb_near_dup_planted, segment_dedup_docs — their operators gained
-# defined NULL semantics mid-r13) + ZERO alphabetical promotions:
-# every r11-green alphabetical promotion was displaced by the
-# amendments and returns r14 at exactly the limit.
+# Round 14 (paid per docs/NEXT.md ROUND 14 LEDGER — PAID entry): the
+# head = the 37 obligated r11-greens (2 rounds stale, the policy
+# limit) + ELEVEN substitutions forced by this round's NULL-plan /
+# typing fixes under the standing implementation-change rule
+# (bm25_top_docs + psi_drift_docs held over from the r13 head — psi
+# is ALSO the r13 red row whose oracle went explicitly DOUBLE;
+# order_percentiles, part_price_bins, events_tumbling_1h,
+# event_transition_matrix, doc_repetition_stats, order_item_arrays,
+# multimodal_ppm_decode, multimodal_wav_decode promoted early from
+# the r12-green pool; bottomk_doc_stats was already the 4th
+# alphabetical promotion) + TWO alphabetical promotions (amplab3,
+# big_orders_in_subquery). The 10 displaced alphabetical promotions
+# return at r15 at exactly the limit.
 #
-# LEDGER (r14 obligations, precomputed in docs/NEXT.md):
-#   r14 MUST hold the 37 r11-green queries below (2 rounds stale at
-#   r14, incl. the 9 displaced), leaving 13 slots for the 48
-#   r12-greens demoted below (alphabetical, amplab3 ..
-#   dedup_clusters_docs; remainder due r15 at exactly the limit).
+# LEDGER (r15 obligations, precomputed in docs/NEXT.md):
+#   r15 MUST hold the 37 r12-green queries below (3 rounds stale at
+#   r15 — the 27 never promoted plus the 10 displaced), leaving 13
+#   slots for the 48 r13-greens demoted below (alphabetical).
 #   Steady state stays sound: 135 oracled queries / 3-round max
 #   staleness = 45 required slots/round < 50.
 _DEMOTED = (
-    # -- r12-green, rotated out fresh (newest driver row = r12; the
-    #    first 18 alphabetical are due back at r14, the rest at r15 —
-    #    both precomputed in docs/NEXT.md ROUND 14 LEDGER). Every one
-    #    stays oracle-gated by pytest + the full driver_sim replica
-    #    every round; the benched ones (amplab3, events_tumbling_1h
-    #    among them) are additionally timed by bench.py every round. --
-    "amplab3",
-    "big_orders_in_subquery",
+    # -- r13-green, rotated out fresh (newest driver row = r13; due
+    #    back r15–r16 per the rotation arithmetic in docs/NEXT.md).
+    #    bm25_top_docs and psi_drift_docs are NOT here — both changed
+    #    in the r14 NULL/typing fixes and hold r14 head slots by the
+    #    standing substitution rule. Every demoted query stays
+    #    oracle-gated by pytest + the full driver_sim replica every
+    #    round. --
+    "ann_cosine_topk",
+    "ann_ivf_kmeans",
+    "ann_ivf_probes",
+    "ann_ivf_topk",
+    "asof_signup_before_purchase",
+    "boilerplate_removed_docs",
+    "domain_mix_docs",
+    "emb_near_dup_planted",
+    "events_in_promo_windows",
+    "hll_distinct_parts",
+    "hll_merged_slices",
+    "hygiene_filtered_docs",
+    "jaccard_pairs_docs",
+    "lang_id_docs",
+    "lang_sampling_weights",
+    "minhash_pairs_docs",
+    "mmr_diverse_topk",
+    "multimodal_features",
+    "normalized_redacted_docs",
+    "order_date_parts",
+    "orders_minmax_refresh",
+    "orders_rollup_ivm",
+    "part_bfs_hops",
+    "part_pagerank",
+    "parts_never_shipped",
+    "pq_ann_topk",
+    "pretrain_corpus",
+    "pretrain_corpus_full",
+    "pretrain_corpus_provenance",
+    "profile_orders",
+    "promo_revenue_share",
+    "robust_stats",
+    "rollup_sales",
+    "salted_nation_revenue",
+    "sample_docs_10pct",
+    "segment_dedup_docs",
+    "semantic_dedup_docs",
+    "source_capped_docs",
+    "stateful_user_totals",
+    "stratified_sample_orders",
+    "temperature_sampled_docs",
+    "text_stats_docs",
+    "tfidf_top_terms",
+    "token_count_docs",
+    "top_orders",
+    "train_test_split_counts",
+    "unigram_logprob_docs",
+    "user_rolling_1h",
+    # -- r12-green, third round out at r15 = exactly the staleness
+    #    limit: ALL 37 of these MUST take r15 head slots (the NEXT.md
+    #    ROUND 15 obligation IS this list — 27 never promoted at r14
+    #    plus the 10 alphabetical promotions displaced by the r14
+    #    substitutions; see docs/NEXT.md ROUND 14 LEDGER PAID
+    #    entry). --
     "bigram_logprob_docs",
-    "bottomk_doc_stats",
     "cdc_chunk_dedup_docs",
     "click_purchase_within_1h",
     "cube_sales",
@@ -124,26 +175,18 @@ _DEMOTED = (
     "doc_chunks",
     "doc_fingerprint_md5",
     "doc_provenance",
-    "doc_repetition_stats",
     "event_hourly_anomalies",
-    "event_transition_matrix",
-    "events_tumbling_1h",
     "heavy_hitter_tokens",
     "high_value_order_exists",
     "incremental_dedup_new_docs",
-    "multimodal_ppm_decode",
-    "multimodal_wav_decode",
     "nation_set_ops",
     "nations_above_global_share",
     "null_semantics",
-    "order_item_arrays",
     "order_latency",
-    "order_percentiles",
     "orders_above_customer_avg",
     "orders_by_month",
     "orders_merge_upsert",
     "pack_docs_2k",
-    "part_price_bins",
     "phrase_mining_docs",
     "priority_pivot",
     "quality_score_docs",
@@ -154,49 +197,6 @@ _DEMOTED = (
     "union_all_parties",
     "weighted_sampled_docs",
     "window_top_orders",
-    # -- r11-green, second round out (newest driver row = r11, 2
-    #    rounds stale at r14: ALL 37 MUST take r14 head slots — the
-    #    NEXT.md ROUND 14 LEDGER obligated block IS this list; the
-    #    first six were displaced mid-r13 by the NULL-campaign
-    #    substitutions, the next three by the new extensions12
-    #    queries per the standing new-query allowance) --
-    "amplab1",
-    "amplab2",
-    "bloom_new_docs",
-    "bloom_new_docs_registers",
-    "click_purchase_leftouter",
-    "cms_bigram_counts",
-    "cross_corpus_near_dups",
-    "customer_name_features",
-    "customer_running_totals",
-    "dedup_exact_docs",
-    "dq_report",
-    "emb_int8_topk",
-    "event_funnel_stages",
-    "event_props_json",
-    "event_props_map",
-    "events_session_30m",
-    "events_sliding_1h_30m",
-    "fuzzy_customer_pairs",
-    "fuzzy_customer_pairs_capped",
-    "fuzzy_customer_pairs_lev2",
-    "gram_dedup_docs",
-    "hll_token_overlap_sources",
-    "layout_skipping_report",
-    "part_pairs_lift",
-    "ppjoin_neighbor_counts",
-    "price_histogram_quantiles",
-    "price_outliers_mad",
-    "pricing_summary",
-    "purchase_by_tier_scd2",
-    "qty_discount_linreg",
-    "regional_revenue",
-    "shipping_priority",
-    "skyline_parts",
-    "strong_coorder_triangles",
-    "user_value_ewma",
-    "wordcount",
-    "zorder_parts_locality",
 )
 
 

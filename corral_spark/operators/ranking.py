@@ -45,6 +45,15 @@ def global_row_number(
     window). ``order_cols`` MUST be a unique key of ``df`` (append a
     tiebreak column if needed); uniqueness is what makes the rank
     deterministic and run-stable.
+
+    NULL placement is Spark's ASC default — **NULLS FIRST** — and it
+    is consistent across both passes by construction: NULL order keys
+    sort into the lowest range partition (repartitionByRange uses the
+    same ascending null ordering) and the within-partition window
+    ranks them first. Oracles replaying a rank derived from this
+    function must therefore say ``ORDER BY ... NULLS FIRST`` (DuckDB
+    ASC defaults to NULLS LAST — the r13 NULL-campaign class-1
+    divergence).
     """
     from corral_spark.materialize import materialize
 

@@ -196,13 +196,15 @@ _PY_SQL = (
     za AS (
       SELECT p_size, p_retailprice,
              (ROW_NUMBER() OVER (
-                ORDER BY ({zorder_key_sql("px", "py", _L_BITS)}), p_partkey
+                ORDER BY ({zorder_key_sql("px", "py", _L_BITS)})
+                  NULLS FIRST, p_partkey
               ) - 1) // (SELECT rpf FROM params) AS f
       FROM keyed
     ),
     zb AS (
       SELECT p_size, p_retailprice,
-             (ROW_NUMBER() OVER (ORDER BY p_size, p_partkey) - 1)
+             (ROW_NUMBER() OVER (ORDER BY p_size NULLS FIRST,
+                                 p_partkey) - 1)
                // (SELECT rpf FROM params) AS f
       FROM keyed
     ),
@@ -516,7 +518,8 @@ def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH r AS (
       SELECT p_retailprice,
-             NTILE(10) OVER (ORDER BY p_retailprice, p_partkey) AS bin
+             NTILE(10) OVER (ORDER BY p_retailprice NULLS FIRST,
+                             p_partkey) AS bin
       FROM part
     )
     SELECT bin, COUNT(*) AS n_parts,
@@ -570,6 +573,7 @@ def part_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id ORDER BY ts, event_id
              ) AS next_event
       FROM events
+      WHERE ts IS NOT NULL
     ),
     c AS (
       SELECT cur_event, next_event, COUNT(*) AS n
@@ -595,7 +599,10 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     one cur_event-partitioned sum — no joins, nothing driver-side."""
     from corral_spark.queries.streaming_q import _events
 
-    ev = _events(spark, sf_dir)
+    # A non-timestamped event cannot be sequenced (same rule as the
+    # event-time windows, r13 NULL-campaign class 2) — filtered on
+    # both sides so the lead() ordering never sees NULL ts.
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("cur_event"),

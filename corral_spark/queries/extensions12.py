@@ -104,6 +104,7 @@ def _bm25_oracle() -> str:
       SELECT doc_id, CAST(len({tok}) AS BIGINT) AS dl,
              {tf_cols}
       FROM documents
+      WHERE text IS NOT NULL
     ),
     stats0 AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -155,7 +156,12 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiply-referenced non-cheap expression — so the regex
     # tokenizer runs once per row instead of four times (verified in
     # the physical plan: 1 regexp_replace per scan, was 4).
-    with_toks = docs.select(
+    # NULL text is not a retrievable document (r13 convention:
+    # explicit boundary on BOTH sides, so the semantics don't depend
+    # on spark.sql.ansi.enabled / legacy.sizeOfNull — under the
+    # repo's legacy session size(NULL) = -1 would otherwise poison
+    # sum_dl and shift every doc's avg_dl/bm25_micro).
+    with_toks = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", tokenize(F.col("text")).alias("__toks")
     )
     perdoc = with_toks.select(
@@ -271,11 +277,22 @@ _PSI_NBIN = (
       FROM long GROUP BY feature, bin
     ),
     smoothed AS (
+      -- Every smoothing term is explicitly DOUBLE (0.5e0 literals +
+      -- CAST of the BIGINT window sums) so p, q, and q/p resolve to
+      -- IEEE-double arithmetic under ANY oracle version's
+      -- DECIMAL-vs-DOUBLE division rules — the same precedent as
+      -- det.dsum_money's round-before-cast (r13, a5c90e8). An engine
+      -- that resolved `BIGINT + 0.5` to DECIMAL division would
+      -- quantize p/q and shift (q-p)*ln*1e6 by whole micros.
       SELECT feature, bin, ref_cnt, cur_cnt,
-             (ref_cnt + 0.5) / (SUM(ref_cnt) OVER (PARTITION BY feature)
-               + 0.5 * COUNT(*) OVER (PARTITION BY feature)) AS p,
-             (cur_cnt + 0.5) / (SUM(cur_cnt) OVER (PARTITION BY feature)
-               + 0.5 * COUNT(*) OVER (PARTITION BY feature)) AS q
+             (CAST(ref_cnt AS DOUBLE) + 0.5e0)
+               / (CAST(SUM(ref_cnt) OVER (PARTITION BY feature) AS DOUBLE)
+               + 0.5e0 * CAST(COUNT(*) OVER (PARTITION BY feature)
+                              AS DOUBLE)) AS p,
+             (CAST(cur_cnt AS DOUBLE) + 0.5e0)
+               / (CAST(SUM(cur_cnt) OVER (PARTITION BY feature) AS DOUBLE)
+               + 0.5e0 * CAST(COUNT(*) OVER (PARTITION BY feature)
+                              AS DOUBLE)) AS q
       FROM cnts
     ),
     terms AS (

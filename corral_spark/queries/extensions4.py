@@ -106,7 +106,8 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH w AS (
       SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS words
+             list_filter(string_split(COALESCE(text, ''), ' '),
+                         x -> x <> '') AS words
       FROM documents
     ),
     s AS (
@@ -136,8 +137,15 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition_stats): top-word share, top-bigram share, and longest
     consecutive-repeat run per document — the standard boilerplate/
     spam filters for corpus curation. Pure map stage (array folds),
-    no shuffle."""
-    return repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    no shuffle.
+
+    NULL text is the EMPTY document (r13 hygiene-boundary convention,
+    COALESCE both sides): n_words 0, NULL fractions, max_token_run 0
+    — not legacy size(NULL) = -1 leaking into the stats."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    return repetition_stats(docs).orderBy("doc_id")
 
 
 @register(

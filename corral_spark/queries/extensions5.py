@@ -743,7 +743,8 @@ def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MAX(CASE WHEN vr = CAST(FLOOR(CAST(0.5 AS DOUBLE) * (n - 1)) AS INT) + 1 THEN n_chars END) AS s_p50,
              MAX(CASE WHEN vr = CAST(FLOOR(CAST(0.9 AS DOUBLE) * (n - 1)) AS INT) + 1 THEN n_chars END) AS s_p90
       FROM (SELECT n_chars,
-                   ROW_NUMBER() OVER (ORDER BY n_chars, h) AS vr,
+                   ROW_NUMBER() OVER (ORDER BY n_chars NULLS FIRST, h)
+                     AS vr,
                    COUNT(*) OVER () AS n
             FROM sk)
     ),
@@ -752,7 +753,8 @@ def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(CASE WHEN vr = CAST(FLOOR(CAST(0.5 AS DOUBLE) * (n - 1)) AS INT) + 1 THEN n_chars END) AS t_p50,
              MAX(CASE WHEN vr = CAST(FLOOR(CAST(0.9 AS DOUBLE) * (n - 1)) AS INT) + 1 THEN n_chars END) AS t_p90
       FROM (SELECT n_chars,
-                   ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS vr,
+                   ROW_NUMBER() OVER (ORDER BY n_chars NULLS FIRST,
+                                      doc_id) AS vr,
                    COUNT(*) OVER () AS n
             FROM documents)
     )

@@ -230,6 +230,7 @@ _FULL_ORACLE = """
                   + (8 + n_chars % 24) * (4 + doc_id % 16) * 3
                 AS BIGINT) AS n_bytes
     FROM documents
+    WHERE n_chars IS NOT NULL
     ORDER BY asset_id
     """,
     tags=("multimodal", "extension"),
@@ -252,7 +253,12 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # A NULL payload is not an asset (r13 assets_from_documents rule
+    # applied to this generator): a NULL n_chars would build a NULL
+    # payload and kill the whole Arrow batch in the decoder.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
     w = (F.lit(8) + F.col("n_chars") % 24).cast("int")
     h = (F.lit(4) + F.col("doc_id") % 16).cast("int")
     payload = F.encode(
@@ -307,6 +313,7 @@ def _le32(col):
            CAST((4 + doc_id % 64) * 1000 // 8000 AS BIGINT) AS duration_ms,
            CAST(n_chars % 1024 AS BIGINT) AS rms
     FROM documents
+    WHERE n_chars IS NOT NULL
     ORDER BY asset_id
     """,
     tags=("multimodal", "extension"),
@@ -326,7 +333,11 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end."""
     from corral_spark.operators.multimodal import extract_audio_features
 
-    docs = load_table(spark, sf_dir, "documents")
+    # A NULL payload is not an asset — NULL n_chars would hex-encode
+    # to a NULL payload (same generator rule as the PPM twin).
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
     n = (F.lit(4) + F.col("doc_id") % 64).cast("long")
     c = (F.col("n_chars") % 1024).cast("long")
     payload_hex = F.concat(

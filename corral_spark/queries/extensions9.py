@@ -366,7 +366,7 @@ def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs,
              COUNT(*) AS n
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
       GROUP BY user_id
     )
     SELECT user_id, n,
@@ -388,8 +388,12 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches bit-exactly before the 6 dp display rounding."""
     from corral_spark.operators.timeseries import ewma_by_key
 
+    # ts IS NOT NULL: an EWMA step needs a position in the sequence —
+    # the event-time convention (r13 NULL-campaign class 2; without it
+    # DuckDB's list(... ORDER BY ts) and Spark's sort_array disagree
+    # on where a NULL-ts value folds in).
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
     )
     out = ewma_by_key(ev, ("user_id",), ("ts", "event_id"), "value", 0.2)
     return out.select(
@@ -701,7 +705,7 @@ def qty_discount_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sign AS (
       SELECT user_id, ts, event_id,
              CAST(FLOOR(value) AS BIGINT) % 3 AS tier
-      FROM events WHERE event_type = 'signup'
+      FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
     ),
     marked AS (
       SELECT *, (ROW_NUMBER() OVER w = 1
@@ -745,8 +749,17 @@ def purchase_by_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         scd2_lookup,
     )
 
+    # A signup without a timestamp cannot OPEN a version (the
+    # event-time convention, r13 NULL campaign class 5): under
+    # Spark's NULLS FIRST it would become a phantom first version
+    # with NULL valid_from, under DuckDB's NULLS LAST a phantom open
+    # one — both wrong, and differently. NULL-ts purchases need no
+    # filter: the interval test is NULL for them on both engines, so
+    # they surface in the NULL-tier bucket like pre-signup purchases.
     ev = load_table(spark, sf_dir, "events")
-    signups = ev.filter(F.col("event_type") == "signup").select(
+    signups = ev.filter(
+        (F.col("event_type") == "signup") & F.col("ts").isNotNull()
+    ).select(
         "user_id",
         "ts",
         "event_id",

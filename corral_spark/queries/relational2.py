@@ -239,8 +239,10 @@ def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_item_arrays",
     oracle="""
     SELECT l_orderkey,
-           array_to_string(list_sort(list(l_partkey)), ',') AS part_keys,
-           len(list(l_partkey)) AS n_parts
+           COALESCE(array_to_string(list_sort(
+             list(l_partkey) FILTER (WHERE l_partkey IS NOT NULL)), ','),
+             '') AS part_keys,
+           COUNT(l_partkey) AS n_parts
     FROM lineitem
     WHERE l_orderkey <= 100
     GROUP BY l_orderkey
@@ -252,7 +254,14 @@ def order_item_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped array construction (collect_list -> sort_array),
     surfaced as a joined string so the value compare is type-stable.
     Array/nested types are wholly absent from the reference
-    (SURVEY §1.1: strings only)."""
+    (SURVEY §1.1: strings only).
+
+    NULL keys are absence, not elements (collect_list's own
+    semantics): n_parts counts collected keys, so part_keys and
+    n_parts always agree, and an all-NULL group rebuilds as the
+    EMPTY string on both engines (oracle COALESCEs DuckDB's
+    zero-row list aggregate, which is NULL, back to '') — the r13
+    empty-rebuild convention."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_orderkey") <= 100)
@@ -265,7 +274,7 @@ def order_item_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 ",",
             ).alias("part_keys"),
-            F.count(F.lit(1)).alias("n_parts"),
+            F.count("l_partkey").alias("n_parts"),
         )
         .orderBy("l_orderkey")
     )
@@ -418,7 +427,8 @@ def salted_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cume_dist() OVER w, 6) AS cume,
            ntile(4) OVER w AS quartile
     FROM orders JOIN customer ON o_custkey = c_custkey
-    WINDOW w AS (PARTITION BY c_custkey ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY c_custkey
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     ORDER BY c_custkey, o_orderkey
     """,
     tags=("window", "stats"),

@@ -140,14 +140,17 @@ def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_total,
            CAST(ROW_NUMBER() OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey)
              AS BIGINT) AS order_seq,
            lag(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey)
              AS prev_price
     FROM orders
     ORDER BY o_orderkey

@@ -27,6 +27,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            {_SUM_VALUE_SQL} AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     ORDER BY window_start, event_type
     """,
@@ -55,6 +56,7 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
              ]) AS window_start,
              value
       FROM events
+      WHERE ts IS NOT NULL
     )
     SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n_events,
@@ -79,7 +81,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT k AS prop_key,
            COUNT(*) AS n,
-           CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS sum_v
+           CAST(SUM(TRY_CAST(v AS BIGINT)) AS BIGINT) AS sum_v
     FROM (
       SELECT unnest(json_keys(props)) AS k,
              json_extract_string(props, '$.' || unnest(json_keys(props))) AS v
@@ -94,7 +96,14 @@ def event_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """props JSON decoded to a real map<string,string> column and
     exploded — the typed-map form of what the reference does by
     JSON-in-string-values (reference amplab3.go:70-73). At scale the
-    map parse happens once per row in the scan projection."""
+    map parse happens once per row in the scan projection.
+
+    try_cast, not cast, on the heterogeneous map values: under an
+    ANSI session a plain CAST raises CAST_INVALID_INPUT on the first
+    non-numeric value — at 100 TB schema-on-read, one malformed
+    value would kill the query (r13 unicode campaign class 3). A
+    value that isn't a number contributes NULL to the SUM on both
+    engines (DuckDB TRY_CAST mirrors it)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import MapType, StringType
 
@@ -105,7 +114,7 @@ def event_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prop_key")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("v").cast("bigint")).alias("sum_v"),
+            F.sum(F.col("v").try_cast("bigint")).alias("sum_v"),
         )
         .orderBy("prop_key")
     )
@@ -189,6 +198,7 @@ def stateful_user_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
+      WHERE ts IS NOT NULL
     ),
     tagged AS (
       SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts

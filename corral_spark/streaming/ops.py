@@ -85,7 +85,14 @@ def with_watermark(events: DataFrame, delay: str = "1 hour") -> DataFrame:
 
 def tumbling_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Per (tumbling window, event_type): count + exact sum(value).
-    Batch mirror: GROUP BY date_trunc + event_type."""
+    Batch mirror: GROUP BY date_trunc + event_type.
+
+    An event with a NULL timestamp cannot be assigned a window (the
+    watermark convention: event-time operators define their input as
+    timestamped rows; under streaming a NULL event time is never
+    admitted past the watermark). Dropped explicitly here so batch
+    and streaming forms agree — r13 NULL-campaign class 2."""
+    events = events.filter(F.col("ts").isNotNull())
     return (
         events.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
@@ -106,7 +113,9 @@ def sliding_agg(
 ) -> DataFrame:
     """Per sliding window: count + exact sum. With w=1h, s=30m each
     event lands in exactly 2 windows; the batch oracle mirrors this by
-    exploding each row into its two window starts."""
+    exploding each row into its two window starts. NULL event times
+    dropped — see tumbling_agg."""
+    events = events.filter(F.col("ts").isNotNull())
     return (
         events.groupBy(F.window("ts", window, slide).alias("w"))
         .agg(
@@ -126,7 +135,9 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     bounds + count + exact sum. session_window merges events closer
     than ``gap``; session end = last event + gap. The batch oracle
     reproduces this with the classic lag()/cumulative-sum session id.
+    NULL event times dropped — see tumbling_agg.
     """
+    events = events.filter(F.col("ts").isNotNull())
     return (
         events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(

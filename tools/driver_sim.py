@@ -16,6 +16,12 @@ rows = e.entry(spark).collect()
 print("ENTRY OK rows=", len(rows), "schema=", [f.name for f in e.entry(spark).schema.fields])
 
 import duckdb
+# Oracle engine version in every replica log (r13 verdict item 7):
+# the psi_drift_docs red was adjudicated to a DuckDB
+# DECIMAL-vs-DOUBLE division-resolution difference only by
+# elimination — with the version on record, the next cross-engine
+# red is attributable in minutes.
+print("ORACLE duckdb", duckdb.__version__)
 from corral_spark.sources.tables import TABLES, table_path
 sf = os.environ.get("CORRAL_SIM_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
