@@ -109,3 +109,37 @@ def test_assets_from_documents_drops_null_text(spark):
     out = assets_from_documents(docs).collect()
     assert [r.asset_id for r in out] == [1]
     assert bytes(out[0].payload) == b"abc"
+
+
+def test_event_time_windows_drop_null_ts(spark):
+    """r14 NULL-plan class 2: an event with a NULL timestamp cannot
+    be assigned a window — tumbling/sliding/session builders drop it
+    at the operator level so batch and streaming forms agree (the
+    watermark convention). Diverged in the r13 campaign: DuckDB's
+    date_trunc(NULL) grouped the row under a NULL window while
+    Spark's F.window emitted a NULL-struct group."""
+    import datetime as dt
+
+    from corral_spark.streaming.ops import (
+        session_agg,
+        sliding_agg,
+        tumbling_agg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 15)
+    events = spark.createDataFrame(
+        [
+            (1, t0, 7, "click", 1.0, "{}"),
+            (2, None, 7, "click", 99.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    tumb = tumbling_agg(events, "1 hour").collect()
+    assert len(tumb) == 1 and tumb[0].n_events == 1
+    assert tumb[0].sum_value == 1.0  # the NULL-ts 99.0 never aggregates
+    slid = sliding_agg(events, "1 hour", "30 minutes").collect()
+    assert len(slid) == 2  # one event, exactly two windows
+    assert all(r.n_events == 1 for r in slid)
+    sess = session_agg(events, "30 minutes").collect()
+    assert len(sess) == 1 and sess[0].n_events == 1
