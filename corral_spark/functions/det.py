@@ -28,9 +28,38 @@ _PREC = 12
 
 
 def dec(col: Column | str, scale: int = 2) -> Column:
-    """Cast a (2-decimal) double column to exact decimal."""
+    """Cast a (2-decimal) double column to exact decimal.
+
+    try_cast, not cast (r14 extreme-value campaign): a value outside
+    the DECIMAL(12,2) domain (|x| >= 10^10 — corrupt at 100 TB
+    schema-on-read, never a real money amount) becomes NULL and is
+    skipped by SUM/AVG on BOTH engines (oracles mirror with
+    TRY_CAST). A plain cast made the behavior SESSION-dependent:
+    ANSI raised (one corrupt row kills the query), legacy silently
+    nulled — the fix pins the null-and-skip semantics explicitly.
+    Callers needing loud accounting of domain violations should
+    count them separately (a dq_report-style audit), not rely on
+    the aggregate raising."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal({_PREC},{scale})")
+    return c.try_cast(f"decimal({_PREC},{scale})")
+
+
+def dec_rate(col: Column | str) -> Column:
+    """Cast a RATE column (discount, tax — semantically in [0, 1],
+    2 decimal places) to exact DECIMAL(3,2), with the domain check
+    inline: an out-of-domain value (a "discount" of 1.2e8 — corrupt
+    at 100 TB schema-on-read) is invalid-measurement NULL, exactly
+    like dec()'s try_cast rule. The narrow type matters beyond
+    hygiene: revenue products sized from a (12,2) rate factor forced
+    DuckDB's 128-bit path and let corrupt rates inflate money sums
+    to 1e20 — past even dsum_money's 2^53 headroom, where
+    decimal->double casting picks up a cross-engine ulp (r14 extreme
+    campaign). With rates pinned to (3,2), in-domain products stay
+    within both engines' exact-integer range. Oracle mirror:
+    ``CASE WHEN col BETWEEN 0 AND 1 THEN TRY_CAST(col AS
+    DECIMAL(3,2)) END``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.between(0, 1), c.try_cast("decimal(3,2)"))
 
 
 def dsum(col: Column | str, scale: int = 2) -> Column:

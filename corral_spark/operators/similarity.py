@@ -31,16 +31,41 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def valid_vecs(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Drop MALFORMED embeddings at ingress: NULL vectors, vectors
+    containing NULL elements, zero-norm vectors, and (when ``dim`` is
+    given) wrong-length vectors.
+
+    NULL is absence of a vector (the r13 COUNT(DISTINCT) convention);
+    the r14 extreme-value campaign extended the rule to the other
+    degenerate shapes 100 TB production data actually contains: a
+    zero vector has no direction (cosine is 0/0 — NaN, with
+    engine-specific NaN ordering downstream), a NULL element or a
+    ragged length poisons dot products (DuckDB's
+    list_cosine_similarity RAISES on both; Spark's zip_with silently
+    null-pads the shorter side — silently-wrong beats nothing only
+    if you never look). All four checks are cheap JVM array
+    expressions fused into the scan. Pass ``dim`` at the corpus
+    boundary (queries pass the corpus's declared dimension); the
+    oracles mirror the full predicate inline."""
+    c = F.col(vec_col)
+    cond = (
+        c.isNotNull()
+        & ~F.exists(c, lambda x: x.isNull())
+        & (F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x) > 0)
+    )
+    if dim is not None:
+        cond = cond & (F.size(c) == dim)
+    return df.filter(cond)
+
+
 def _drop_null_vecs(df: DataFrame, vec_col: str) -> DataFrame:
-    """NULL embeddings are dropped at every operator's ingress — the
-    COUNT(DISTINCT) convention: NULL is absence of a vector, not a
-    vector, so it has no geometry to rank, assign, or pair. Without
-    the filter the engines genuinely diverge (DuckDB's
-    list_cosine_similarity raises on NULL input, Spark propagates a
-    NULL score into engine-specific null ordering) — found by the r13
-    NULL-injection campaign; every ANN oracle mirrors this as
-    ``embedding IS NOT NULL``."""
-    return df.filter(F.col(vec_col).isNotNull())
+    """Operator-internal ingress: the dimension-blind half of
+    ``valid_vecs`` (callers enforce ``dim`` at the corpus boundary,
+    where the declared dimension lives)."""
+    return valid_vecs(df, vec_col, dim=None)
 
 
 def cosine_near_dup_pairs(

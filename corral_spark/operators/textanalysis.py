@@ -54,9 +54,19 @@ def text_stats(
     stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
     n_stop = F.size(F.array_intersect(words, stop))
 
-    avg_word_len = total_chars.cast("double") / n_words
-    distinct_ratio = n_distinct.cast("double") / n_words
-    stopword_ratio = n_stop.cast("double") / n_distinct
+    # Ratios are defined only for non-empty documents: guard the
+    # divisions so an empty/whitespace-only text yields NULL stats
+    # instead of an ANSI DIVIDE_BY_ZERO (r14 extreme-value campaign;
+    # the oracle mirrors with CASE WHEN len(words) > 0).
+    avg_word_len = F.when(
+        n_words > 0, total_chars.cast("double") / n_words
+    )
+    distinct_ratio = F.when(
+        n_words > 0, n_distinct.cast("double") / n_words
+    )
+    stopword_ratio = F.when(
+        n_distinct > 0, n_stop.cast("double") / n_distinct
+    )
 
     return df.select(
         id_col,

@@ -39,6 +39,7 @@ def gapfill_locf(
     bucket_width: int,
     lo: int | None = None,
     hi: int | None = None,
+    max_buckets: int = 10_000_000,
 ) -> DataFrame:
     """Densify a per-key bucket series and fill missing buckets with
     the last observed value (LOCF).
@@ -61,6 +62,22 @@ def gapfill_locf(
             return observed.select(key_col, bucket_col, *value_cols).limit(0)
         lo = int(bounds["lo"]) if lo is None else lo
         hi = int(bounds["hi"]) if hi is None else hi
+
+    # Loud spine-size guard (r14 extreme campaign): ONE corrupt
+    # bucket value (a year-2199 timestamp in a 1-week series) makes
+    # the dense spine explode to billions of rows PER KEY — at
+    # 100 TB that is an outage, not a result. Raising beats silently
+    # materializing it; callers with genuinely huge domains pass
+    # max_buckets explicitly (the skyline/sampler loud-contract
+    # pattern).
+    n_buckets = (hi - lo) // bucket_width + 1
+    if n_buckets > max_buckets:
+        raise ValueError(
+            f"gapfill_locf: spine spans {n_buckets} buckets "
+            f"(> max_buckets={max_buckets}) — bucket range "
+            f"[{lo}, {hi}] looks corrupt; filter the bucket domain "
+            "or raise max_buckets explicitly"
+        )
 
     keys = observed.select(key_col).distinct()
     spine = keys.select(
@@ -109,7 +126,16 @@ def rolling_range_agg(
 
     Output: input columns plus ``n_win`` and ``sum_win`` (sum rounded
     to 2dp per the registry's float convention).
+
+    The window sum runs in exact DECIMAL (functions.det.dec), not raw
+    doubles: at extreme magnitudes (one 1e15 value among cents — the
+    r14 extreme campaign's planted case) a double accumulation is
+    order-dependent in its last bits, and window frames re-add values
+    in engine-specific orders. The decimal sum is order-free; both
+    engines then perform the identical single double rounding.
     """
+    from corral_spark.functions.det import dec
+
     us = F.unix_micros(F.col(ts_col))
     w = (
         Window.partitionBy(key_col)
@@ -119,7 +145,9 @@ def rolling_range_agg(
     return df.select(
         "*",
         F.count(F.lit(1)).over(w).alias("n_win"),
-        F.round(F.sum(F.col(value_col)).over(w), 2).alias("sum_win"),
+        F.round(F.sum(dec(value_col)).over(w).cast("double"), 2).alias(
+            "sum_win"
+        ),
     )
 
 

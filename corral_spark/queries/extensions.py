@@ -41,7 +41,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    # Corpus boundary: malformed embeddings (NULL, NULL-element,
+    # zero-norm, wrong-length) are not vectors — r14 extreme-value
+    # campaign rule, mirrored in every ANN oracle's predicate.
+    from corral_spark.operators.similarity import valid_vecs
+
+    return valid_vecs(load_table(spark, sf_dir, "embeddings"), dim=64)
 
 
 def _sql_list(words) -> str:
@@ -265,13 +270,13 @@ def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
     ),
     scored AS (
       SELECT q.query_id, e.vec_id,
              round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS sim
       FROM q CROSS JOIN embeddings e
-      WHERE e.vec_id <> q.query_id AND e.embedding IS NOT NULL
+      WHERE e.vec_id <> q.query_id AND e.embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
     )
     SELECT query_id, vec_id, sim, rnk
     FROM (
@@ -302,13 +307,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
     ),
     scored AS (
       SELECT q.query_id, e.vec_id,
              round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS sim
       FROM q CROSS JOIN embeddings e
-      WHERE e.vec_id <> q.query_id AND e.embedding IS NOT NULL
+      WHERE e.vec_id <> q.query_id AND e.embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
     )
     SELECT query_id, vec_id, sim, rnk
     FROM (
@@ -362,11 +367,11 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH aug AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-      WHERE embedding IS NOT NULL
+      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
       UNION ALL
       SELECT vec_id + 100000,
              list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)
-      FROM embeddings WHERE vec_id < 50 AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id < 50 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
@@ -418,11 +423,15 @@ _EN_STOP_SQL = _sql_list(LANG_MARKERS["en"])
     SELECT doc_id,
            len(words) AS n_words,
            len(list_distinct(words)) AS n_distinct_words,
-           CAST(list_reduce(list_transform(words, x -> length(x)), (a, b) -> a + b) AS DOUBLE)
-             / len(words) AS avg_word_len,
-           CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio,
-           CAST(len(list_intersect(words, {_EN_STOP_SQL})) AS DOUBLE)
-             / len(list_distinct(words)) AS stopword_ratio
+           CASE WHEN len(words) > 0 THEN
+             CAST(list_reduce(list_transform(words, x -> length(x)), (a, b) -> a + b) AS DOUBLE)
+               / len(words) END AS avg_word_len,
+           CASE WHEN len(words) > 0 THEN
+             CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+             END AS distinct_ratio,
+           CASE WHEN len(list_distinct(words)) > 0 THEN
+             CAST(len(list_intersect(words, {_EN_STOP_SQL})) AS DOUBLE)
+               / len(list_distinct(words)) END AS stopword_ratio
     FROM w
     ORDER BY doc_id
     """,

@@ -63,7 +63,7 @@ from corral_spark.sources.tables import load_table
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
              AS sum_price
     FROM orders
     WHERE o_orderkey % 10 <> 1
@@ -625,7 +625,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT event_type, hour(ts) AS hr, value,
-             CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+             CAST(SUM(TRY_CAST(value AS DECIMAL(12,2))) OVER (
                     PARTITION BY event_type, hour(ts)) AS DOUBLE)
                / COUNT(*) OVER (PARTITION BY event_type, hour(ts))
                AS avg_v

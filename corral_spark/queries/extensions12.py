@@ -259,12 +259,12 @@ _PSI_NBIN = (
     oracle=f"""
     WITH long AS (
       SELECT 'n_chars_bin' AS feature, {_PSI_NBIN} AS bin,
-             CASE WHEN CAST(substr(source, 4) AS INT) < 10
+             CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 10
                   THEN 'ref' ELSE 'cur' END AS side
       FROM documents
       UNION ALL
       SELECT 'lang' AS feature, lang AS bin,
-             CASE WHEN CAST(substr(source, 4) AS INT) < 10
+             CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 10
                   THEN 'ref' ELSE 'cur' END AS side
       FROM documents
     ),
@@ -321,7 +321,7 @@ def psi_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the cost is the scan, nothing else."""
     docs = _t(spark, sf_dir, "documents")
     side = F.when(
-        F.substring("source", 4, 10).cast("int") < 10, F.lit("ref")
+        F.substring("source", 4, 10).try_cast("int") < 10, F.lit("ref")
     ).otherwise(F.lit("cur"))
     long = docs.select(
         F.expr(
@@ -389,14 +389,14 @@ def _mmr_oracle(k: int = _MMR_K, lam: float = _MMR_LAM) -> str:
     parts = [
         f"""q AS (
       SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-      WHERE vec_id = {_MMR_QID} AND embedding IS NOT NULL
+      WHERE vec_id = {_MMR_QID} AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
     ),
     cand AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              round(list_cosine_similarity(
                CAST(embedding AS DOUBLE[]), q.qv), 4) AS qsim
       FROM embeddings, q
-      WHERE vec_id <> {_MMR_QID} AND embedding IS NOT NULL
+      WHERE vec_id <> {_MMR_QID} AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
     ),
     s1 AS (
       SELECT vec_id, v, qsim, {lam} * qsim AS score
@@ -448,11 +448,11 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     penalty expression (operators.similarity.mmr_topk). Similarities
     quantized to 4dp before every argmax so the unrolled SQL oracle
     replays the selection bit-exactly."""
-    emb = _t(spark, sf_dir, "embeddings")
+    from corral_spark.operators.similarity import valid_vecs
+
+    emb = valid_vecs(_t(spark, sf_dir, "embeddings"), dim=64)
     qrow = (
-        emb.filter(
-            (F.col("vec_id") == _MMR_QID) & F.col("embedding").isNotNull()
-        )
+        emb.filter(F.col("vec_id") == _MMR_QID)
         .select(
             F.transform("embedding", lambda x: x.cast("double")).alias("qv")
         )

@@ -198,8 +198,16 @@ def click_purchase_within_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(c.i AS INT) AS chunk_id,
-           array_to_string(list_slice(words, c.i * 30 + 1, c.i * 30 + 40), ' ')
-             AS chunk_text,
+           -- Scoped COALESCE: a zero-word document yields its one
+           -- EMPTY chunk (DuckDB's array_to_string([]) is NULL where
+           -- Spark's array_join([]) is '' — the r14 empty-rebuild
+           -- convention, same as order_item_arrays), while a
+           -- NULL-text document keeps its NULL chunk on both engines
+           -- (both engines' greatest(1, NULL) = 1 emits the row).
+           CASE WHEN words IS NOT NULL THEN
+             COALESCE(array_to_string(
+               list_slice(words, c.i * 30 + 1, c.i * 30 + 40), ' '), '')
+           END AS chunk_text,
            CAST(len(list_slice(words, c.i * 30 + 1, c.i * 30 + 40)) AS INT)
              AS n_words
     FROM n, unnest(generate_series(0, n_chunks - 1)) AS c(i)

@@ -217,7 +217,8 @@ def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
-           round(SUM(value) OVER w, 2) AS sum_win
+           round(CAST(SUM(TRY_CAST(value AS DECIMAL(12,2))) OVER w
+                      AS DOUBLE), 2) AS sum_win
     FROM events
     WINDOW w AS (
       PARTITION BY user_id ORDER BY epoch_us(ts)

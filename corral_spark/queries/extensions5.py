@@ -63,7 +63,11 @@ _BS = 8
 
 
 def _blocked_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    from corral_spark.operators.similarity import valid_vecs
+
+    # Validity is judged on the RAW embedding before re-blocking
+    # (the oracle's WHERE sits on the same raw column).
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings"), dim=64)
     block = (F.col("vec_id") % _NBLOCKS).cast("int")
     vec = F.transform(
         F.col("embedding"),
@@ -84,7 +88,7 @@ def _blocked_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN (i - 1) // {_BS} = vec_id % {_NBLOCKS}
                     THEN abs(CAST(embedding[i] AS DOUBLE)) + 0.5
                     ELSE 0.0 END) AS e
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
     ),
     q AS (
       SELECT vec_id AS query_id, e AS qv FROM blocked WHERE vec_id < 5
@@ -239,7 +243,7 @@ def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN (i - 1) // {_BS} = vec_id % {_NBLOCKS}
                     THEN abs(CAST(embedding[i] AS DOUBLE)) + 0.5
                     ELSE 0.0 END) AS e
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
     ),
     q AS (
       SELECT vec_id AS query_id, e AS qv FROM blocked WHERE vec_id < 5
@@ -353,13 +357,21 @@ _W = QUALITY_WEIGHTS
     f AS (
       SELECT doc_id,
              len(words) AS n_words,
-             CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
-               AS distinct_ratio,
-             CAST(len(list_intersect(words, {_EN_STOP_SQL5})) AS DOUBLE)
-               / len(list_distinct(words)) AS stopword_ratio,
-             CAST(list_reduce(list_transform(words, x -> length(x)),
-                              (a, b) -> a + b) AS DOUBLE) / len(words)
-               AS avg_word_len
+             -- empty-document guard (r14 extreme campaign): ratios
+             -- are NULL for zero-word docs on both engines (Spark
+             -- text_stats guards the same divisions), so the
+             -- logistic score is NULL, keep is NULL — never a
+             -- DIVIDE_BY_ZERO / list_reduce([]) raise.
+             CASE WHEN len(words) > 0 THEN
+               CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+               END AS distinct_ratio,
+             CASE WHEN len(list_distinct(words)) > 0 THEN
+               CAST(len(list_intersect(words, {_EN_STOP_SQL5})) AS DOUBLE)
+                 / len(list_distinct(words)) END AS stopword_ratio,
+             CASE WHEN len(words) > 0 THEN
+               CAST(list_reduce(list_transform(words, x -> length(x)),
+                                (a, b) -> a + b) AS DOUBLE) / len(words)
+               END AS avg_word_len
       FROM w
     )
     SELECT doc_id,

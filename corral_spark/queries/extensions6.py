@@ -223,11 +223,14 @@ _FULL_ORACLE = """
     "multimodal_ppm_decode",
     oracle="""
     SELECT doc_id AS asset_id,
-           CAST(8 + n_chars % 24 AS INT) AS width,
+           -- positive modulus on the data-derived dimension: a
+           -- negative n_chars must yield a VALID width (r14 extreme
+           -- campaign; the raw % would build a negative-width header)
+           CAST(8 + ((n_chars % 24) + 24) % 24 AS INT) AS width,
            CAST(4 + doc_id % 16 AS INT) AS height,
-           CAST(9 + length(CAST(8 + n_chars % 24 AS VARCHAR))
+           CAST(9 + length(CAST(8 + ((n_chars % 24) + 24) % 24 AS VARCHAR))
                   + length(CAST(4 + doc_id % 16 AS VARCHAR))
-                  + (8 + n_chars % 24) * (4 + doc_id % 16) * 3
+                  + (8 + ((n_chars % 24) + 24) % 24) * (4 + doc_id % 16) * 3
                 AS BIGINT) AS n_bytes
     FROM documents
     WHERE n_chars IS NOT NULL
@@ -259,7 +262,7 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars").isNotNull()
     )
-    w = (F.lit(8) + F.col("n_chars") % 24).cast("int")
+    w = (F.lit(8) + F.pmod(F.col("n_chars"), F.lit(24))).cast("int")
     h = (F.lit(4) + F.col("doc_id") % 16).cast("int")
     payload = F.encode(
         F.concat(
@@ -311,7 +314,11 @@ def _le32(col):
            CAST(16 AS INT) AS bits_per_sample,
            CAST(4 + doc_id % 64 AS BIGINT) AS n_frames,
            CAST((4 + doc_id % 64) * 1000 // 8000 AS BIGINT) AS duration_ms,
-           CAST(n_chars % 1024 AS BIGINT) AS rms
+           -- positive modulus: the amplitude is an UNSIGNED PCM
+           -- sample, so a negative n_chars must wrap into 0..1023 on
+           -- both engines (Spark % and DuckDB % both follow the
+           -- dividend's sign — r14 extreme campaign)
+           CAST(((n_chars % 1024) + 1024) % 1024 AS BIGINT) AS rms
     FROM documents
     WHERE n_chars IS NOT NULL
     ORDER BY asset_id
@@ -339,7 +346,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").isNotNull()
     )
     n = (F.lit(4) + F.col("doc_id") % 64).cast("long")
-    c = (F.col("n_chars") % 1024).cast("long")
+    c = F.pmod(F.col("n_chars"), F.lit(1024)).cast("long")
     payload_hex = F.concat(
         F.lit("52494646"),  # "RIFF"
         _le32(F.lit(36) + n * 2),  # riff size = 36 + data bytes

@@ -30,7 +30,7 @@ from corral_spark.sources.tables import load_table
     oracle="""
     WITH RECURSIVE
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
-          WHERE embedding IS NOT NULL),
+          WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0),
     cen AS (
       SELECT vec_id AS cell_id, ve AS cv FROM v ORDER BY vec_id LIMIT 16
     ),
@@ -59,7 +59,7 @@ from corral_spark.sources.tables import load_table
       SELECT id_b AS u, id_a AS w FROM edges
     ),
     reach(node, root) AS (
-      SELECT vec_id, vec_id FROM embeddings WHERE embedding IS NOT NULL
+      SELECT vec_id, vec_id FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
       UNION
       SELECT s.w, r.root FROM reach r JOIN sym s ON s.u = r.node
     )
@@ -84,7 +84,9 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle replays the identical cell restriction, so the
     driver row proves assignment, blocking, scoring, and the
     component fixpoint all at once."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    from corral_spark.operators.similarity import valid_vecs
+
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings"), dim=64)
     return semantic_dedup(emb, ncells=16, threshold=0.3).orderBy("vec_id")
 
 
@@ -97,6 +99,7 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
                'sum')) AS nrm
       FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
     ),
     q8 AS (
       SELECT vec_id,
@@ -135,8 +138,14 @@ def emb_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are 4x smaller than float32, the scan stays JVM-side (transform/
     zip_with/aggregate — no Python), and recall vs the exact float
     top-k is pinned by pytest. Output: (query_id, vec_id, qdot, rnk).
+
+    Malformed-embedding ingress (valid_vecs, r14): a zero-norm
+    vector has no direction — l2_normalize would divide by zero
+    (ANSI raise / engine-specific NaN).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    from corral_spark.operators.similarity import valid_vecs
+
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings"), dim=64)
     q8 = emb.select(
         "vec_id", quantize_int8(l2_normalize(F.col("embedding"))).alias("qv")
     )

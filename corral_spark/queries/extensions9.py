@@ -540,7 +540,7 @@ def cdc_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
-      WHERE embedding IS NOT NULL
+      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') > 0
     ),
     cbv AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, ve
@@ -599,9 +599,9 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of floats. Codebooks, assignments (6dp-rounded argmax,
     ties to lowest code), LUTs, and integer score sums are all
     bit-replayed by the oracle."""
-    from corral_spark.operators.similarity import pq_topk
+    from corral_spark.operators.similarity import pq_topk, valid_vecs
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings"), dim=64)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
@@ -614,31 +614,41 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qty_discount_linreg",
     oracle="""
     WITH s AS (
+      -- Moments surfaced as exact-sum -> DOUBLE (one rounding of the
+      -- same exact integer on both engines: DuckDB sums BIGINT into
+      -- HUGEINT, Spark into DECIMAL(38,0)); every downstream cross
+      -- term then runs in identical IEEE double arithmetic. BIGINT
+      -- outputs overflowed at extreme-but-in-domain 2^31-scale
+      -- features (r14 extreme campaign).
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
       FROM (
         SELECT l_returnflag,
                CAST(ROUND(l_quantity, 0) AS BIGINT) AS x,
                CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS y
         FROM lineitem
       )
+      -- regression domain (r14 extreme campaign): a row enters the
+      -- moments only with BOTH features present and |x|,|y| < 2^31,
+      -- so every product fits BIGINT exactly on both engines
+      WHERE x IS NOT NULL AND y IS NOT NULL
+        AND ABS(x) < 2147483648 AND ABS(y) < 2147483648
       GROUP BY l_returnflag
     )
     SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-           ROUND((CAST(sy AS DOUBLE)
-                  - (CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 6)
-             AS intercept,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr
     FROM s ORDER BY l_returnflag
     """,
     tags=("stats", "extension"),
@@ -653,33 +663,50 @@ def qty_discount_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr are a handful of identical IEEE operations both engines
     replay. The stats merge by addition, so a 100 TB regression is
     per-partition sums + one combine — the same composability
-    contract as the histogram and HLL sketches. Overflow note: the
-    BIGINT cross terms n*Sxy etc. are safe while n * max(x*y) < 2^63
-    (here x <= 51, y <= 10: fine past 10^16 rows); wider domains
-    rescale units first."""
+    contract as the histogram and HLL sketches. Domain + overflow
+    contract (r14): rows enter the moments only with both features
+    present and |x|,|y| < 2^31 (so each product fits BIGINT
+    exactly); the sums themselves accumulate in DECIMAL(38,0)/
+    HUGEINT and surface as DOUBLE — exact to 2^53, one identical
+    rounding beyond it on both engines — so no row count or feature
+    magnitude inside the domain can overflow the statistics."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
         "l_returnflag",
         F.round(F.col("l_quantity"), 0).cast("long").alias("x"),
         F.round(F.col("l_discount") * 100, 0).cast("long").alias("y"),
+    ).filter(
+        # The declared regression domain (r14 extreme campaign): both
+        # features present, |x|,|y| < 2^31 so x*x/x*y/y*y fit BIGINT
+        # exactly — an out-of-domain corrupt row must not overflow
+        # the moments (ANSI raise) or silently wrap (legacy).
+        F.col("x").isNotNull()
+        & F.col("y").isNotNull()
+        & (F.abs("x") < F.lit(2_147_483_648))
+        & (F.abs("y") < F.lit(2_147_483_648))
     )
+    # Moments accumulate in DECIMAL(38,0) (each product fits BIGINT by
+    # the domain filter; the SUM of products does not at extreme-but-
+    # in-domain 2^31-scale features — r14 extreme campaign) and
+    # surface as DOUBLE: one rounding of the same exact integer on
+    # both engines (DuckDB sums BIGINT into HUGEINT). All cross terms
+    # below are then identical IEEE double expressions both engines
+    # replay bit-for-bit.
+    def _dsum(expr):
+        return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
     s = base.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        _dsum(F.col("x")).alias("sx"),
+        _dsum(F.col("y")).alias("sy"),
+        _dsum(F.col("x") * F.col("x")).alias("sxx"),
+        _dsum(F.col("y") * F.col("y")).alias("syy"),
+        _dsum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    )
-    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
-    )
-    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-        "double"
-    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy") * F.col("sy")
     slope = num / denx
     return s.select(
         "l_returnflag",
@@ -690,11 +717,9 @@ def qty_discount_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "syy",
         "sxy",
         F.round(slope, 6).alias("slope"),
-        F.round(
-            (F.col("sy").cast("double") - slope * F.col("sx"))
-            / F.col("n"),
-            6,
-        ).alias("intercept"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 6).alias(
+            "intercept"
+        ),
         F.round(num / F.sqrt(denx * deny), 6).alias("corr"),
     ).orderBy("l_returnflag")
 

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from corral_spark.functions.det import davg, dec, dsum, dsum_expr, dsum_money
+from corral_spark.functions.det import davg, dec, dsum, dsum_expr, dsum_money, dec_rate
 from corral_spark.functions.text import substr_prefix, tokenize
 from corral_spark.queries.registry import register
 from corral_spark.sources.tables import load_table
@@ -30,15 +30,26 @@ def _one_dec(scale: int = 2) -> F.Column:
     return F.lit(1).cast(f"decimal(12,{scale})")
 
 
-# Shared revenue expression: exact decimal l_extendedprice*(1-l_discount).
+# Shared revenue expression: exact decimal l_extendedprice*(1-l_discount)
+# with the discount under the rate-domain rule (det.dec_rate).
 def _revenue_dec() -> F.Column:
-    return dec("l_extendedprice") * (_one_dec() - dec("l_discount"))
+    return dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - dec_rate("l_discount")
+    ).cast("decimal(4,2)")
 
 
 #: DuckDB mirror of the same expression — keep in sync with _revenue_dec.
+#: The discount factor goes through the RATE domain rule
+#: (det.dec_rate — [0,1], DECIMAL(3,2), out-of-domain NULL): a
+#: corrupt 1e8-scale "discount" otherwise inflates revenue sums to
+#: 1e20, past even dsum_money's 2^53 headroom, and its (12,2) width
+#: pushed DuckDB's product into an overflowing INT64 decimal (r14
+#: extreme campaign). With the rate pinned to (4,2) after the 1-,
+#: the product is (16,4) — exact INT64 range on both engines for
+#: every in-domain value.
 _REVENUE_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(12,2))"
-    " * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+    "TRY_CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * CAST(1 - (CASE WHEN l_discount BETWEEN 0 AND 1 THEN TRY_CAST(l_discount AS DECIMAL(3,2)) END) AS DECIMAL(4,2))"
 )
 
 
@@ -105,7 +116,7 @@ def amplab1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "amplab2",
     oracle="""
     SELECT substring(p_name, 1, 8) AS ip_prefix,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue
+           CAST(SUM(TRY_CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue
     FROM part
     GROUP BY 1
     ORDER BY ip_prefix
@@ -130,8 +141,8 @@ def amplab2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "amplab3",
     oracle="""
     SELECT c_name AS source_ip,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_rank,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_revenue
+           CAST(SUM(TRY_CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_rank,
+           CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE o_orderdate < TIMESTAMP '1998-01-01'
     GROUP BY c_name
@@ -170,13 +181,14 @@ def amplab3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
            CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE)               AS sum_disc_price,
-           CAST(ROUND(SUM({_REVENUE_SQL} * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_disc,
+           CAST(ROUND(SUM({_REVENUE_SQL}
+             * CAST(1 + (CASE WHEN l_tax BETWEEN 0 AND 1 THEN TRY_CAST(l_tax AS DECIMAL(3,2)) END) AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_charge,
+           CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+           CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 1 THEN TRY_CAST(l_discount AS DECIMAL(3,2)) END) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -206,10 +218,18 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
             dsum_money(revenue).alias("sum_disc_price"),
-            dsum_money(revenue * (_one_dec() + dec("l_tax"))).alias("sum_charge"),
+            dsum_money(
+                revenue
+                * (F.lit(1).cast("decimal(3,2)") + dec_rate("l_tax")).cast(
+                    "decimal(4,2)"
+                )
+            ).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            (
+                F.sum(dec_rate("l_discount")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -244,7 +264,7 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            o_orderpriority
     FROM customer
@@ -272,7 +292,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum_expr(_revenue_dec()).alias("revenue"))
+        .agg(dsum_money(_revenue_dec()).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -288,7 +308,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regional_revenue",
     oracle=f"""
     SELECT r_name, n_name,
-           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -317,7 +337,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            dsum_expr(_revenue_dec()).alias("revenue"),
+            dsum_money(_revenue_dec()).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("r_name", "n_name")
@@ -395,7 +415,7 @@ def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS return_flag,
            coalesce(l_linestatus, 'ALL') AS line_status,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -513,7 +533,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS month_revenue
+           CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS month_revenue
     FROM orders
     GROUP BY 1
     ORDER BY order_month
@@ -542,7 +562,13 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_props_json",
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           -- json_valid guard + TRY_CAST: a malformed props payload
+           -- contributes NULL to the sum (DuckDB's json functions
+           -- RAISE on invalid JSON; Spark's get_json_object nulls)
+           -- but still counts as an event — r14 extreme campaign.
+           CAST(SUM(TRY_CAST(CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS BIGINT))
+             AS BIGINT) AS sum_k,
            COUNT(*) AS n_events
     FROM events
     GROUP BY event_type
@@ -559,7 +585,9 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.groupBy("event_type")
         .agg(
-            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            F.sum(
+                F.get_json_object("props", "$.k").try_cast("bigint")
+            ).alias("sum_k"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type")

@@ -25,7 +25,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     WITH avgs AS (
       SELECT o_custkey AS k,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+             CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
       FROM orders GROUP BY 1
     )
     SELECT o_orderkey, o_custkey, o_totalprice AS total_price, avg_price
@@ -62,7 +62,7 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(l_returnflag, 'ALL') AS return_flag,
            coalesce(l_linestatus, 'ALL') AS line_status,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+           CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY return_flag, line_status
@@ -96,9 +96,9 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price,
            MEDIAN(l_extendedprice) AS median_price,
-           round(sqrt((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                 - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                   * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+           round(sqrt((CAST(SUM(CAST(TRY_CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(19,2)) * TRY_CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 - CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   * CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
                 / (COUNT(*) - 1)), 6) AS stddev_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -145,7 +145,7 @@ def robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
            CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
-                         THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS urgent_revenue
+                         THEN TRY_CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS urgent_revenue
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -212,7 +212,7 @@ def customer_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INT) AS y,
            CAST(quarter(o_orderdate) AS INT) AS q,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+           CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY 1, 2
     ORDER BY y, q
@@ -284,8 +284,8 @@ def order_item_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_id_parse",
     oracle="""
     SELECT c_custkey,
-           CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS parsed_id,
-           (CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) = c_custkey) AS id_consistent
+           TRY_CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS parsed_id,
+           (TRY_CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) = c_custkey) AS id_consistent
     FROM customer
     ORDER BY c_custkey
     """,
@@ -294,9 +294,14 @@ def order_item_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_id_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex capture-group extraction + cast + consistency predicate —
     the typed form of the reference's hand-rolled string parsing
-    (amplab1.go:23 strconv.Atoi)."""
+    (amplab1.go:23 strconv.Atoi). try_cast: a name that does not
+    match the pattern extracts '' and must parse to NULL on both
+    engines, not raise under ANSI (r14 extreme-value campaign —
+    schema-on-read rule, same as event_props_map)."""
     c = _t(spark, sf_dir, "customer")
-    parsed = F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("bigint")
+    parsed = F.regexp_extract("c_name", r"Customer#(\d+)", 1).try_cast(
+        "bigint"
+    )
     return c.select(
         "c_custkey",
         parsed.alias("parsed_id"),
@@ -382,7 +387,7 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+           CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from corral_spark.functions.det import dec, dsum, dsum_expr
+from corral_spark.functions.det import dec, dsum, dsum_expr, dsum_money, dec_rate
 from corral_spark.queries.registry import register
 from corral_spark.sources.tables import load_table
 
@@ -24,8 +24,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT c_name, o_orderkey, o_totalprice AS total_price, qty_sum
     FROM orders
     JOIN customer ON o_custkey = c_custkey
-    JOIN (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum
-          FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150) big
+    JOIN (SELECT l_orderkey, CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum
+          FROM lineitem GROUP BY l_orderkey HAVING SUM(TRY_CAST(l_quantity AS DECIMAL(12,2))) > 150) big
       ON o_orderkey = big.l_orderkey
     ORDER BY o_orderkey
     """,
@@ -92,10 +92,10 @@ def parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promo_revenue_share",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS y,
-           CAST(SUM(CASE WHEN p_type = 'PROMO'
-                    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
-                    END) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN TRY_CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - (CASE WHEN l_discount BETWEEN 0 AND 1 THEN TRY_CAST(l_discount AS DECIMAL(3,2)) END) AS DECIMAL(4,2))
+                    END), 2) AS DOUBLE)
+             / CAST(ROUND(SUM(TRY_CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - (CASE WHEN l_discount BETWEEN 0 AND 1 THEN TRY_CAST(l_discount AS DECIMAL(3,2)) END) AS DECIMAL(4,2))), 2) AS DOUBLE)
              AS promo_share,
            COUNT(*) AS n_items
     FROM lineitem
@@ -115,9 +115,16 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runtime whenever the scan lands under autoBroadcastJoinThreshold.
     part = _t(spark, sf_dir, "part")
     orders = _t(spark, sf_dir, "orders")
-    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
-    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
-    total = F.sum(rev).cast("double")
+    rev = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - dec_rate("l_discount")
+    ).cast("decimal(4,2)")
+    # dsum_money-shape sums (exact-decimal ROUND to cents before the
+    # double cast): revenue sums cross 2^53 scaled units under
+    # extreme-but-valid prices, where raw decimal->double casts pick
+    # up a cross-engine ulp (r13 pricing_summary precedent; r14
+    # extreme campaign caught the same class here).
+    promo = dsum_money(F.when(F.col("p_type") == "PROMO", rev))
+    total = dsum_money(rev)
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -135,7 +142,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH srev AS (
       SELECT l_suppkey,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+             CAST(ROUND(SUM(TRY_CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - (CASE WHEN l_discount BETWEEN 0 AND 1 THEN TRY_CAST(l_discount AS DECIMAL(3,2)) END) AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
       FROM lineitem GROUP BY l_suppkey
     )
     SELECT s_suppkey, s_name, revenue
@@ -150,8 +157,10 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     a scalar subquery comparison, decorrelated as agg + cross-joined
     broadcast scalar."""
     li = _t(spark, sf_dir, "lineitem")
-    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
-    srev = li.groupBy("l_suppkey").agg(dsum_expr(rev).alias("revenue"))
+    rev = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - dec_rate("l_discount")
+    ).cast("decimal(4,2)")
+    srev = li.groupBy("l_suppkey").agg(dsum_money(rev).alias("revenue"))
     mx = srev.agg(F.max("revenue").alias("max_rev"))
     supplier = _t(spark, sf_dir, "supplier")
     return (
@@ -168,7 +177,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH nrev AS (
       SELECT n_name,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+             CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
@@ -176,7 +185,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_name, revenue
     FROM nrev
-    WHERE revenue > (SELECT 0.05 * CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) FROM orders)
+    WHERE revenue > (SELECT 0.05 * CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) FROM orders)
     ORDER BY n_name
     """,
     tags=("subquery", "scalar", "having"),

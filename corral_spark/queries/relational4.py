@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from corral_spark.functions.det import dec
+from corral_spark.functions.det import dec, dec_rate
 from corral_spark.operators.merge import merge_upsert
 from corral_spark.operators.ranges import interval_bucket_join
 from corral_spark.operators.timeseries import gapfill_locf
@@ -40,7 +40,7 @@ _US_PER_DAY = 86_400 * 1_000_000
       FROM b, range(20) k
     )
     SELECT window_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(TRY_CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM events e JOIN iv
       ON epoch_us(e.ts) >= iv.lo AND epoch_us(e.ts) < iv.hi
     GROUP BY window_id
@@ -86,9 +86,15 @@ def events_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH obs AS (
       SELECT l_returnflag,
              datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day_num,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-      FROM lineitem WHERE l_quantity >= 49
+             CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - (CASE WHEN l_discount BETWEEN 0 AND 1 THEN TRY_CAST(l_discount AS DECIMAL(3,2)) END) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_quantity >= 49
+        -- declared series domain (r14): a ship date outside the
+        -- table's documented range is corrupt and must not stretch
+        -- the dense spine (one bad date = a 100k-day spine per key)
+        AND l_shipdate >= TIMESTAMP '1992-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
       GROUP BY 1, 2
     ),
     bounds AS (SELECT MIN(day_num) AS lo, MAX(day_num) AS hi FROM obs),
@@ -115,14 +121,18 @@ def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     with last-observation-carried-forward
     (operators.timeseries.gapfill_locf). Buckets are integer day
     numbers on both engines — no timestamp-affinity risk."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 49)
+        & (F.col("l_shipdate") >= F.lit("1992-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    )
     obs = (
         li.select(
             "l_returnflag",
             F.datediff(
                 F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
             ).alias("day_num"),
-            (dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))).alias(
+            (dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - dec_rate("l_discount")).cast("decimal(4,2)")).alias(
                 "__rev"
             ),
         )
@@ -139,7 +149,7 @@ def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_running_totals",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+           CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(12,2))) OVER (
              PARTITION BY o_custkey
              ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)

@@ -12,7 +12,7 @@ from corral_spark.queries.registry import register
 from corral_spark.sources.tables import load_table
 from corral_spark.streaming.ops import session_agg, sliding_agg, tumbling_agg
 
-_SUM_VALUE_SQL = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
+_SUM_VALUE_SQL = "CAST(SUM(TRY_CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,6 +86,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest(json_keys(props)) AS k,
              json_extract_string(props, '$.' || unnest(json_keys(props))) AS v
       FROM events
+      WHERE json_valid(props)
     )
     GROUP BY k
     ORDER BY prop_key
@@ -134,7 +135,7 @@ _STATEFUL_MEM_SEQ = 0
            -- generator emits no NULL values, but the twin must match
            -- the documented 0-cents semantics either way).
            COALESCE(
-             CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT),
+             CAST(SUM(TRY_CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT),
              0
            ) AS total_value_cents
     FROM events

@@ -69,6 +69,12 @@ RATE_DEN = int(_os.environ.get("CORRAL_NULL_RATE_DEN", "20"))  # ~1/N nulls
 #: unrelated crash still reports as ERROR_SPARK.
 EXPECTED_RAISES = {
     "skyline_parts": "skyline_min_max: NULL in dimension column",
+    # r14 extreme campaign: the sampler ENFORCES its documented
+    # weight bound (a silent BIGINT wrap would invert keep decisions
+    # for an arbitrary subset — loud beats silently-wrong).
+    "weighted_sampled_docs": (
+        "weighted_bernoulli_sample: max(weight) must be < 2^31"
+    ),
 }
 
 
