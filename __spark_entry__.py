@@ -88,16 +88,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # event_transition_matrix, doc_repetition_stats, order_item_arrays,
 # multimodal_ppm_decode, multimodal_wav_decode promoted early from
 # the r12-green pool; bottomk_doc_stats was already the 4th
-# alphabetical promotion) + TWO alphabetical promotions (amplab3,
-# big_orders_in_subquery). The 10 displaced alphabetical promotions
-# return at r15 at exactly the limit.
+# alphabetical promotion) + ONE alphabetical promotion (amplab3) +
+# ONE new query (rrf_hybrid_docs — new queries take head slots
+# directly, displacing the alphabetical tail: big_orders_in_subquery,
+# which returns r15 at the limit with the other displaced
+# promotions).
 #
 # LEDGER (r15 obligations, precomputed in docs/NEXT.md):
-#   r15 MUST hold the 37 r12-green queries below (3 rounds stale at
-#   r15 — the 27 never promoted plus the 10 displaced), leaving 13
-#   slots for the 48 r13-greens demoted below (alphabetical).
-#   Steady state stays sound: 135 oracled queries / 3-round max
-#   staleness = 45 required slots/round < 50.
+#   r15 MUST hold the 38 r12-green queries below (3 rounds stale at
+#   r15 — the 27 never promoted, the 10 displaced by substitutions,
+#   plus big_orders_in_subquery displaced by rrf_hybrid_docs),
+#   leaving 12 slots for the 48 r13-greens demoted below
+#   (alphabetical). Steady state stays sound: 136 oracled queries /
+#   3-round max staleness = 46 required slots/round < 50.
 _DEMOTED = (
     # -- r13-green, rotated out fresh (newest driver row = r13; due
     #    back r15–r16 per the rotation arithmetic in docs/NEXT.md).
@@ -155,11 +158,13 @@ _DEMOTED = (
     "unigram_logprob_docs",
     "user_rolling_1h",
     # -- r12-green, third round out at r15 = exactly the staleness
-    #    limit: ALL 37 of these MUST take r15 head slots (the NEXT.md
-    #    ROUND 15 obligation IS this list — 27 never promoted at r14
-    #    plus the 10 alphabetical promotions displaced by the r14
-    #    substitutions; see docs/NEXT.md ROUND 14 LEDGER PAID
+    #    limit: ALL 38 of these MUST take r15 head slots (the NEXT.md
+    #    ROUND 15 obligation IS this list — 27 never promoted at r14,
+    #    the 10 alphabetical promotions displaced by the r14
+    #    substitutions, plus big_orders_in_subquery displaced by the
+    #    new rrf_hybrid_docs; see docs/NEXT.md ROUND 14 LEDGER PAID
     #    entry). --
+    "big_orders_in_subquery",
     "bigram_logprob_docs",
     "cdc_chunk_dedup_docs",
     "click_purchase_within_1h",

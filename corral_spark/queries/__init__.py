@@ -23,6 +23,7 @@ from corral_spark.queries import extensions9 as _extensions9  # noqa: E402,F401
 from corral_spark.queries import extensions10 as _extensions10  # noqa: E402,F401
 from corral_spark.queries import extensions11 as _extensions11  # noqa: E402,F401
 from corral_spark.queries import extensions12 as _extensions12  # noqa: E402,F401
+from corral_spark.queries import extensions13 as _extensions13  # noqa: E402,F401
 from corral_spark.queries import streaming_q as _streaming  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -75,7 +75,12 @@ _BM25_B = 0.75
 _BM25_TOPK = 20
 
 
-def _bm25_oracle() -> str:
+def _bm25_scored_sql() -> str:
+    """Shared oracle CTE prefix: perdoc/stats/scored — every BM25-
+    scored document with its dl, matched-term count, total tf, and
+    integer-micro score. Used by the bm25_top_docs oracle and by the
+    rrf_hybrid_docs oracle (extensions13), so the two replays cannot
+    drift."""
     tok = _TOK_SQL.format(col="text")
     tf_cols = ",\n             ".join(
         f"CAST(len(list_filter({tok}, x -> x = '{t}')) AS BIGINT) AS tf{i}"
@@ -99,6 +104,7 @@ def _bm25_oracle() -> str:
         f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
         for i in range(len(_BM25_TERMS))
     )
+    tf_total = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
     return f"""
     WITH perdoc AS (
       SELECT doc_id, CAST(len({tok}) AS BIGINT) AS dl,
@@ -116,14 +122,35 @@ def _bm25_oracle() -> str:
       SELECT *, CAST(sum_dl AS DOUBLE) / n_docs AS avg_dl,
              {idf_cols}
       FROM stats0
+    ),
+    scored AS (
+      SELECT doc_id, dl, CAST({n_terms} AS INT) AS n_terms,
+             CAST({tf_total} AS BIGINT) AS tf_total,
+             ({score_terms}) AS bm25_micro
+      FROM perdoc, stats
     )
-    SELECT doc_id, dl, CAST({n_terms} AS INT) AS n_terms,
-           ({score_terms}) AS bm25_micro
-    FROM perdoc, stats
-    WHERE ({score_terms}) > 0
+    """
+
+
+def _bm25_oracle() -> str:
+    return (
+        _bm25_scored_sql()
+        + f"""
+    SELECT doc_id, dl, n_terms, bm25_micro
+    FROM scored
+    WHERE bm25_micro > 0
     ORDER BY bm25_micro DESC, doc_id
     LIMIT {_BM25_TOPK}
     """
+    )
+
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every BM25-scored document (doc_id, dl, n_terms, tf_total,
+    bm25_micro) — the shared scoring frame behind bm25_top_docs and
+    rrf_hybrid_docs (extensions13). Plan shape documented on
+    bm25_top_docs; the SQL twin is _bm25_scored_sql()."""
+    return _bm25_scored_frame(spark, sf_dir)
 
 
 @register(
@@ -142,6 +169,15 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized to 6dp in the stats row (3 ln calls per corpus, not
     3 per doc) so the per-doc arithmetic is engine-identical IEEE
     rationals; scores emitted as integer micros."""
+    scored = bm25_scored(spark, sf_dir).drop("tf_total").filter(
+        F.col("bm25_micro") > 0
+    )
+    return scored.orderBy(F.desc("bm25_micro"), F.asc("doc_id")).limit(
+        _BM25_TOPK
+    )
+
+
+def _bm25_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
 
     # NB: the predicate must be an ARITY-1 lambda — F.filter treats a
@@ -225,14 +261,16 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(len(_BM25_TERMS)):
         c = (F.col(f"tf{i}") > 0).cast("int")
         n_terms = c if n_terms is None else n_terms + c
-    scored = joined.select(
+    tf_total = None
+    for i in range(len(_BM25_TERMS)):
+        c = F.col(f"tf{i}")
+        tf_total = c if tf_total is None else tf_total + c
+    return joined.select(
         "doc_id",
         "dl",
         n_terms.cast("int").alias("n_terms"),
+        tf_total.cast("bigint").alias("tf_total"),
         bm25.alias("bm25_micro"),
-    ).filter(F.col("bm25_micro") > 0)
-    return scored.orderBy(F.desc("bm25_micro"), F.asc("doc_id")).limit(
-        _BM25_TOPK
     )
 
 
