@@ -659,6 +659,9 @@ _BNLJ_BOUNDED_BROADCAST = {
     "bloom_new_docs",
     "bm25_top_docs",
     "bottomk_doc_stats",
+    # rrf_hybrid_docs inherits bm25's one-row corpus-stats broadcast
+    # (the shared bm25_scored frame) — same audited bounded shape.
+    "rrf_hybrid_docs",
     "emb_int8_topk",
     "heavy_hitter_tokens",
     "hll_token_overlap_sources",
