@@ -31,6 +31,26 @@ def time_bucket(col: Column | str, width_seconds: int) -> Column:
     ) * width_seconds
 
 
+def event_micros(df: DataFrame, col: str) -> Column:
+    """Exact integer microsecond position of an event-time column
+    under BOTH halves of the event-time contract (r14, SCALE.md
+    round-14): TIMESTAMP_NTZ (the batch wall clock) via
+    timestampdiff against the NTZ epoch — pure wall arithmetic,
+    host-TZ-independent; TIMESTAMP (streaming instants) via
+    unix_micros. Callers must only rely on DIFFERENCES and ORDERING
+    of these values (frame bounds, interval deltas, sort keys),
+    which are identical under either mapping — the absolute origin
+    differs between the two halves by the wall-vs-instant offset."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        return F.expr(
+            "timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    return F.unix_micros(F.col(col))
+
+
 def gapfill_locf(
     observed: DataFrame,
     key_col: str,
@@ -136,7 +156,7 @@ def rolling_range_agg(
     """
     from corral_spark.functions.det import dec
 
-    us = F.unix_micros(F.col(ts_col))
+    us = event_micros(df, ts_col)
     w = (
         Window.partitionBy(key_col)
         .orderBy(us)

@@ -156,16 +156,19 @@ def click_purchase_within_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     The equi key (user_id) carries the shuffle; the time bound is a
     post-join filter, so this is one hash join, not a range scan.
     Delta emitted in integer micros (no timestamp affinity)."""
+    from corral_spark.operators.timeseries import event_micros
+
     ev = _t(spark, sf_dir, "events")
+    ts_us = event_micros(ev, "ts")
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         "user_id",
-        F.unix_micros("ts").alias("click_us"),
+        ts_us.alias("click_us"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
-        F.unix_micros("ts").alias("purchase_us"),
+        ts_us.alias("purchase_us"),
     )
     hour_us = 3600 * 1_000_000
     return (

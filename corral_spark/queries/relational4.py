@@ -56,9 +56,10 @@ def events_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUI-join on bucket id + exact refine, never a nested-loop over
     points x intervals. All comparisons in epoch micros on both
     engines so boundary semantics are integer-exact."""
-    ev = _t(spark, sf_dir, "events").select(
-        F.unix_micros(F.col("ts")).alias("ts_us"), "value"
-    )
+    from corral_spark.operators.timeseries import event_micros
+
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select(event_micros(raw, "ts").alias("ts_us"), "value")
     mn = ev.agg(F.min("ts_us")).first()[0]
     iv = spark.range(20).select(
         F.col("id").alias("window_id"),

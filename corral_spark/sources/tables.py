@@ -50,25 +50,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS); with nanosAsLong=true it scans
-        # as nanos-since-epoch. Truncate to micros (what DuckDB and any
-        # micro-resolution engine sees) and restore the timestamp type.
+        # EVENT-TIME WALL-CLOCK CONTRACT (r14 TZ-sensitivity probe,
+        # SCALE.md round-14): ``ts`` is TIMESTAMP_NTZ — a naive wall
+        # clock — from load to render, so every window alignment,
+        # truncation, and strftime-style rendering is HOST-TIMEZONE-
+        # INDEPENDENT and matches what any wall-clock engine (incl.
+        # the DuckDB oracle) computes. The driver's vanilla session
+        # inherits the host TZ; instant-typed event time made hour
+        # windows align to UTC epoch hours (= :45 local under a
+        # +05:45 host) — the registry's only environment-sensitive
+        # rows before this contract.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # Integer DIV: double division would lose precision above
-            # 2^53 ns (~1970+104 days); epoch-nanos are ~1.7e18.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            # TIMESTAMP(NANOS) scanned as nanos-since-epoch
+            # (nanosAsLong). Truncate to micros with integer DIV
+            # (double division loses precision above 2^53 ns) and
+            # build the NTZ wall clock TZ-INDEPENDENTLY via
+            # timestampadd on an NTZ epoch base — timestamp_micros()
+            # would produce an instant whose wall clock depends on
+            # the session timezone.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts DIV 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif isinstance(dt, TimestampNTZType):
+            pass  # already the contract type
         else:
-            from pyspark.sql.types import TimestampNTZType
-
-            if isinstance(df.schema["ts"].dataType, TimestampNTZType):
-                # Parquet written by micro-resolution engines (e.g. the
-                # sf scale-up tool via DuckDB) scans as TIMESTAMP_NTZ;
-                # time functions (unix_micros, windows) want TIMESTAMP.
-                # Session tz is pinned UTC, so the cast is value-stable.
-                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # Instant-typed scan (isAdjustedToUTC parquet): take the
+            # UTC wall clock — deterministic regardless of host TZ.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "CAST(convert_timezone('UTC', ts) AS TIMESTAMP_NTZ)"
+                ),
+            )
     return df
 
 

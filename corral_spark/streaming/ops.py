@@ -69,13 +69,33 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    # EVENT-TIME CONTRACT, streaming half (r14 TZ probe, SCALE.md
+    # round-14): Spark watermarks REQUIRE TIMESTAMP
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE rejects NTZ), so the
+    # stream keeps INSTANTS — mapped TZ-INDEPENDENTLY as
+    # instant-epoch == wall-clock-as-UTC, which makes window
+    # ALIGNMENT wall-correct under any host timezone. (Batch event
+    # time is TIMESTAMP_NTZ end to end — load_table; rendered
+    # strings from the STREAMING path are UTC-wall only on UTC
+    # hosts — a documented Spark watermark limitation. The batch
+    # twin is the driver-gate surface; availableNow equivalence is
+    # pinned on UTC CI.)
     if isinstance(ts_type, LongType):
         # nanos-as-long -> truncate to micros (integer DIV: double
-        # division loses precision above 2^53 ns).
+        # division loses precision above 2^53 ns); epoch micros ARE
+        # the wall-as-UTC instant — TZ-independent.
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     elif isinstance(ts_type, TimestampNTZType):
-        # Session tz pinned UTC, so the cast is value-stable.
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        # NTZ wall W -> instant with epoch == W: render W in the
+        # session zone's wall for the instant, then cast back —
+        # the session TZ cancels, leaving wall-as-UTC.
+        raw = raw.withColumn(
+            "ts",
+            F.expr(
+                "CAST(convert_timezone('UTC', current_timezone(), ts)"
+                " AS TIMESTAMP)"
+            ),
+        )
     return raw
 
 
@@ -91,7 +111,16 @@ def tumbling_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     watermark convention: event-time operators define their input as
     timestamped rows; under streaming a NULL event time is never
     admitted past the watermark). Dropped explicitly here so batch
-    and streaming forms agree — r13 NULL-campaign class 2."""
+    and streaming forms agree — r13 NULL-campaign class 2.
+
+    Windows align on the WALL CLOCK: ``ts`` is TIMESTAMP_NTZ by the
+    event-time contract (sources.tables.load_table /
+    read_events_stream — r14 TZ-sensitivity probe, SCALE.md
+    round-14), so F.window aligns hour boundaries to wall hours
+    under ANY host timezone; an instant-typed ts aligned them to
+    UTC epoch hours (= :45 local under a +05:45 host) — the
+    registry's only environment-sensitive rows before the
+    contract."""
     events = events.filter(F.col("ts").isNotNull())
     return (
         events.groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -114,7 +143,8 @@ def sliding_agg(
     """Per sliding window: count + exact sum. With w=1h, s=30m each
     event lands in exactly 2 windows; the batch oracle mirrors this by
     exploding each row into its two window starts. NULL event times
-    dropped — see tumbling_agg."""
+    dropped and wall-clock (NTZ) window alignment — see
+    tumbling_agg."""
     events = events.filter(F.col("ts").isNotNull())
     return (
         events.groupBy(F.window("ts", window, slide).alias("w"))
@@ -201,11 +231,16 @@ def interval_join_stream(
         ),
         how,
     )
+    from corral_spark.operators.timeseries import event_micros
+
     return joined.select(
         "click_id",
         "purchase_id",
         F.col("c_user").alias("user_id"),
-        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+        # event_micros: NTZ wall arithmetic on batch frames,
+        # unix_micros on streaming instants — the DIFFERENCE is
+        # identical under either mapping (event-time contract).
+        (event_micros(p, "purchase_ts") - event_micros(c, "click_ts")).alias(
             "delta_us"
         ),
     )

@@ -303,3 +303,47 @@ def test_interval_join_stream_rejects_unknown_mode(spark):
     ev = load_table(spark, SF, "events")
     with pytest.raises(ValueError):
         interval_join_stream(ev, ev, how="full_outer")
+
+
+def test_tumbling_windows_align_on_wall_clock(spark):
+    """r14 TZ-sensitivity probe pin: hour windows must align to the
+    WALL clock under any session timezone. Under a fractional-offset
+    zone (+05:45) an instant-aligned F.window lands at :45 local —
+    the registry's only two environment-sensitive rows before the
+    NTZ fix (SCALE.md round-14)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from corral_spark.streaming.ops import sliding_agg, tumbling_agg
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        events = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1, 10, 20), 7, "click", 1.0, "{}"),
+                (2, dt.datetime(2024, 1, 1, 10, 40), 7, "click", 2.0, "{}"),
+                (3, dt.datetime(2024, 1, 1, 11, 5), 8, "view", 3.0, "{}"),
+            ],
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string",
+        )
+        # NTZ event time is a pure wall clock: window starts are the
+        # exact wall hours/half-hours REGARDLESS of session timezone
+        # (an instant-typed ts aligned them to UTC epoch hours —
+        # :45/:15 local under +05:45).
+        tumb = {r.window_start for r in tumbling_agg(events, "1 hour").collect()}
+        assert tumb == {"2024-01-01 10:00:00", "2024-01-01 11:00:00"}
+        slid = {
+            r.window_start
+            for r in sliding_agg(events, "1 hour", "30 minutes").collect()
+        }
+        assert slid == {
+            "2024-01-01 09:30:00",
+            "2024-01-01 10:00:00",
+            "2024-01-01 10:30:00",
+            "2024-01-01 11:00:00",
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

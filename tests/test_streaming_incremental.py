@@ -41,6 +41,16 @@ def test_watermark_bounds_state_across_batches(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{src}/*")
     )
+    # Streaming half of the event-time contract (r14): watermarks
+    # REQUIRE TIMESTAMP, so map the NTZ wall clock to wall-as-UTC
+    # instants exactly like streaming.ops.read_events_stream.
+    stream = stream.withColumn(
+        "ts",
+        F.expr(
+            "CAST(convert_timezone('UTC', current_timezone(), ts)"
+            " AS TIMESTAMP)"
+        ),
+    )
     agg = tumbling_agg(stream.withWatermark("ts", "1 hour"))
     q = (
         agg.writeStream.format("memory")
