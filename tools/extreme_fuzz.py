@@ -36,7 +36,7 @@ Palette (cycled per masked row by key value):
 
 Usage:
   python tools/extreme_fuzz.py build [sf_dir] [out_dir]
-  python tools/extreme_fuzz.py run   [ignored] [out_dir]  # non-repo cwd
+  python tools/extreme_fuzz.py run   [out_dir]           # non-repo cwd
   python tools/extreme_fuzz.py both  [sf_dir] [out_dir]
 """
 
@@ -171,9 +171,13 @@ def run(twin_dir: str) -> None:
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
-    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
-    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sfextreme0.001"
-    if mode in ("build", "both"):
-        build(sf, out)
-    if mode in ("run", "both"):
+    if mode == "run":
+        # run takes ONE positional: the twin dir (see null_fuzz).
+        out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfextreme0.001"
         run(out)
+    else:
+        sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+        out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sfextreme0.001"
+        build(sf, out)
+        if mode == "both":
+            run(out)

@@ -222,9 +222,17 @@ def run(null_dir: str) -> None:
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
-    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
-    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sfnull0.001"
-    if mode in ("build", "both"):
-        build(sf, out)
-    if mode in ("run", "both"):
+    if mode == "run":
+        # run takes ONE positional: the twin dir. (The old 3-arg
+        # mapping silently ignored a 2nd arg and replayed the default
+        # dir — the r14 combo-twin run initially tested the WRONG
+        # corpus because of it; byte-identical twins masked it for
+        # the plain null runs.)
+        out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfnull0.001"
         run(out)
+    else:
+        sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+        out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sfnull0.001"
+        build(sf, out)
+        if mode == "both":
+            run(out)

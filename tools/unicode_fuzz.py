@@ -25,7 +25,7 @@ to triage, not a driver-gate failure (the gate data is ASCII).
 
 Usage:
   python tools/unicode_fuzz.py build [sf_dir] [out_dir]
-  python tools/unicode_fuzz.py run   [ignored] [out_dir]
+  python tools/unicode_fuzz.py run   [out_dir]
   python tools/unicode_fuzz.py both  [sf_dir] [out_dir]
 """
 
@@ -148,9 +148,13 @@ def run(twin_dir: str) -> None:
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
-    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
-    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sfuni0.001"
-    if mode in ("build", "both"):
-        build(sf, out)
-    if mode in ("run", "both"):
+    if mode == "run":
+        # run takes ONE positional: the twin dir (see null_fuzz).
+        out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfuni0.001"
         run(out)
+    else:
+        sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+        out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sfuni0.001"
+        build(sf, out)
+        if mode == "both":
+            run(out)
