@@ -96,11 +96,28 @@ def apply_agg_delta(
     full outer). Found by the r13 NULL-injection campaign.
     """
     s = F.col(sign_col)
+    # Companion NON-NULL-contribution counts: a maintained NULLABLE
+    # SUM cannot distinguish "sums to zero" from "has no non-null
+    # contributions left" after deletes — SQL's SUM over an all-NULL
+    # group is NULL, and the r14 layered-corruption campaign caught
+    # the maintained state reading 0.0 there. When the snapshot
+    # carries ``<col>__nn`` columns (COUNT(col) at snapshot build),
+    # they are maintained alongside and the sum is emitted as NULL
+    # exactly when its non-null count reaches 0. Snapshots without
+    # the companions keep the legacy additive behavior (documented
+    # limitation: all-NULL groups read 0).
+    tracked = [c for c in sum_cols if f"{c}__nn" in snapshot.columns]
     dagg = delta.groupBy(*key_cols).agg(
         F.sum(s).alias("__dn"),
         *[
             F.sum(s * F.col(c)).alias(f"__d_{c}")
             for c in sum_cols
+        ],
+        *[
+            F.sum(s * F.col(c).isNotNull().cast("long")).alias(
+                f"__dnn_{c}"
+            )
+            for c in tracked
         ],
     )
     snap = snapshot.alias("s")
@@ -136,10 +153,27 @@ def apply_agg_delta(
         checked_n.alias(count_col),
         *[
             (
-                F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                F.when(
+                    (
+                        F.coalesce(F.col(f"s.{c}__nn"), F.lit(0))
+                        + F.coalesce(F.col(f"__dnn_{c}"), F.lit(0))
+                    )
+                    > 0,
+                    F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"__d_{c}"), F.lit(0)),
+                )
+                if c in tracked
+                else F.coalesce(F.col(f"s.{c}"), F.lit(0))
                 + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
             ).alias(c)
             for c in sum_cols
+        ],
+        *[
+            (
+                F.coalesce(F.col(f"s.{c}__nn"), F.lit(0))
+                + F.coalesce(F.col(f"__dnn_{c}"), F.lit(0))
+            ).alias(f"{c}__nn")
+            for c in tracked
         ],
     )
     return combined.filter(F.col(count_col) > 0)

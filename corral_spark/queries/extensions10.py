@@ -93,6 +93,10 @@ def orders_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot = base.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(dec("o_totalprice")).alias("o_totalprice"),
+        # companion non-null count: lets the maintained SUM read NULL
+        # for an all-invalid group exactly like a full recompute
+        # (r14 layered-corruption find; merge.apply_agg_delta)
+        F.count(dec("o_totalprice")).alias("o_totalprice__nn"),
     )
     delta = (
         orders.filter(mod == 0).withColumn("sign", F.lit(1))
