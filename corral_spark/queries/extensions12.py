@@ -340,8 +340,14 @@ _PSI_NBIN = (
       FROM smoothed
     )
     SELECT feature, bin, ref_cnt, cur_cnt, psi_term_micro,
-           SUM(psi_term_micro) OVER (PARTITION BY feature)
-             AS total_psi_micro
+           -- CAST is load-bearing: DuckDB's SUM(BIGINT) returns
+           -- HUGEINT, which fetchdf() renders as float64 while the
+           -- Spark side is int64 — numerically equal, but the
+           -- driver HASHES values, so 5 vs 5.0 diverge. This single
+           -- un-cast window sum was the r13+r14 driver red
+           -- (reproduced locally by driver_sim's dtype-kind check).
+           CAST(SUM(psi_term_micro) OVER (PARTITION BY feature)
+                AS BIGINT) AS total_psi_micro
     FROM terms
     ORDER BY feature, bin
     """,

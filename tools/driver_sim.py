@@ -58,6 +58,23 @@ for name, fn in sorted(qs.items()):
         s = sdf[sorted(sdf.columns)].sort_values(by=sorted(sdf.columns)).reset_index(drop=True)
         o = odf[sorted(odf.columns)].sort_values(by=sorted(odf.columns)).reset_index(drop=True)
         for c in s.columns:
+            # The driver HASHES values, so int64 5 and float64 5.0 are
+            # different even though Python `==` says equal. This exact
+            # laxness hid the psi_drift_docs red for two rounds: the
+            # oracle's un-cast window SUM(BIGINT) came back HUGEINT ->
+            # float64 under fetchdf while Spark produced int64 — nine
+            # local MATCHes against two deterministic driver reds.
+            # Mirror the hash: a numeric column pair must agree on
+            # int-vs-float KIND, not just numeric value.
+            import pandas.api.types as pt
+            s_num = pt.is_numeric_dtype(s[c]) and not pt.is_bool_dtype(s[c])
+            o_num = pt.is_numeric_dtype(o[c]) and not pt.is_bool_dtype(o[c])
+            if s_num and o_num and (
+                pt.is_float_dtype(s[c]) != pt.is_float_dtype(o[c])
+            ):
+                print(f"{name}: DTYPE-KIND {c}: spark={s[c].dtype} oracle={o[c].dtype}")
+                ok_vals = False
+                break
             for a, b in zip(s[c].tolist(), o[c].tolist()):
                 if isinstance(a, float) and isinstance(b, float):
                     if not (a == b or (math.isnan(a) and math.isnan(b))):
