@@ -78,46 +78,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # double-green queries so no oracled query's newest driver row goes
 # more than ~2 rounds stale.
 #
-# Round 14 (paid per docs/NEXT.md ROUND 14 LEDGER — PAID entry): the
-# head = the 37 obligated r11-greens (2 rounds stale, the policy
-# limit) + ELEVEN substitutions forced by this round's NULL-plan /
-# typing fixes under the standing implementation-change rule
-# (bm25_top_docs + psi_drift_docs held over from the r13 head — psi
-# is ALSO the r13 red row whose oracle went explicitly DOUBLE;
-# order_percentiles, part_price_bins, events_tumbling_1h,
-# event_transition_matrix, doc_repetition_stats, order_item_arrays,
-# multimodal_ppm_decode, multimodal_wav_decode promoted early from
-# the r12-green pool; bottomk_doc_stats was already the 4th
-# alphabetical promotion) + ONE alphabetical promotion (amplab3) +
-# ONE new query (rrf_hybrid_docs — new queries take head slots
-# directly, displacing the alphabetical tail: big_orders_in_subquery,
-# which returns r15 at the limit with the other displaced
-# promotions).
+# Round 15 (paid per docs/NEXT.md ROUND 15 LEDGER — PAID entry): the
+# head = the 38 obligated r12-greens (3 rounds stale, the hard
+# limit) + TEN of the twelve precomputed substitutions
+# (ann_cosine_topk, ann_ivf_kmeans, ann_ivf_probes, ann_ivf_topk,
+# emb_near_dup_planted, events_in_promo_windows, mmr_diverse_topk,
+# order_date_parts, orders_rollup_ivm, pq_ann_topk) +
+# psi_drift_docs (the r14 red row — root-caused and fixed at r15
+# open: the oracle's un-cast window SUM(BIGINT) -> HUGEINT ->
+# float64 under fetchdf vs Spark's int64, invisible to numeric `==`
+# but fatal to the driver's value-hash) + the NEW psi_drift_probe
+# (verdict item 1's stage-decomposed integer witness). The probe +
+# retained psi displace the substitution tail promo_revenue_share
+# and robust_stats to r16.
 #
-# LEDGER (r15 obligations, precomputed in docs/NEXT.md):
-#   r15 MUST hold the 38 r12-green queries below (3 rounds stale at
-#   r15 — the 27 never promoted, the 10 displaced by substitutions,
-#   plus big_orders_in_subquery displaced by rrf_hybrid_docs),
-#   leaving 12 slots for the 48 r13-greens demoted below
-#   (alphabetical). Steady state stays sound: 136 oracled queries /
-#   3-round max staleness = 46 required slots/round < 50.
+# LEDGER (r16 obligations, precomputed in docs/NEXT.md):
+#   36 never-promoted r13-greens + the six r14 overflow +
+#   promo_revenue_share + robust_stats = 44 obligated < 50.
+#   Steady state stays sound: 137 oracled queries / 3-round max
+#   staleness = 46 required slots/round < 50.
 _DEMOTED = (
-    # -- r13-green, rotated out fresh (newest driver row = r13; due
-    #    back r15–r16 per the rotation arithmetic in docs/NEXT.md).
-    #    bm25_top_docs and psi_drift_docs are NOT here — both changed
-    #    in the r14 NULL/typing fixes and hold r14 head slots by the
-    #    standing substitution rule. Every demoted query stays
-    #    oracle-gated by pytest + the full driver_sim replica every
-    #    round. --
-    "ann_cosine_topk",
-    "ann_ivf_kmeans",
-    "ann_ivf_probes",
-    "ann_ivf_topk",
+    # -- r13-green residue (38): the 48 rotated out at r14 minus the
+    #    TEN r15 substitutions promoted back per the ROUND 15 LEDGER
+    #    PAID entry in docs/NEXT.md. Includes the six documented
+    #    overflow (rollup_sales, salted_nation_revenue,
+    #    semantic_dedup_docs, stateful_user_totals, text_stats_docs,
+    #    user_rolling_1h) plus promo_revenue_share and robust_stats,
+    #    displaced by psi_drift_probe + the retained psi_drift_docs —
+    #    ALL EIGHT are r16 obligations at exactly the 3-round limit. --
     "asof_signup_before_purchase",
     "boilerplate_removed_docs",
     "domain_mix_docs",
-    "emb_near_dup_planted",
-    "events_in_promo_windows",
     "hll_distinct_parts",
     "hll_merged_slices",
     "hygiene_filtered_docs",
@@ -125,16 +116,12 @@ _DEMOTED = (
     "lang_id_docs",
     "lang_sampling_weights",
     "minhash_pairs_docs",
-    "mmr_diverse_topk",
     "multimodal_features",
     "normalized_redacted_docs",
-    "order_date_parts",
     "orders_minmax_refresh",
-    "orders_rollup_ivm",
     "part_bfs_hops",
     "part_pagerank",
     "parts_never_shipped",
-    "pq_ann_topk",
     "pretrain_corpus",
     "pretrain_corpus_full",
     "pretrain_corpus_provenance",
@@ -157,51 +144,60 @@ _DEMOTED = (
     "train_test_split_counts",
     "unigram_logprob_docs",
     "user_rolling_1h",
-    # -- r12-green, third round out at r15 = exactly the staleness
-    #    limit: ALL 38 of these MUST take r15 head slots (the NEXT.md
-    #    ROUND 15 obligation IS this list — 27 never promoted at r14,
-    #    the 10 alphabetical promotions displaced by the r14
-    #    substitutions, plus big_orders_in_subquery displaced by the
-    #    new rrf_hybrid_docs; see docs/NEXT.md ROUND 14 LEDGER PAID
-    #    entry). --
-    "big_orders_in_subquery",
-    "bigram_logprob_docs",
-    "cdc_chunk_dedup_docs",
-    "click_purchase_within_1h",
-    "cube_sales",
-    "customer_cohort_retention",
-    "customer_id_parse",
-    "customers_without_orders",
-    "daily_revenue_gapfill",
-    "decontaminate_docs",
-    "dedup_clusters_docs",
-    "dedup_keep_longest_docs",
-    "distinct_parts_per_flag",
-    "doc_chunks",
-    "doc_fingerprint_md5",
-    "doc_provenance",
-    "event_hourly_anomalies",
-    "heavy_hitter_tokens",
-    "high_value_order_exists",
-    "incremental_dedup_new_docs",
-    "nation_set_ops",
-    "nations_above_global_share",
-    "null_semantics",
-    "order_latency",
-    "orders_above_customer_avg",
-    "orders_by_month",
-    "orders_merge_upsert",
-    "pack_docs_2k",
-    "phrase_mining_docs",
-    "priority_pivot",
-    "quality_score_docs",
-    "simhash_md5_pairs",
-    "top_revenue_supplier",
-    "top_tokens_per_lang",
-    "udtf_sentences_docs",
-    "union_all_parties",
-    "weighted_sampled_docs",
-    "window_top_orders",
+    # -- r14-green, rotated out fresh at r15 (newest driver row =
+    #    r14; due back r16-r17 by the staleness arithmetic). psi and
+    #    the new probe are NOT here: psi holds its slot as the r14
+    #    red row (root-caused + fixed this round) and psi_drift_probe
+    #    is its new driver-side witness. --
+    "amplab1",
+    "amplab2",
+    "amplab3",
+    "bloom_new_docs",
+    "bloom_new_docs_registers",
+    "bm25_top_docs",
+    "bottomk_doc_stats",
+    "click_purchase_leftouter",
+    "cms_bigram_counts",
+    "cross_corpus_near_dups",
+    "customer_name_features",
+    "customer_running_totals",
+    "dedup_exact_docs",
+    "doc_repetition_stats",
+    "dq_report",
+    "emb_int8_topk",
+    "event_funnel_stages",
+    "event_props_json",
+    "event_props_map",
+    "event_transition_matrix",
+    "events_session_30m",
+    "events_sliding_1h_30m",
+    "events_tumbling_1h",
+    "fuzzy_customer_pairs",
+    "fuzzy_customer_pairs_capped",
+    "fuzzy_customer_pairs_lev2",
+    "gram_dedup_docs",
+    "hll_token_overlap_sources",
+    "layout_skipping_report",
+    "multimodal_ppm_decode",
+    "multimodal_wav_decode",
+    "order_item_arrays",
+    "order_percentiles",
+    "part_pairs_lift",
+    "part_price_bins",
+    "ppjoin_neighbor_counts",
+    "price_histogram_quantiles",
+    "price_outliers_mad",
+    "pricing_summary",
+    "purchase_by_tier_scd2",
+    "qty_discount_linreg",
+    "regional_revenue",
+    "rrf_hybrid_docs",
+    "shipping_priority",
+    "skyline_parts",
+    "strong_coorder_triangles",
+    "user_value_ewma",
+    "wordcount",
+    "zorder_parts_locality",
 )
 
 

@@ -39,7 +39,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from corral_spark.queries.extensions12 import (
+    _PSI_NBIN,
     _bm25_scored_sql,
+    _t,
     bm25_scored,
 )
 from corral_spark.queries.registry import register
@@ -154,3 +156,134 @@ def rrf_hybrid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(
         _RRF_OUT
     )
+
+
+# ------------------------------------------------------- PSI probe
+#
+# Diagnostic decomposition of psi_drift_docs' pipeline into
+# per-stage INTEGER outputs (r14 verdict item 1). psi was the lone
+# driver red for two consecutive rounds while NINE same-data local
+# replicas matched; r15 root-caused it locally (the oracle's un-cast
+# window SUM(BIGINT) -> HUGEINT -> float64 under fetchdf, vs Spark's
+# int64 — numerically equal, hash-different) and fixed the cast.
+# This probe stays registered as the driver-side witness: if psi
+# ever reds again, this row's green/red splits the pipeline —
+# red here = counts/smoothing/ln stage; green here + psi red =
+# the final product/round/window-sum stage (or the harness).
+#
+# Quantizations and their measured boundary distances (sf0.001/
+# sf0.01/sf0.1, docs/SCALE.md round-15): p,q at 1e12 — single IEEE
+# divisions of exactly representable operands, bit-identical on any
+# IEEE engine, so ANY nonzero distance-to-tie is safe (measured
+# floors 4.4e-2/4.9e-3/4.0e-2); round(ln,6)*1e6 is integral by
+# construction (distance exactly 0.5) and the 6dp ln itself is
+# audited at a 3.2e-2 floor by test_transcendental_guard.py.
+
+_PSI_PROBE_BASE = f"""
+    WITH long AS (
+      SELECT 'n_chars_bin' AS feature, {_PSI_NBIN} AS bin,
+             CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 10
+                  THEN 'ref' ELSE 'cur' END AS side
+      FROM documents
+      UNION ALL
+      SELECT 'lang' AS feature, lang AS bin,
+             CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 10
+                  THEN 'ref' ELSE 'cur' END AS side
+      FROM documents
+    ),
+    cnts AS (
+      SELECT feature, bin,
+             CAST(SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ref_cnt,
+             CAST(SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cur_cnt
+      FROM long GROUP BY feature, bin
+    ),
+    smoothed AS (
+      SELECT feature, bin, ref_cnt, cur_cnt,
+             (CAST(ref_cnt AS DOUBLE) + 0.5e0)
+               / (CAST(SUM(ref_cnt) OVER (PARTITION BY feature)
+                       AS DOUBLE)
+               + 0.5e0 * CAST(COUNT(*) OVER (PARTITION BY feature)
+                              AS DOUBLE)) AS p,
+             (CAST(cur_cnt AS DOUBLE) + 0.5e0)
+               / (CAST(SUM(cur_cnt) OVER (PARTITION BY feature)
+                       AS DOUBLE)
+               + 0.5e0 * CAST(COUNT(*) OVER (PARTITION BY feature)
+                              AS DOUBLE)) AS q
+      FROM cnts
+    )
+"""
+
+
+@register(
+    "psi_drift_probe",
+    oracle=_PSI_PROBE_BASE
+    + """
+    SELECT feature, bin, ref_cnt, cur_cnt,
+           CAST(round(p * 1e12) AS BIGINT) AS p_pico,
+           CAST(round(q * 1e12) AS BIGINT) AS q_pico,
+           CAST(round(round(ln(q / p), 6) * 1e6) AS BIGINT)
+             AS lnr_micro
+    FROM smoothed
+    ORDER BY feature, bin
+    """,
+    tags=("quality", "drift", "diagnostic", "extension"),
+)
+def psi_drift_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-decomposed integer witness for psi_drift_docs: the
+    side-split counts, the smoothed shares as exact-division picos,
+    and the 6dp-quantized ln as micros — every hashed column BIGINT
+    or string, every stage independently comparable. Same plan shape
+    as psi itself: one scan stacked long, one tiny combined groupBy,
+    window functions over a <=2*(bins+langs)-row frame."""
+    docs = _t(spark, sf_dir, "documents")
+    side = F.when(
+        F.substring("source", 4, 10).try_cast("int") < 10, F.lit("ref")
+    ).otherwise(F.lit("cur"))
+    long = docs.select(
+        F.expr(
+            f"stack(2, 'n_chars_bin', {_PSI_NBIN}, 'lang', lang)"
+            " AS (feature, bin)"
+        ),
+        side.alias("side"),
+    )
+    cnts = long.groupBy("feature", "bin").agg(
+        F.sum((F.col("side") == "ref").cast("int"))
+        .cast("bigint")
+        .alias("ref_cnt"),
+        F.sum((F.col("side") == "cur").cast("int"))
+        .cast("bigint")
+        .alias("cur_cnt"),
+    )
+    w = Window.partitionBy("feature")
+    smoothed = cnts.select(
+        "*",
+        (
+            (F.col("ref_cnt") + F.lit(0.5))
+            / (
+                F.sum("ref_cnt").over(w)
+                + F.lit(0.5) * F.count(F.lit(1)).over(w)
+            )
+        ).alias("p"),
+        (
+            (F.col("cur_cnt") + F.lit(0.5))
+            / (
+                F.sum("cur_cnt").over(w)
+                + F.lit(0.5) * F.count(F.lit(1)).over(w)
+            )
+        ).alias("q"),
+    )
+    return smoothed.select(
+        "feature",
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        F.round(F.col("p") * F.lit(1e12)).cast("bigint").alias("p_pico"),
+        F.round(F.col("q") * F.lit(1e12)).cast("bigint").alias("q_pico"),
+        F.round(
+            F.round(F.log(F.col("q") / F.col("p")), 6) * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("lnr_micro"),
+    ).orderBy("feature", "bin")

@@ -235,3 +235,25 @@ def test_bigram_logprob_boundary_distance(con):
         """,
     )
     assert d >= GUARD, f"bigram 4dp boundary distance {d}"
+
+
+def test_psi_probe_boundary_distances(con):
+    # psi_drift_probe's added quantizations: p,q at 1e12 picos.
+    # These are single IEEE divisions of exactly representable
+    # operands — bit-identical on any IEEE engine — so the only
+    # cross-engine risk is an exact .5 tie; any healthy distance
+    # passes. (Measured r15: p 4.4e-2, q 4.9e-3 at sf0.01.) The
+    # probe's lnr_micro = round(round(ln,6)*1e6) is integral by
+    # construction (distance exactly 0.5) and the underlying 6dp ln
+    # is covered by test_psi_boundary_distances.
+    from corral_spark.queries.extensions13 import _PSI_PROBE_BASE
+
+    for v in ("p", "q"):
+        d = _min_dist(
+            con,
+            _PSI_PROBE_BASE
+            + "SELECT "
+            + _DIST.format(v=v, scale="1e12")
+            + " FROM smoothed",
+        )
+        assert d >= GUARD, f"psi probe {v} pico boundary distance {d}"
