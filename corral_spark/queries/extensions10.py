@@ -669,8 +669,18 @@ def event_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_v = F.sum(dec("value")).over(w).cast("double") / F.count(
         F.lit(1)
     ).over(w)
+    # The flag mirrors the oracle's CASE ... ELSE 0: a NULL comparison
+    # (NULL value, or a cell whose baseline is undefined because EVERY
+    # value failed the money-domain cast) contributes 0, not NULL —
+    # otherwise a fully-corrupted (type, hour) cell reports
+    # n_anomalies NULL where the recompute spec says 0 (r14
+    # layered-corruption find 2: a bare `.cast("int")` keeps the
+    # three-valued NULL and SUM over an all-NULL cell is NULL).
     flagged = cell.withColumn("avg_v", avg_v).withColumn(
-        "is_anom", (F.col("value") > 3 * F.col("avg_v")).cast("int")
+        "is_anom",
+        F.when(F.col("value") > 3 * F.col("avg_v"), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
     )
     return (
         flagged.groupBy("event_type", "hr")

@@ -96,3 +96,54 @@ def test_rolling_decimal_window_sum_is_order_free(spark):
     last = out.orderBy(F.desc("event_id")).first()
     assert last.n_win == 5  # the out-of-domain row still counts
     assert last.sum_win == 1e9 + 0.6  # ...but contributes no cents
+
+
+def test_anomaly_screen_fully_corrupted_cell_reports_zero(spark):
+    """r14 layered-corruption find 2 (fixed r15): a (type, hour) cell
+    whose EVERY value is NULL or out-of-money-domain has an undefined
+    baseline, so no event in it can be flagged — n_anomalies must be
+    0 and anomaly_rate 0.0 (the recompute spec's CASE ... ELSE 0),
+    not NULL (what SUM over an all-NULL flag column yields)."""
+    import pandas as pd
+
+    from corral_spark.queries.extensions10 import event_hourly_anomalies
+    from corral_spark.queries import streaming_q
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [1, 1, 2, 2, 3, 3],
+            "event_type": ["corrupt", "corrupt", "ok", "ok", "ok", "ok"],
+            # corrupt cell: one NULL, one out-of-domain (rejected by
+            # the DECIMAL(12,2) money cast) -> baseline undefined
+            "value": [None, 1e30, 1.0, 1.0, 1.0, 100.0],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 05:10:00",
+                    "2024-01-01 05:20:00",
+                    "2024-01-01 07:10:00",
+                    "2024-01-01 07:20:00",
+                    "2024-01-01 07:30:00",
+                    "2024-01-01 07:40:00",
+                ]
+            ),
+            "props": ["{}"] * 6,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    orig = streaming_q._events
+    streaming_q._events = lambda s, d: df
+    try:
+        out = {
+            (r["event_type"], r["hr"]): r
+            for r in event_hourly_anomalies(spark, "unused").collect()
+        }
+    finally:
+        streaming_q._events = orig
+    corrupt = out[("corrupt", 5)]
+    assert corrupt["avg_value"] is None
+    assert corrupt["n_anomalies"] == 0
+    assert corrupt["anomaly_rate"] == 0.0
+    ok = out[("ok", 7)]
+    assert ok["n_anomalies"] == 1  # 100 > 3 * 25.75
+    assert ok["anomaly_rate"] == 0.25
