@@ -197,7 +197,20 @@ def run(null_dir: str) -> None:
                 .sort_values(by=sorted(odf.columns))
                 .reset_index(drop=True)
             )
+            import pandas.api.types as pt
+
             for c in s.columns:
+                # Driver-hash fidelity (r15 psi find): int-kind vs
+                # float-kind on the same column diverges in the
+                # driver even when every value compares ==.
+                s_num = pt.is_numeric_dtype(s[c]) and not pt.is_bool_dtype(s[c])
+                o_num = pt.is_numeric_dtype(o[c]) and not pt.is_bool_dtype(o[c])
+                if s_num and o_num and (
+                    pt.is_float_dtype(s[c]) != pt.is_float_dtype(o[c])
+                ):
+                    ok = False
+                    why = f"col {c}: DTYPE-KIND {s[c].dtype} vs {o[c].dtype}"
+                    break
                 for i, (a, b) in enumerate(zip(s[c].tolist(), o[c].tolist())):
                     an = a is None or (isinstance(a, float) and math.isnan(a))
                     bn = b is None or (isinstance(b, float) and math.isnan(b))
@@ -205,6 +218,14 @@ def run(null_dir: str) -> None:
                         continue
                     if an != bn or a != b:
                         ok = False
+                        # Positional after multiset sort: when the two
+                        # frames hold different values, NaN-last
+                        # ordering can misalign rows, so the reported
+                        # cell localizes the first POSITIONAL diff,
+                        # not necessarily the semantically divergent
+                        # group (r14 combo report's "0.0625 vs 0.0"
+                        # was this artifact) — re-diff with a keyed
+                        # merge when root-causing.
                         why = f"col {c} row {i}: {a!r} vs {b!r}"
                         break
                 if not ok:
