@@ -93,10 +93,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # and robust_stats to r16.
 #
 # LEDGER (r16 obligations, precomputed in docs/NEXT.md):
-#   36 never-promoted r13-greens + the six r14 overflow +
-#   promo_revenue_share + robust_stats = 44 obligated < 50.
-#   Steady state stays sound: 137 oracled queries / 3-round max
-#   staleness = 46 required slots/round < 50.
+#   the r13-residue block below IS the obligation list — 38 names,
+#   all with newest driver row r13 = exactly the 3-round limit at
+#   r16 (includes the six r14-changed overflow and the two
+#   probe-displaced substitutions) — leaving 12 slots for
+#   alphabetical r14-green promotions. Steady state stays sound:
+#   137 oracled queries / 3-round max staleness = 46 < 50.
 _DEMOTED = (
     # -- r13-green residue (38): the 48 rotated out at r14 minus the
     #    TEN r15 substitutions promoted back per the ROUND 15 LEDGER
