@@ -11,6 +11,11 @@ r13 baseline: 136/136 clean at sf0.001 (SCALE.md round-13).
 
 Usage:
     python tools/partition_invariance.py [--sf DIR] [--only name,...]
+                                         [--mode partition|plan]
+
+--mode plan (r15) swaps the adversarial set for PHYSICAL-STRATEGY
+knobs: broadcasts off, whole-stage codegen off, AQE off — the answer
+must not depend on which plan Catalyst picks.
 """
 
 from __future__ import annotations
@@ -48,11 +53,32 @@ ADVERSARIAL = {
     "spark.sql.adaptive.coalescePartitions.enabled": "false",
 }
 
+# --mode plan (r15): PHYSICAL-STRATEGY invariance — the answer must
+# not depend on which join/codegen/replan strategy Catalyst picks.
+# Broadcasts forced off (every equi-join degrades to shuffle; hunts
+# broadcast-dependent semantics like first-match ordering),
+# whole-stage codegen off (interpreted expression path must agree
+# with generated code), AQE off entirely (no runtime re-plan, no
+# skew splitting). A DIVERGE here is a plan-sensitive answer — the
+# class partition splits cannot reach.
+PLAN_ADVERSARIAL = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.codegen.wholeStage": "false",
+    "spark.sql.adaptive.enabled": "false",
+}
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default="")
+    ap.add_argument(
+        "--mode",
+        default="partition",
+        choices=("partition", "plan"),
+        help="partition = 64KB splits/7 shuffle partitions; "
+        "plan = no broadcast, no codegen, no AQE",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -65,7 +91,8 @@ def main() -> None:
     # does (running from a non-repo cwd without this ERRORS the three
     # multimodal queries; observed in the r13 campaign).
     entry._ship_package_to_workers(spark)
-    defaults = {k: spark.conf.get(k) for k in ADVERSARIAL}
+    adversarial = ADVERSARIAL if args.mode == "partition" else PLAN_ADVERSARIAL
+    defaults = {k: spark.conf.get(k) for k in adversarial}
 
     names = args.only.split(",") if args.only else sorted(REGISTRY)
     fails = []
@@ -76,7 +103,7 @@ def main() -> None:
                 spark.conf.set(k, v)
             a = canon(q.spark(spark, args.sf))
             spark.catalog.clearCache()
-            for k, v in ADVERSARIAL.items():
+            for k, v in adversarial.items():
                 spark.conf.set(k, v)
             b = canon(q.spark(spark, args.sf))
             spark.catalog.clearCache()
