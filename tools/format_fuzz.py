@@ -41,7 +41,18 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import pyarrow.parquet as pq
 
 
-def build(sf_dir: str, out_dir: str) -> None:
+def build(sf_dir: str, out_dir: str, row_group_size: int = 512) -> None:
+    """row_group_size scales with SF: 512 at sf0.001/sf0.01 is already
+    compactor dust; at sf1 512-row groups mean ~11,700 groups per
+    lineitem file, whose parquet FOOTER metadata alone OOMs a
+    default-heap local JVM (measured r15) — use ~4096 there, which
+    still yields ~1,500 groups of dust per big table. Override via
+    CORRAL_FORMAT_ROW_GROUP."""
+    import os
+
+    row_group_size = int(
+        os.environ.get("CORRAL_FORMAT_ROW_GROUP", row_group_size)
+    )
     from corral_spark.sources.tables import TABLES, table_path
 
     out = pathlib.Path(out_dir)
@@ -57,7 +68,7 @@ def build(sf_dir: str, out_dir: str) -> None:
             data_page_version="1.0",
             use_dictionary=False,
             compression="gzip",
-            row_group_size=512,
+            row_group_size=row_group_size,
             write_statistics=False,
             store_schema=True,
         )
