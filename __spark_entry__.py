@@ -78,91 +78,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # double-green queries so no oracled query's newest driver row goes
 # more than ~2 rounds stale.
 #
-# Round 15 (paid per docs/NEXT.md ROUND 15 LEDGER — PAID entry): the
-# head = the 38 obligated r12-greens (3 rounds stale, the hard
-# limit) + TEN of the twelve precomputed substitutions
-# (ann_cosine_topk, ann_ivf_kmeans, ann_ivf_probes, ann_ivf_topk,
-# emb_near_dup_planted, events_in_promo_windows, mmr_diverse_topk,
-# order_date_parts, orders_rollup_ivm, pq_ann_topk) +
-# psi_drift_docs (the r14 red row — root-caused and fixed at r15
-# open: the oracle's un-cast window SUM(BIGINT) -> HUGEINT ->
-# float64 under fetchdf vs Spark's int64, invisible to numeric `==`
-# but fatal to the driver's value-hash) + the NEW psi_drift_probe
-# (verdict item 1's stage-decomposed integer witness). The probe +
-# retained psi displace the substitution tail promo_revenue_share
-# and robust_stats to r16.
+# Round 16 (paid per docs/NEXT.md ROUND 16 LEDGER — PAID entry,
+# exactly as precomputed at r15 close with zero displacement math —
+# CORRECTNESS_r15 read 50/50 green, psi + probe both hash-green):
+# the head = the 38-name r13-residue obligation block (every name's
+# newest driver row is r13 = exactly the 3-round limit) + the 12
+# alphabetical r14-green promotions (amplab1, amplab2, amplab3,
+# bloom_new_docs, bloom_new_docs_registers, bm25_top_docs,
+# bottomk_doc_stats, click_purchase_leftouter, cms_bigram_counts,
+# cross_corpus_near_dups, customer_name_features,
+# customer_running_totals).
 #
-# LEDGER (r16 obligations, precomputed in docs/NEXT.md):
-#   the r13-residue block below IS the obligation list — 38 names,
-#   all with newest driver row r13 = exactly the 3-round limit at
-#   r16 (includes the six r14-changed overflow and the two
-#   probe-displaced substitutions) — leaving 12 slots for
-#   alphabetical r14-green promotions. Steady state stays sound:
-#   137 oracled queries / 3-round max staleness = 46 < 50.
+# LEDGER (r17 obligations, precomputed in docs/NEXT.md):
+#   the r14-green residue block below IS the obligation list — 37
+#   names, all with newest driver row r14 = exactly the 3-round
+#   limit at r17 — leaving 13 slots for alphabetical r15-green
+#   promotions. Steady state stays sound: 137 oracled queries /
+#   3-round max staleness = 46 < 50.
 _DEMOTED = (
-    # -- r13-green residue (38): the 48 rotated out at r14 minus the
-    #    TEN r15 substitutions promoted back per the ROUND 15 LEDGER
-    #    PAID entry in docs/NEXT.md. Includes the six documented
-    #    overflow (rollup_sales, salted_nation_revenue,
-    #    semantic_dedup_docs, stateful_user_totals, text_stats_docs,
-    #    user_rolling_1h) plus promo_revenue_share and robust_stats,
-    #    displaced by psi_drift_probe + the retained psi_drift_docs —
-    #    ALL EIGHT are r16 obligations at exactly the 3-round limit. --
-    "asof_signup_before_purchase",
-    "boilerplate_removed_docs",
-    "domain_mix_docs",
-    "hll_distinct_parts",
-    "hll_merged_slices",
-    "hygiene_filtered_docs",
-    "jaccard_pairs_docs",
-    "lang_id_docs",
-    "lang_sampling_weights",
-    "minhash_pairs_docs",
-    "multimodal_features",
-    "normalized_redacted_docs",
-    "orders_minmax_refresh",
-    "part_bfs_hops",
-    "part_pagerank",
-    "parts_never_shipped",
-    "pretrain_corpus",
-    "pretrain_corpus_full",
-    "pretrain_corpus_provenance",
-    "profile_orders",
-    "promo_revenue_share",
-    "robust_stats",
-    "rollup_sales",
-    "salted_nation_revenue",
-    "sample_docs_10pct",
-    "segment_dedup_docs",
-    "semantic_dedup_docs",
-    "source_capped_docs",
-    "stateful_user_totals",
-    "stratified_sample_orders",
-    "temperature_sampled_docs",
-    "text_stats_docs",
-    "tfidf_top_terms",
-    "token_count_docs",
-    "top_orders",
-    "train_test_split_counts",
-    "unigram_logprob_docs",
-    "user_rolling_1h",
-    # -- r14-green, rotated out fresh at r15 (newest driver row =
-    #    r14; due back r16-r17 by the staleness arithmetic). psi and
-    #    the new probe are NOT here: psi holds its slot as the r14
-    #    red row (root-caused + fixed this round) and psi_drift_probe
-    #    is its new driver-side witness. --
-    "amplab1",
-    "amplab2",
-    "amplab3",
-    "bloom_new_docs",
-    "bloom_new_docs_registers",
-    "bm25_top_docs",
-    "bottomk_doc_stats",
-    "click_purchase_leftouter",
-    "cms_bigram_counts",
-    "cross_corpus_near_dups",
-    "customer_name_features",
-    "customer_running_totals",
+    # -- r14-green residue (37): the 49 rotated out at r15 minus the
+    #    TWELVE r16 alphabetical promotions (amplab1..customer_
+    #    running_totals) per the ROUND 16 LEDGER — PAID entry in
+    #    docs/NEXT.md. ALL are r17 obligations at exactly the
+    #    3-round limit. --
     "dedup_exact_docs",
     "doc_repetition_stats",
     "dq_report",
@@ -200,6 +138,60 @@ _DEMOTED = (
     "user_value_ewma",
     "wordcount",
     "zorder_parts_locality",
+    # -- r15-green (50): the whole CORRECTNESS_r15 head (50/50
+    #    hash-green, incl. the closed psi_drift_docs red and its
+    #    psi_drift_probe witness), rotated out fresh; due back r18
+    #    by the staleness arithmetic. --
+    "ann_cosine_topk",
+    "ann_ivf_kmeans",
+    "ann_ivf_probes",
+    "ann_ivf_topk",
+    "big_orders_in_subquery",
+    "bigram_logprob_docs",
+    "cdc_chunk_dedup_docs",
+    "click_purchase_within_1h",
+    "cube_sales",
+    "customer_cohort_retention",
+    "customer_id_parse",
+    "customers_without_orders",
+    "daily_revenue_gapfill",
+    "decontaminate_docs",
+    "dedup_clusters_docs",
+    "dedup_keep_longest_docs",
+    "distinct_parts_per_flag",
+    "doc_chunks",
+    "doc_fingerprint_md5",
+    "doc_provenance",
+    "emb_near_dup_planted",
+    "event_hourly_anomalies",
+    "events_in_promo_windows",
+    "heavy_hitter_tokens",
+    "high_value_order_exists",
+    "incremental_dedup_new_docs",
+    "mmr_diverse_topk",
+    "nation_set_ops",
+    "nations_above_global_share",
+    "null_semantics",
+    "order_date_parts",
+    "order_latency",
+    "orders_above_customer_avg",
+    "orders_by_month",
+    "orders_merge_upsert",
+    "orders_rollup_ivm",
+    "pack_docs_2k",
+    "phrase_mining_docs",
+    "pq_ann_topk",
+    "priority_pivot",
+    "psi_drift_docs",
+    "psi_drift_probe",
+    "quality_score_docs",
+    "simhash_md5_pairs",
+    "top_revenue_supplier",
+    "top_tokens_per_lang",
+    "udtf_sentences_docs",
+    "union_all_parties",
+    "weighted_sampled_docs",
+    "window_top_orders",
 )
 
 
