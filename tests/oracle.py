@@ -27,6 +27,30 @@ def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def dtype_kind_mismatch(s_col: pd.Series, o_col: pd.Series) -> bool:
+    """True when two numeric columns disagree on int-vs-float KIND.
+
+    Mirrors the driver's value-hash sensitivity: an int64 5 and a
+    float64 5.0 hash DIFFERENTLY even though Python `==` says equal.
+    The r13+r14 psi_drift_docs driver red was exactly this — the
+    oracle's un-cast window SUM(BIGINT) came back HUGEINT -> float64
+    under fetchdf() while Spark produced int64, and a numerically-lax
+    compare hid it for nine local replicas. Integer WIDTH is not
+    hashed (doc_repetition_stats was driver-green with int32-vs-int64
+    columns), so only the int/float KIND is flagged. Booleans are
+    excluded from the numeric test on both sides. Shared by
+    tests/oracle.py, tools/driver_sim.py and tools/null_fuzz.py so
+    the three replicas cannot drift apart (r15 ADVICE)."""
+    import pandas.api.types as pt
+
+    s_num = pt.is_numeric_dtype(s_col) and not pt.is_bool_dtype(s_col)
+    o_num = pt.is_numeric_dtype(o_col) and not pt.is_bool_dtype(o_col)
+    return bool(
+        s_num and o_num
+        and pt.is_float_dtype(s_col) != pt.is_float_dtype(o_col)
+    )
+
+
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     # Stringify for a stable multiset compare (mirrors a value-hash).
@@ -45,22 +69,7 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> lis
     s = canonicalize(spark_pdf)
     o = canonicalize(oracle_pdf)
     for col in s.columns:
-        # Mirror the driver's value-hash int/float sensitivity: an
-        # int64 5 and a float64 5.0 hash DIFFERENTLY even though
-        # Python `==` says equal. The r13+r14 psi_drift_docs driver
-        # red was exactly this — the oracle's un-cast window
-        # SUM(BIGINT) came back HUGEINT -> float64 under fetchdf()
-        # while Spark produced int64, and this compare's numeric
-        # laxness hid it for nine local replicas. (Integer WIDTH is
-        # not hashed: doc_repetition_stats was driver-green with
-        # int32-vs-int64 columns — so flag only the int/float KIND.)
-        import pandas.api.types as pt
-
-        s_num = pt.is_numeric_dtype(s[col]) and not pt.is_bool_dtype(s[col])
-        o_num = pt.is_numeric_dtype(o[col]) and not pt.is_bool_dtype(o[col])
-        if s_num and o_num and (
-            pt.is_float_dtype(s[col]) != pt.is_float_dtype(o[col])
-        ):
+        if dtype_kind_mismatch(s[col], o[col]):
             problems.append(
                 f"{name}.{col}: DTYPE-KIND spark={s[col].dtype} "
                 f"oracle={o[col].dtype} (driver hash distinguishes "

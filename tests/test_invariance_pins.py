@@ -13,11 +13,9 @@ from __future__ import annotations
 
 import math
 
-import pyarrow.parquet as pq
 import pytest
 
 from corral_spark.queries import REGISTRY
-from corral_spark.sources.tables import TABLES, table_path
 
 SF = "/root/testdata/sf0.001"
 REPRESENTATIVE = (
@@ -34,6 +32,11 @@ def _canon(df):
             return math.nan if math.isnan(v) else v
         if isinstance(v, list):
             return tuple(norm(x) for x in v)
+        if isinstance(v, dict):
+            # Keep semantically identical to tools/format_fuzz.py's
+            # canon (r15 ADVICE): map columns must not sort rows by
+            # insertion-ordered dict repr.
+            return tuple(sorted((k, norm(x)) for k, x in v.items()))
         return v
 
     cols = sorted(df.columns)
@@ -45,24 +48,19 @@ def _canon(df):
 
 @pytest.fixture(scope="module")
 def format_twin(tmp_path_factory):
-    """sf0.001 rewritten with every physical parquet knob hostile
-    (v1 pages, no dictionary, 512-row groups, gzip, reversed column
-    order, no statistics) — value-identical to the original."""
+    """sf0.001 rewritten by the round tool's own writer
+    (tools/format_fuzz.build: v1 pages, no dictionary, 512-row
+    groups, gzip, reversed column order, no statistics) so the CI pin
+    always exercises exactly the round tool's knob set (r15 ADVICE —
+    a hardcoded copy here drifted the moment the tool grew a
+    row_group_size parameter)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import format_fuzz
+
     out = tmp_path_factory.mktemp("format_twin")
-    for t in TABLES:
-        tbl = pq.read_table(table_path(SF, t))
-        tbl = tbl.select(list(reversed(tbl.column_names)))
-        pq.write_table(
-            tbl,
-            out / f"{t}.parquet",
-            version="2.6",
-            data_page_version="1.0",
-            use_dictionary=False,
-            compression="gzip",
-            row_group_size=512,
-            write_statistics=False,
-            store_schema=True,
-        )
+    format_fuzz.build(SF, str(out), row_group_size=512)
     return str(out)
 
 

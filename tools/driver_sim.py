@@ -37,6 +37,7 @@ if only:
     keep = {n.strip() for n in only.split(",") if n.strip()}
     qs = {n: f for n, f in qs.items() if n in keep}
 import math
+from tests.oracle import dtype_kind_mismatch
 fails = []
 for name, fn in sorted(qs.items()):
     # A host flake (e.g. TaskResultLost under memory pressure) must
@@ -59,19 +60,11 @@ for name, fn in sorted(qs.items()):
         o = odf[sorted(odf.columns)].sort_values(by=sorted(odf.columns)).reset_index(drop=True)
         for c in s.columns:
             # The driver HASHES values, so int64 5 and float64 5.0 are
-            # different even though Python `==` says equal. This exact
-            # laxness hid the psi_drift_docs red for two rounds: the
-            # oracle's un-cast window SUM(BIGINT) came back HUGEINT ->
-            # float64 under fetchdf while Spark produced int64 — nine
-            # local MATCHes against two deterministic driver reds.
-            # Mirror the hash: a numeric column pair must agree on
-            # int-vs-float KIND, not just numeric value.
-            import pandas.api.types as pt
-            s_num = pt.is_numeric_dtype(s[c]) and not pt.is_bool_dtype(s[c])
-            o_num = pt.is_numeric_dtype(o[c]) and not pt.is_bool_dtype(o[c])
-            if s_num and o_num and (
-                pt.is_float_dtype(s[c]) != pt.is_float_dtype(o[c])
-            ):
+            # different even though Python `==` says equal (the r15
+            # psi_drift_docs find) — shared helper so the three
+            # replicas (this, tests/oracle.py, null_fuzz) stay in
+            # lockstep (r15 ADVICE).
+            if dtype_kind_mismatch(s[c], o[c]):
                 print(f"{name}: DTYPE-KIND {c}: spark={s[c].dtype} oracle={o[c].dtype}")
                 ok_vals = False
                 break

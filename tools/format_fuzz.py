@@ -41,18 +41,19 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import pyarrow.parquet as pq
 
 
-def build(sf_dir: str, out_dir: str, row_group_size: int = 512) -> None:
+def build(sf_dir: str, out_dir: str, row_group_size: int | None = None) -> None:
     """row_group_size scales with SF: 512 at sf0.001/sf0.01 is already
     compactor dust; at sf1 512-row groups mean ~11,700 groups per
     lineitem file, whose parquet FOOTER metadata alone OOMs a
     default-heap local JVM (measured r15) — use ~4096 there, which
-    still yields ~1,500 groups of dust per big table. Override via
-    CORRAL_FORMAT_ROW_GROUP."""
+    still yields ~1,500 groups of dust per big table.
+    CORRAL_FORMAT_ROW_GROUP sets the DEFAULT only; an explicitly
+    passed argument always wins (r15 ADVICE: env must not silently
+    invert argument precedence)."""
     import os
 
-    row_group_size = int(
-        os.environ.get("CORRAL_FORMAT_ROW_GROUP", row_group_size)
-    )
+    if row_group_size is None:
+        row_group_size = int(os.environ.get("CORRAL_FORMAT_ROW_GROUP", 512))
     from corral_spark.sources.tables import TABLES, table_path
 
     out = pathlib.Path(out_dir)

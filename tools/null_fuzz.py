@@ -128,6 +128,8 @@ def run(null_dir: str) -> None:
     import duckdb
     from pyspark.sql import SparkSession
 
+    from tests.oracle import dtype_kind_mismatch
+
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -197,17 +199,12 @@ def run(null_dir: str) -> None:
                 .sort_values(by=sorted(odf.columns))
                 .reset_index(drop=True)
             )
-            import pandas.api.types as pt
-
             for c in s.columns:
                 # Driver-hash fidelity (r15 psi find): int-kind vs
                 # float-kind on the same column diverges in the
-                # driver even when every value compares ==.
-                s_num = pt.is_numeric_dtype(s[c]) and not pt.is_bool_dtype(s[c])
-                o_num = pt.is_numeric_dtype(o[c]) and not pt.is_bool_dtype(o[c])
-                if s_num and o_num and (
-                    pt.is_float_dtype(s[c]) != pt.is_float_dtype(o[c])
-                ):
+                # driver even when every value compares == — shared
+                # helper keeps the replicas in lockstep (r15 ADVICE).
+                if dtype_kind_mismatch(s[c], o[c]):
                     ok = False
                     why = f"col {c}: DTYPE-KIND {s[c].dtype} vs {o[c].dtype}"
                     break
