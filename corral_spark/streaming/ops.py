@@ -28,6 +28,39 @@ def _fmt(col) -> F.Column:
     return F.date_format(col, _TS_FMT)
 
 
+def _wall_renderer(events: DataFrame):
+    """Session-TZ-independent window-bound renderer (closes the r14
+    event-time contract's streaming residual).
+
+    Batch frames carry TIMESTAMP_NTZ event time (the contract), so
+    ``date_format`` is already a pure wall render. STREAMING frames
+    must carry INSTANTS (Spark watermarks reject NTZ) mapped as
+    wall-as-UTC by read_events_stream — but ``date_format`` renders
+    an instant in the SESSION zone, so a non-UTC reader of the same
+    checkpointed sink output used to see shifted strings (the
+    residual noted since r14). Render the instant's UTC wall
+    explicitly instead: CAST to NTZ gives the session-zone wall,
+    convert_timezone shifts it back to the UTC wall — the session TZ
+    cancels, leaving exactly the wall clock the ingress mapping
+    encoded, under ANY session timezone. On a UTC session this is
+    the identity, so the pinned availableNow batch==stream
+    equivalences are unchanged. Pinned cross-TZ by
+    test_streaming_render_is_session_tz_independent."""
+    from pyspark.sql.types import TimestampType
+
+    ts_type = events.schema["ts"].dataType
+    if isinstance(ts_type, TimestampType):
+        return lambda col: F.date_format(
+            F.convert_timezone(
+                F.expr("current_timezone()"),
+                F.lit("UTC"),
+                col.cast("timestamp_ntz"),
+            ),
+            _TS_FMT,
+        )
+    return _fmt
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a streaming source (parquet file source).
 
@@ -75,11 +108,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream keeps INSTANTS — mapped TZ-INDEPENDENTLY as
     # instant-epoch == wall-clock-as-UTC, which makes window
     # ALIGNMENT wall-correct under any host timezone. (Batch event
-    # time is TIMESTAMP_NTZ end to end — load_table; rendered
-    # strings from the STREAMING path are UTC-wall only on UTC
-    # hosts — a documented Spark watermark limitation. The batch
-    # twin is the driver-gate surface; availableNow equivalence is
-    # pinned on UTC CI.)
+    # time is TIMESTAMP_NTZ end to end — load_table.) Rendered
+    # strings from the streaming path are made session-TZ-independent
+    # by _wall_renderer (r16 — formerly the contract's one open
+    # residual): instants render as their UTC wall, i.e. exactly the
+    # wall clock this ingress mapping encoded, so a cross-TZ reader
+    # of a CDC/rollup sink written under any session zone sees
+    # identical strings. availableNow equivalence is pinned on UTC
+    # CI; the cross-TZ render is pinned by
+    # test_streaming_render_is_session_tz_independent.
     if isinstance(ts_type, LongType):
         # nanos-as-long -> truncate to micros (integer DIV: double
         # division loses precision above 2^53 ns); epoch micros ARE
@@ -122,6 +159,7 @@ def tumbling_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     registry's only environment-sensitive rows before the
     contract."""
     events = events.filter(F.col("ts").isNotNull())
+    fmt = _wall_renderer(events)
     return (
         events.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
@@ -129,7 +167,7 @@ def tumbling_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
             dsum("value").alias("sum_value"),
         )
         .select(
-            _fmt(F.col("w.start")).alias("window_start"),
+            fmt(F.col("w.start")).alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -146,6 +184,7 @@ def sliding_agg(
     dropped and wall-clock (NTZ) window alignment — see
     tumbling_agg."""
     events = events.filter(F.col("ts").isNotNull())
+    fmt = _wall_renderer(events)
     return (
         events.groupBy(F.window("ts", window, slide).alias("w"))
         .agg(
@@ -153,7 +192,7 @@ def sliding_agg(
             dsum("value").alias("sum_value"),
         )
         .select(
-            _fmt(F.col("w.start")).alias("window_start"),
+            fmt(F.col("w.start")).alias("window_start"),
             "n_events",
             "sum_value",
         )
@@ -168,6 +207,7 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     NULL event times dropped — see tumbling_agg.
     """
     events = events.filter(F.col("ts").isNotNull())
+    fmt = _wall_renderer(events)
     return (
         events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(
@@ -176,8 +216,8 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         )
         .select(
             "user_id",
-            _fmt(F.col("w.start")).alias("session_start"),
-            _fmt(F.col("w.end")).alias("session_end"),
+            fmt(F.col("w.start")).alias("session_start"),
+            fmt(F.col("w.end")).alias("session_end"),
             "n_events",
             "sum_value",
         )

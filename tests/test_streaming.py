@@ -347,3 +347,47 @@ def test_tumbling_windows_align_on_wall_clock(spark):
         }
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_streaming_render_is_session_tz_independent(spark):
+    """r16: closes the event-time contract's one open residual (noted
+    in ops.py since r14). The streaming path carries instants
+    (watermarks reject NTZ) mapped wall-as-UTC at ingress; rendering
+    them with plain date_format made sink strings SESSION-zone
+    dependent — a Kathmandu-session writer produced '+05:45' strings
+    a UTC reader could not reconcile. _wall_renderer renders the
+    instant's UTC wall explicitly, so the same streaming aggregation
+    yields byte-identical strings under any session timezone, equal
+    to the batch (NTZ) twin's."""
+    batch = _rows(
+        tumbling_agg(load_table(spark, SF, "events")),
+        ["window_start", "event_type", "n_events", "sum_value"],
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    results = {}
+    try:
+        for tz in ("UTC", "Asia/Kathmandu", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            out = run_available_now(
+                tumbling_agg(read_events_stream(spark, SF)),
+                f"mem_tz_{tz.split('/')[-1].lower().replace('_', '')}",
+            )
+            results[tz] = _rows(
+                out, ["window_start", "event_type", "n_events", "sum_value"]
+            )
+            # Session bounds render TZ-independently too (w.end path).
+            sess = run_available_now(
+                session_agg(read_events_stream(spark, SF)),
+                f"mem_tz_sess_{tz.split('/')[-1].lower().replace('_', '')}",
+            )
+            results[f"sess_{tz}"] = _rows(
+                sess,
+                ["user_id", "session_start", "session_end", "n_events", "sum_value"],
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert results["UTC"] == batch
+    assert results["Asia/Kathmandu"] == results["UTC"]
+    assert results["America/New_York"] == results["UTC"]
+    assert results["sess_Asia/Kathmandu"] == results["sess_UTC"]
+    assert results["sess_America/New_York"] == results["sess_UTC"]
