@@ -157,8 +157,20 @@ def bucket_pairs(keyed: DataFrame, key_col: str, id_col: str) -> DataFrame:
 
     left = slim.select(F.col("__k"), F.col("__p").alias("a"))
     right = slim.select(F.col("__k"), F.col("__p").alias("b"))
+    # CORPUS-SCALED JOIN RULE (r16, found by the sf3=30x canary): both
+    # sides here are the whole keyed corpus, but Catalyst's size
+    # estimate reaches this join through parquet-scan bytes x
+    # column-pruning ratios x explode/aggregate guesses and lands
+    # UNDER the autoBroadcast threshold — the static plan then builds
+    # the ENTIRE bucket table as a driver-side broadcast hash
+    # relation. That fit at sf<=1 by luck and OOM'd an 8 GiB heap at
+    # sf3; at 100 TB it is catastrophic. Any join where BOTH sides
+    # scale with the corpus must carry an explicit shuffle_hash hint:
+    # per-partition hash build, no driver relation, no estimate
+    # trusted. (Bounded frames — hot lists, count-gated sides — stay
+    # hintless so genuinely-small builds can still broadcast.)
     return (
-        left.join(right, on="__k")
+        left.join(right.hint("shuffle_hash"), on="__k")
         .filter(F.col("a")[id_col] < F.col("b")[id_col])
         .select(
             "a",
@@ -203,19 +215,29 @@ def jaccard_pairs(
     tok = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("token"))
     tok = materialize(tok, eager=True)
     if max_df is not None:
-        keep = (
+        # Keep-list inversion (r16): "keep tokens with df <= max_df"
+        # used to broadcast the KEEP list — but most shingles are
+        # unique, so that list is CORPUS-SCALED (billions at 100 TB;
+        # an explicit F.broadcast of it is exactly the driver-OOM the
+        # sf3 canary exposed in the banded path). Anti-join against
+        # the HOT list instead: identical semantics, and hot is
+        # bounded by total_incidences/max_df (the _short_exact_cands
+        # argument), not by the corpus.
+        hot = (
             tok.groupBy("token")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
+            .filter(F.col("df") > max_df)
             .select("token")
         )
-        tok = tok.join(F.broadcast(keep), on="token")
+        tok = tok.join(hot, on="token", how="left_anti")
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
 
     a = tok.select(F.col("id").alias("id_a"), "token")
     b = tok.select(F.col("id").alias("id_b"), "token")
     inter = (
-        a.join(b, on="token")
+        # Corpus-scaled both sides — shuffle_hash per the bucket_pairs
+        # rule (never an estimate-based broadcast of a corpus table).
+        a.join(b.hint("shuffle_hash"), on="token")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -226,8 +248,9 @@ def jaccard_pairs(
         F.col("n_a") + F.col("n_b") - F.col("inter")
     )
     return (
-        inter.join(sa, on="id_a")
-        .join(sb, on="id_b")
+        # sizes is per-doc (corpus-scaled) — same shuffle_hash rule.
+        inter.join(sa.hint("shuffle_hash"), on="id_a")
+        .join(sb.hint("shuffle_hash"), on="id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -501,7 +524,9 @@ def _minhash_cands_and_verified(
     # (_short_exact_cands has the argument).
     small_max = int(n_hashes / max(threshold, 0.1))
     small_ids = shing.filter(F.size("__sh") <= small_max).select("id")
-    stok = tok.join(small_ids, on="id")
+    # small_ids is a corpus fraction, not a bounded dim — shuffle_hash
+    # per the bucket_pairs corpus-scaled join rule (r16 sf3 canary).
+    stok = tok.join(small_ids.hint("shuffle_hash"), on="id")
     small_cands, short_diag = _short_exact_cands(
         stok, stok, threshold, df_max=short_df_max, symmetric=True
     )
@@ -514,8 +539,10 @@ def _minhash_cands_and_verified(
     union = F.size("__sha") + F.size("__shb") - inter
     jac = inter.cast("double") / union.cast("double")
     verified = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        # a/b carry every doc's shingle ARRAY — the heaviest
+        # corpus-scaled frames in the plan; never broadcast-built.
+        cands.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -576,7 +603,10 @@ def _short_exact_cands(
     cands = na.select(
         F.col("id").alias("id_a"), F.col("__s").alias("__t")
     ).join(
-        nb.select(F.col("id").alias("id_b"), F.col("__s").alias("__t")),
+        # The short-doc inverted index: both sides scale with the
+        # short population — shuffle_hash per the corpus-scaled rule.
+        nb.select(F.col("id").alias("id_b"), F.col("__s").alias("__t"))
+        .hint("shuffle_hash"),
         on="__t",
     ).select("id_a", "id_b")
 
@@ -584,7 +614,10 @@ def _short_exact_cands(
         n = tokens.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
         hc = hot_tokens.groupBy("id").agg(F.count(F.lit(1)).alias("__hc"))
         return (
-            n.join(hc, on="id")
+            # hc can reach corpus scale on a boilerplate-heavy corpus
+            # (every short doc holding one stop-phrase) — no
+            # estimate-based broadcast.
+            n.join(hc.hint("shuffle_hash"), on="id")
             # Same float-ceil completeness slack as the ppjoin prefix
             # lengths: double rounding can overshoot an exact-integer
             # t*n and exclude a boundary doc from the fallback — the
@@ -736,7 +769,9 @@ def _across_cands_and_verified(
         F.col("id").alias("id_b"), "band", "key"
     )
     cands = (
-        ba.join(bb, on=["band", "key"])
+        # Both corpora's band tables are corpus-scaled — shuffle_hash
+        # per the bucket_pairs rule (r16 sf3 canary).
+        ba.join(bb.hint("shuffle_hash"), on=["band", "key"])
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -753,10 +788,16 @@ def _across_cands_and_verified(
     # remaining skew.
     small_max = int(n_hashes / max(threshold, 0.1))
     sa = toka.join(
-        sha.filter(F.size("__sh") <= small_max).select("id"), on="id"
+        sha.filter(F.size("__sh") <= small_max)
+        .select("id")
+        .hint("shuffle_hash"),
+        on="id",
     )
     sb = tokb.join(
-        shb.filter(F.size("__sh") <= small_max).select("id"), on="id"
+        shb.filter(F.size("__sh") <= small_max)
+        .select("id")
+        .hint("shuffle_hash"),
+        on="id",
     )
     short_cands, short_diag = _short_exact_cands(
         sa, sb, threshold, df_max=short_df_max, symmetric=False
@@ -771,8 +812,10 @@ def _across_cands_and_verified(
     union = F.size("__sha") + F.size("__shb") - inter
     jac = inter.cast("double") / union.cast("double")
     verified = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        # Per-corpus shingle-array frames — corpus-scaled, never
+        # broadcast-built (bucket_pairs rule).
+        cands.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -90,7 +90,11 @@ def scale_fuzzy_customers(
     print(f"customer_fuzzy: {n} rows")
 
 
-def scale(r: int, out_dir: str) -> None:
+def scale(r: int, out_dir: str, tables: set[str] | None = None) -> None:
+    """``tables`` restricts the build to a subset (default: all) — the
+    replication RULES stay single-sourced here either way (e.g.
+    tools/sf3_canary.py needs only documents; rewriting its rename
+    rule elsewhere could silently drift from this one)."""
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
 
@@ -98,6 +102,8 @@ def scale(r: int, out_dir: str) -> None:
         return f"read_parquet('{SRC}/{t}.parquet')"
 
     def write(t: str, union_sql: str) -> None:
+        if tables is not None and t not in tables:
+            return
         out = f"{out_dir}/{t}.parquet"
         con.execute(f"COPY ({union_sql}) TO '{out}' (FORMAT PARQUET)")
         n = con.execute(f"SELECT COUNT(*) FROM '{out}'").fetchone()[0]
@@ -107,6 +113,8 @@ def scale(r: int, out_dir: str) -> None:
         write(t, f"SELECT * FROM {src(t)}")
 
     def replicate(t: str, select_k: str) -> None:
+        if tables is not None and t not in tables:
+            return
         parts = [select_k.format(off=k * KOFF, k=k) for k in range(r)]
         write(t, " UNION ALL ".join(parts))
 
@@ -154,7 +162,8 @@ def scale(r: int, out_dir: str) -> None:
         f"SELECT vec_id + {{off}} AS vec_id, embedding, label"
         f" FROM {src('embeddings')}",
     )
-    scale_fuzzy_customers(r, out_dir)
+    if tables is None or "customer_fuzzy" in tables:
+        scale_fuzzy_customers(r, out_dir)
 
 
 if __name__ == "__main__":

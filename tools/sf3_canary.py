@@ -1,0 +1,109 @@
+"""One-decade superlinearity extension: dedup-family COUNT canaries at
+sf3 (= 30 disjoint replicas of sf0.1) — r15 verdict item 4.
+
+Every round, bench.py proves the near-dup candidate generators linear
+at 10x (sf0.1 -> sf1: counts exactly 10.0x). This one-off extends the
+evidence one decade: on the token-renamed disjoint-replica corpus a
+linear engine must produce EXACTLY 30x candidates/pairs at R=30 —
+cross-replica shingles share no tokens by construction
+(tools/scale_data.py), so any candidate excess is an O(n^2) artifact
+of the generator itself, not data. Timings are deliberately not the
+criterion (page-cache noise dominates on this host — SCALE.md r8);
+COUNTS are the tripwire, and the hot-shingle / hot-heavy populations
+must stay 0 (the quadratic-fallback drivers).
+
+Usage:
+  python tools/sf3_canary.py [R] [dir]   # default 30 /tmp/sf3
+Builds the scaled corpus if missing (documents only — the dedup
+family reads nothing else). Exit 1 on any non-exact ratio.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+BASE = "/root/testdata/sf0.1"
+
+
+def main() -> int:
+    r = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf3"
+
+    if not os.path.exists(os.path.join(out, "documents.parquet")):
+        # Reuse the round tool's exact replication rules (bijective
+        # token rename per replica -> zero cross-replica shingle
+        # overlap) rather than a second writer that could drift.
+        import scale_data
+
+        scale_data.scale(r, out, tables={"documents"})
+
+    # Driver memory must reach the JVM LAUNCHER (sf1_gate.sh recipe);
+    # a builder .config("spark.driver.memory") proved unreliable here
+    # — the first sf3 attempt OOM'd a broadcast build at what the
+    # plan expected to be an 8g heap (SCALE.md round-16).
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell"
+    )
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from corral_spark.operators.dedup import (
+        gram_dedup_counts,
+        minhash_across_counts,
+        minhash_pair_counts,
+    )
+    from corral_spark.sources.tables import load_table
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .appName("sf3-canary")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = {}
+    for label, d in (("base", BASE), (f"sf{r}/10", out)):
+        docs = load_table(spark, d, "documents")
+        results[label] = {
+            "minhash": minhash_pair_counts(docs, "text", "doc_id", threshold=0.5),
+            "gram": gram_dedup_counts(docs, "text", "doc_id", k=8),
+            "cross": minhash_across_counts(
+                docs.filter(F.col("source") == "src0"),
+                docs.filter(F.col("source") != "src0"),
+                "text",
+                "doc_id",
+                threshold=0.5,
+            ),
+        }
+        spark.catalog.clearCache()
+
+    base, big = results["base"], results[f"sf{r}/10"]
+    bad = []
+    print(f"| counter | sf0.1 | sf{r}/10 | ratio | expected |")
+    print("|---|---|---|---|---|")
+    for fam in ("minhash", "gram", "cross"):
+        for m, b in base[fam].items():
+            v = big[fam][m]
+            if m in ("hot_shingles", "hot_heavy_docs"):
+                exp, ok = "0", (b == 0 and v == 0)
+            else:
+                exp, ok = f"{r}.0x", (b > 0 and v == r * b)
+            ratio = round(v / b, 2) if b else 0.0
+            mark = "" if ok else "  <-- NOT EXACT"
+            print(f"| {fam}.{m} | {b} | {v} | {ratio}x | {exp} |{mark}")
+            if not ok:
+                bad.append(f"{fam}.{m}: {b} -> {v}")
+    print("BAD:", "; ".join(bad) if bad else "none")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
