@@ -370,9 +370,9 @@ def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id
     )
     SELECT user_id, n,
-           ROUND(list_reduce(vs, (acc, x) ->
-                 CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc),
-                 6) AS ewma
+           list_reduce(vs, (acc, x) ->
+                 CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc)
+           AS ewma
     FROM seq ORDER BY user_id
     """,
     tags=("timeseries", "extension"),
@@ -385,7 +385,14 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     events-per-user (~10 here; the docstring's per-key bound). Every
     fold step is the same (alpha*x) + ((1-alpha)*acc) IEEE
     association DuckDB's list_reduce computes, so the terminal value
-    matches bit-exactly before the 6 dp display rounding."""
+    matches bit-exactly — and SHIPS UNROUNDED (r16): the former
+    ROUND(ewma, 6) was pure display sugar, and rounding an identical
+    double is itself a divergence source once |ewma| is large enough
+    that 6 dp exceeds the double's ULP (Spark BigDecimal HALF_UP vs
+    DuckDB's multiply-round path disagreed on 7 extreme-twin values
+    at |x|~1e13 while the RAW terminals were bit-identical on every
+    key — the standing float rule's exact failure mode, SCALE.md
+    round-16)."""
     from corral_spark.operators.timeseries import ewma_by_key
 
     # ts IS NOT NULL: an EWMA step needs a position in the sequence —
@@ -396,9 +403,7 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull() & F.col("ts").isNotNull()
     )
     out = ewma_by_key(ev, ("user_id",), ("ts", "event_id"), "value", 0.2)
-    return out.select(
-        "user_id", "n", F.round("ewma", 6).alias("ewma")
-    ).orderBy("user_id")
+    return out.select("user_id", "n", "ewma").orderBy("user_id")
 
 
 #: 10-bit Morton key over (l_partkey % 1024, l_suppkey % 1024);
