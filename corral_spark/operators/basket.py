@@ -67,12 +67,18 @@ def _guarded_pair_counts(
         ).cast("boolean"),
     ).otherwise(F.lit(True))
     return (
+        # widths is one row PER BASKET and pp one row per basket item —
+        # both corpus-scaled (the width cap bounds basket SIZE, not
+        # basket COUNT) — shuffle_hash per the corpus-scaled join
+        # rule (r16 broadcast audit).
         pp.select(F.col("b"), F.col("i").alias("item_a"))
-        .join(widths, "b")
+        .join(widths.hint("shuffle_hash"), "b")
         .filter(width_ok)
         .drop("__w")
         .join(
-            pp.select(F.col("b"), F.col("i").alias("item_b")),
+            pp.select(F.col("b"), F.col("i").alias("item_b")).hint(
+                "shuffle_hash"
+            ),
             "b",
         )
         .filter(F.col("item_a") < F.col("item_b"))
@@ -149,8 +155,10 @@ def association_rules(
     ca = items.select(F.col("i").alias("item_a"), F.col("c").alias("c_a"))
     cb = items.select(F.col("i").alias("item_b"), F.col("c").alias("c_b"))
     return (
-        pairs.join(ca, "item_a")
-        .join(cb, "item_b")
+        # ca/cb are per-item counts over the full catalog —
+        # corpus-scaled; only the one-row n_df broadcasts.
+        pairs.join(ca.hint("shuffle_hash"), "item_a")
+        .join(cb.hint("shuffle_hash"), "item_b")
         .crossJoin(F.broadcast(n_df))
         .select(
             "item_a",

@@ -75,9 +75,17 @@ def decontaminate(
     text_col: str = "text",
     n: int = 5,
 ) -> DataFrame:
-    """Candidates with every contaminated document removed (broadcast
-    anti join against the flagged id set) — the pipeline-facing form."""
+    """Candidates with every contaminated document removed (anti join
+    against the flagged id set) — the pipeline-facing form.
+
+    The BENCHMARK side (inside flag_contaminated) is bounded by
+    contract — eval sets are benchmark-sized, so its n-gram table may
+    broadcast. The FLAGGED-ids set is NOT: it scales with the
+    contaminated fraction of the corpus (millions of ids at 100 TB
+    even at 1% contamination), so the former explicit F.broadcast
+    here was the corpus-scaled-broadcast class the r16 audit hunts —
+    replaced with the shuffle_hash rule."""
     flagged = flag_contaminated(candidates, benchmark, id_col, text_col, n)
     return candidates.join(
-        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+        flagged.select(id_col).hint("shuffle_hash"), id_col, "left_anti"
     )

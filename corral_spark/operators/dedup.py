@@ -1011,7 +1011,7 @@ def segment_dedup(
     )
     return (
         base.select("__id", "n_total")
-        .join(rebuilt, on="__id", how="left")
+        .join(rebuilt.hint("shuffle_hash"), on="__id", how="left")
         .select(
             F.col("__id").alias(id_col),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
@@ -1083,7 +1083,10 @@ def sliding_gram_dedup(
     firsts = wins.groupBy("gram").agg(
         F.min(F.struct(F.col("__id"), F.col("pos"))).alias("__f")
     )
-    occ = wins.join(firsts, on="gram").select(
+    # firsts is vocabulary-sized (one row per distinct gram) — corpus-
+    # scaled; r16 broadcast audit caught Catalyst static-planning it
+    # as a driver broadcast (same class as bucket_pairs, SCALE.md).
+    occ = wins.join(firsts.hint("shuffle_hash"), on="gram").select(
         "__id",
         "pos",
         (
@@ -1112,7 +1115,11 @@ def sliding_gram_dedup(
     toks = base.select(
         "__id", F.posexplode("__w").alias("i", "w"), "n_total"
     )
-    kept = toks.join(removed, on=["__id", "i"], how="left_anti")
+    # removed holds every all-duplicate token position — corpus-scaled
+    # on a dup-heavy corpus; never an estimate-based broadcast build.
+    kept = toks.join(
+        removed.hint("shuffle_hash"), on=["__id", "i"], how="left_anti"
+    )
     rebuilt = kept.groupBy("__id").agg(
         F.concat_ws(
             " ",
@@ -1125,7 +1132,7 @@ def sliding_gram_dedup(
     )
     return (
         base.select("__id", "n_total")
-        .join(rebuilt, on="__id", how="left")
+        .join(rebuilt.hint("shuffle_hash"), on="__id", how="left")
         .select(
             F.col("__id").alias(id_col),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
@@ -1243,7 +1250,7 @@ def remove_boilerplate_segments(
     )
     return (
         base.select("__id", "n_total")
-        .join(rebuilt, on="__id", how="left")
+        .join(rebuilt.hint("shuffle_hash"), on="__id", how="left")
         .select(
             F.col("__id").alias(id_col),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
@@ -1399,7 +1406,9 @@ def prefix_filter_jaccard_pairs(
         F.size("toks").alias("n"),
     )
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
-    ranked = tok.join(dfreq, "token").select(
+    # dfreq is vocabulary-sized (corpus-scaled) — shuffle_hash per the
+    # corpus-scaled join rule (r16 broadcast audit).
+    ranked = tok.join(dfreq.hint("shuffle_hash"), "token").select(
         "gid",
         "token",
         "n",

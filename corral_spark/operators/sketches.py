@@ -432,7 +432,14 @@ def bloom_new_rows(
     definitely_new = flagged.filter(~F.col("__might")).drop("__might")
     maybe = flagged.filter(F.col("__might")).drop("__might")
     verified_new = maybe.join(
-        existing.select(F.col(key_col)).distinct(),
+        # The existing-keys side is the WHOLE existing corpus's
+        # distinct keys — corpus-scaled; the r16 broadcast audit
+        # caught Catalyst building it as a driver broadcast (full
+        # document texts in the registry query). shuffle_hash per
+        # the corpus-scaled join rule. The bloom pass above already
+        # shrank `maybe` to the tiny might-contain set, so this
+        # anti-join is cheap either way — the point of the sketch.
+        existing.select(F.col(key_col)).distinct().hint("shuffle_hash"),
         on=key_col,
         how="left_anti",
     )

@@ -210,7 +210,10 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     total = counts.agg(F.sum("cnt").alias("total"))
     model = counts.crossJoin(F.broadcast(total))
     return (
-        toks.join(model, "term")
+        # model is vocabulary-sized (corpus-scaled) — shuffle_hash per
+        # the corpus-scaled join rule (r16 broadcast audit); only the
+        # one-row total broadcasts.
+        toks.join(model.hint("shuffle_hash"), "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -286,13 +289,15 @@ def bigram_logprob(
     c1 = c2.select(ctx.alias("w1"), "c2").groupBy("w1").agg(
         F.sum("c2").alias("c1")
     )
+    # c2/c1/model are vocabulary-sized (corpus-scaled) — shuffle_hash
+    # per the corpus-scaled join rule; only the one-row V broadcasts.
     model = (
         c2.withColumn("w1", ctx)
-        .join(c1, "w1")
+        .join(c1.hint("shuffle_hash"), "w1")
         .crossJoin(F.broadcast(vocab))
         .select("bg", "c2", "c1", "V")
     )
-    scored = big.join(model, "bg").groupBy(id_col).agg(
+    scored = big.join(model.hint("shuffle_hash"), "bg").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(
             F.avg(
@@ -305,8 +310,9 @@ def bigram_logprob(
         ).alias("mean_logprob"),
     )
     return (
+        # scored is per-document (corpus-scaled) — same rule.
         df.select(id_col)
-        .join(scored, id_col, "left")
+        .join(scored.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),

@@ -95,8 +95,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines rank on EXACT bigint arithmetic — a log-idf double
     would reintroduce cross-engine ulp risk; the linear variant is
     rank-equivalent for the common single-occurrence df range).
-    Two shuffles (tf group-by, df group-by) + a broadcast of the tiny
-    df side at this cardinality; ties broken by term for determinism."""
+    Two shuffles (tf group-by, df group-by); the df side is
+    VOCABULARY-sized, i.e. corpus-scaled, so the tf-df join carries
+    the shuffle_hash corpus-scaled-join hint (r16 broadcast audit —
+    the earlier "broadcast the tiny df side" was a small-SF estimate
+    Catalyst would happily keep at 100 TB through the explode).
+    Only the one-row n_docs frame broadcasts. Ties broken by term."""
     docs = _t(spark, sf_dir, "documents")
     # n_docs joins in lazily (one-row cross join, broadcast) — an
     # eager docs.count() here would run a full-scan job at
@@ -112,7 +116,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").cast("bigint").alias("df")
     )
     scored = (
-        tf.join(df, on="term")
+        tf.join(df.hint("shuffle_hash"), on="term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -371,9 +371,13 @@ def hygiene_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = repetition_stats(cands).select("doc_id", "top_token_fraction")
     lp = unigram_logprob(cands).select("doc_id", "mean_logprob")
     return (
+        # clean/rep/lp are all per-candidate-document (corpus-scaled)
+        # — shuffle_hash per the corpus-scaled join rule (r16 audit:
+        # Catalyst static-planned the surviving-ids set as a driver
+        # broadcast build).
         clean.select("doc_id")
-        .join(rep, "doc_id")
-        .join(lp, "doc_id")
+        .join(rep.hint("shuffle_hash"), "doc_id")
+        .join(lp.hint("shuffle_hash"), "doc_id")
         .filter(
             (F.col("top_token_fraction") <= 0.15)
             & (F.col("mean_logprob") >= -3.6)

@@ -197,7 +197,11 @@ def cms_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         true_c.select("bigram"), sketch, "bigram", depth=4, width=256
     )
     return (
-        true_c.join(est, on="bigram")
+        # Both sides are vocabulary-sized (corpus-scaled) —
+        # shuffle_hash per the corpus-scaled join rule (r16 audit);
+        # the d x w sketch itself stays a bounded broadcast inside
+        # cms_estimate.
+        true_c.join(est.hint("shuffle_hash"), on="bigram")
         .select("bigram", "true_cnt", "est_cnt")
         .orderBy("bigram")
     )

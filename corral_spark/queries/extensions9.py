@@ -530,7 +530,9 @@ def cdc_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("ndocs")
     )
     return (
-        ch.join(nd, "chunk_hash")
+        # nd is one row per DISTINCT CHUNK — corpus-scaled —
+        # shuffle_hash per the corpus-scaled join rule (r16 audit).
+        ch.join(nd.hint("shuffle_hash"), "chunk_hash")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
