@@ -81,6 +81,44 @@ def _subtree(lines: list[str], i: int) -> list[str]:
     return out
 
 
+def classify_plan(plan: str) -> list[tuple[str, list[str]]]:
+    """Classify every BroadcastExchange in a physical-plan string.
+    Returns [(kind, scan_tables)] — kind is BOUNDED, SELF-CORRECTING,
+    or SUSPECT(<distorting operator>). Shared by the CLI below and
+    the CI pin (tests/test_broadcast_audit.py)."""
+    lines = plan.splitlines()
+    out: list[tuple[str, list[str]]] = []
+    for i, l in enumerate(lines):
+        if "BroadcastExchange" not in l:
+            continue
+        sub = _subtree(lines, i)
+        body = "\n".join(sub)
+        scans = sorted(
+            {
+                m.group(1).lower()
+                for sl in sub
+                if "Scan" in sl or "FileScan" in sl
+                for m in SCAN_TABLE_RE.finditer(sl)
+            }
+        )
+        fact_scan = bool(set(scans) & FACT_TABLES)
+        distorted = DISTORT_RE.search(body)
+        if "IdentityBroadcastMode" in l:
+            # One-row scalar (agg-to-scalar crossJoin pattern) —
+            # bounded regardless of what feeds it.
+            kind = "BOUNDED"
+        elif BOUNDING_RE.search(body):
+            kind = "BOUNDED"
+        elif distorted:
+            kind = f"SUSPECT({distorted.group(0).strip()})"
+        elif fact_scan:
+            kind = "SELF-CORRECTING"
+        else:
+            kind = "BOUNDED"
+        out.append((kind, scans))
+    return out
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -115,41 +153,11 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — audit, keep going
             print(f"{name}: PLAN-ERROR {type(exc).__name__}: {str(exc)[:120]}")
             continue
-        lines = plan.splitlines()
-        found = []
-        for i, l in enumerate(lines):
-            if "BroadcastExchange" not in l:
-                continue
+        for kind, scans in classify_plan(plan):
             n_bc += 1
-            sub = _subtree(lines, i)
-            body = "\n".join(sub)
-            scans = sorted(
-                {
-                    m.group(1).lower()
-                    for sl in sub
-                    if "Scan" in sl or "FileScan" in sl
-                    for m in SCAN_TABLE_RE.finditer(sl)
-                }
-            )
-            fact_scan = bool(set(scans) & FACT_TABLES)
-            distorted = DISTORT_RE.search(body)
-            if "IdentityBroadcastMode" in l:
-                # One-row scalar (agg-to-scalar crossJoin pattern) —
-                # bounded regardless of what feeds it.
-                kind = "BOUNDED"
-            elif BOUNDING_RE.search(body):
-                kind = "BOUNDED"
-            elif distorted:
-                kind = f"SUSPECT({distorted.group(0).strip()})"
-            elif fact_scan:
-                kind = "SELF-CORRECTING"
-            else:
-                kind = "BOUNDED"
             if kind.startswith("SUSPECT"):
                 n_suspect += 1
-                found.append((kind, scans))
-        for kind, scans in found:
-            suspects.append(f"{name}: {kind} build over {scans}")
+                suspects.append(f"{name}: {kind} build over {scans}")
     for s in suspects:
         print(s)
     print(f"audited {len(qs)} queries: {n_bc} broadcast builds, "
