@@ -42,6 +42,53 @@ from corral_spark.materialize import materialize
 SHORT_DF_MAX = 64
 
 
+#: spread_input's per-task byte floor (conf `spark.corral.spread.
+#: minBytesPerTask`): below it a 1-task stage finishes faster than the
+#: repartition exchange costs (measured at sf0.1: +0.3-0.5s of pure
+#: exchange overhead on a 255 KB input vs -50% wall on a 2.6 MB one).
+SPREAD_MIN_BYTES_PER_TASK = 1 * 1024 * 1024
+
+
+def spread_input(df: DataFrame) -> DataFrame:
+    """Re-spread ``df`` across the cluster when its source scan
+    under-parallelizes, before an expensive per-row stage (the Arrow
+    shingle UDF, regex normalization, window explodes).
+
+    A small or single-row-group parquet file yields a 1-task scan
+    (splits cannot cross row-group boundaries), which serializes every
+    downstream narrow stage on one core — the guide §2.5 "unsplittable
+    input" case. The fix is conditional and SCALE-ADAPTIVE on two
+    axes, so no constant is tuned to either local mode or the cluster:
+
+    * only when the scan's partition count is below the cluster's
+      default parallelism (at 100 TB a scan has thousands of splits —
+      permanent no-op; no extra corpus shuffle is ever paid at scale);
+    * only when the plan's estimated bytes per existing task exceed
+      ``spark.corral.spread.minBytesPerTask`` (default 1 MB): under
+      it, a single task finishes faster than the repartition exchange
+      costs (measured both directions at sf0.1 vs the 10x corpus).
+
+    The inserted round-robin repartition is deterministic
+    (sort-before-repartition, SPARK-23207) and both probes are plan
+    metadata, not jobs.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    n_part = df.rdd.getNumPartitions()
+    if n_part >= par:
+        return df
+    min_bytes = int(
+        spark.conf.get(
+            "spark.corral.spread.minBytesPerTask",
+            str(SPREAD_MIN_BYTES_PER_TASK),
+        )
+    )
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est / max(n_part, 1) <= min_bytes:
+        return df
+    return df.repartition(par)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -354,6 +401,45 @@ def _band_keys(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
     )
 
 
+def _banded_cands(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """Raw candidate id pairs from banded signatures — the sig-FREE
+    candidate generator for the verified path (r16 optimization).
+
+    ``minhash_lsh_pairs`` must carry each document's full signature
+    array through the bucket self-join because it scores candidates by
+    signature agreement; the VERIFIED path throws that estimate away
+    (exact shingle Jaccard decides membership), so shipping the
+    64-long ``sig`` array through the pair join was pure shuffle
+    weight — 512 bytes/row on both join sides and in the materialized
+    band table (guide §2.3: project before the exchange). Here only
+    (band, key, id) crosses: 24 bytes/row, the minimum that determines
+    the candidate set.
+
+    Output is NOT deduplicated (a pair sharing several bands emits
+    once per shared band): callers union these with the short-doc
+    candidates and pay ONE dropDuplicates for the whole candidate set
+    instead of one per source (r16: the previous shape deduplicated
+    three times — inside bucket_pairs, inside _short_exact_cands, and
+    again after the union — three shuffles on the same key).
+    Output: (id_a, id_b) with id_a < id_b, duplicates possible.
+    """
+    keyed = _band_keys(sig_df, id_col, bands).select("id", "band", "key")
+    # Upstream is the signature aggregation; materialize so the two
+    # self-join sides don't recompute it (same rationale as
+    # bucket_pairs, but the stored frame is 3 scalars/row, not the
+    # signature array).
+    keyed = materialize(keyed, eager=True)
+    left = keyed.select("band", "key", F.col("id").alias("id_a"))
+    right = keyed.select("band", "key", F.col("id").alias("id_b"))
+    # Corpus-scaled both sides — shuffle_hash per the bucket_pairs
+    # rule (never an estimate-based broadcast of a corpus table).
+    return (
+        left.join(right.hint("shuffle_hash"), on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
 def minhash_lsh_pairs(
     sig_df: DataFrame,
     id_col: str,
@@ -506,29 +592,39 @@ def _minhash_cands_and_verified(
     normal path leaves it lazy (one job, no extra barrier). Third
     return value: lazy diagnostic frames for the short-path canary
     (short_candidates, hot_shingles, hot_heavy_docs)."""
-    shing = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles_arrow(F.col(text_col), shingle_n).alias("__sh"),
+    # Narrow projection first (only the id and text cross any spread
+    # shuffle), then re-spread when the source scan under-parallelizes
+    # so the Arrow shingle UDF runs on every core (spread_input is a
+    # no-op on an already-parallel scan).
+    src = spread_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    )
+    shing = src.select(
+        "id", word_shingles_arrow(F.col("__t"), shingle_n).alias("__sh")
     )
     shing = materialize(shing, eager=True)
     tok = shing.select("id", F.explode("__sh").alias("__s"))
     sigs = _signatures_from_tokens(tok, "id", "__s", n_hashes)
-    # threshold=0.0: every band collision is a candidate; the exact
-    # verifier (not the signature estimate) decides membership.
-    cands = minhash_lsh_pairs(sigs, "id", bands=bands, threshold=0.0).select(
-        "id_a", "id_b"
-    )
+    # Every band collision is a candidate; the exact verifier (not the
+    # signature estimate) decides membership — so candidates come from
+    # the sig-free generator (_banded_cands): only (band, key, id)
+    # crosses the pair join, and dedup is deferred to the single
+    # dropDuplicates after the short-path union below.
+    cands = _banded_cands(sigs, "id", bands)
     # Short-doc exact candidates (see docstring): df-capped inverted
     # index over docs whose shingle count is below the OPH reliability
     # floor, with a hot-heavy fallback preserving completeness
-    # (_short_exact_cands has the argument).
+    # (_short_exact_cands has the argument). The short-doc token rows
+    # re-derive from the materialized shingle checkpoint with a
+    # filter+explode — a narrow map, replacing the previous
+    # tok-join-small_ids shuffle (r16: same rows, one exchange fewer).
     small_max = int(n_hashes / max(threshold, 0.1))
-    small_ids = shing.filter(F.size("__sh") <= small_max).select("id")
-    # small_ids is a corpus fraction, not a bounded dim — shuffle_hash
-    # per the bucket_pairs corpus-scaled join rule (r16 sf3 canary).
-    stok = tok.join(small_ids.hint("shuffle_hash"), on="id")
+    stok = shing.filter(F.size("__sh") <= small_max).select(
+        "id", F.explode("__sh").alias("__s")
+    )
     small_cands, short_diag = _short_exact_cands(
-        stok, stok, threshold, df_max=short_df_max, symmetric=True
+        stok, stok, threshold, df_max=short_df_max, symmetric=True,
+        dedup=False,
     )
     cands = cands.unionByName(small_cands).dropDuplicates(["id_a", "id_b"])
     if materialize_cands:
@@ -546,7 +642,13 @@ def _minhash_cands_and_verified(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return cands, verified, {"short_candidates": small_cands, **short_diag}
+    # Diag frame deduped so the bench count canary keeps its historic
+    # semantics (distinct short-path candidate pairs) now that the
+    # pipeline defers dedup to the union.
+    short_cands_distinct = small_cands.dropDuplicates(["id_a", "id_b"])
+    return cands, verified, {
+        "short_candidates": short_cands_distinct, **short_diag
+    }
 
 
 def _short_exact_cands(
@@ -555,6 +657,7 @@ def _short_exact_cands(
     threshold: float,
     df_max: int = SHORT_DF_MAX,
     symmetric: bool = True,
+    dedup: bool = True,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """Exact candidate pairs for the short-document completeness path,
     bounded in corpus skew by a document-frequency cap (r6 verdict
@@ -583,41 +686,49 @@ def _short_exact_cands(
     Returns (candidates, diag) where diag maps canary names to lazy
     frames (hot shingles, hot-heavy docs) for the bench count canary —
     the minhash_counts discipline applied to this path.
+
+    ``dedup=False`` skips the final dropDuplicates: callers that union
+    these with banded candidates pay ONE dedup for the whole set (the
+    r16 shape — three dedup shuffles on the same key collapsed to
+    one). The candidate SET is unchanged either way.
     """
     pop = sa if symmetric else sa.unionByName(sb)
     dfreq = pop.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-    hot = dfreq.filter(F.col("__df") > df_max).select("__s")
-    # Tiny by construction (<= incidences/df_max rows) but derived
-    # from an aggregation Catalyst can't size statically; checkpoint
-    # so the two consumers below don't re-run the frequency count.
-    hot = materialize(hot, eager=False)
 
-    def split(tokens: DataFrame) -> tuple[DataFrame, DataFrame]:
-        return (
-            tokens.join(hot, on="__s", how="left_anti"),
-            tokens.join(hot, on="__s"),
+    # Annotate every token row with its population document frequency:
+    # ONE corpus-scaled join (r16 — replaces the previous anti-join +
+    # inner-join pair per side against a materialized hot list), then
+    # hot/cold are cheap filters over the annotated checkpoint and the
+    # per-doc totals (__n) and hot counts (__hc) come from a SINGLE
+    # aggregate instead of two aggregates plus a join.
+    cold = F.col("__df") <= df_max
+
+    def annotate(tokens: DataFrame) -> DataFrame:
+        # dfreq is vocabulary-sized over the short population —
+        # corpus-scaled, so shuffle_hash per the bucket_pairs rule.
+        return materialize(
+            tokens.join(dfreq.hint("shuffle_hash"), on="__s"), eager=False
         )
 
-    na, ha = split(sa)
-    nb, hb = (na, ha) if symmetric else split(sb)
-    cands = na.select(
+    anna = annotate(sa)
+    annb = anna if symmetric else annotate(sb)
+    cands = anna.filter(cold).select(
         F.col("id").alias("id_a"), F.col("__s").alias("__t")
     ).join(
         # The short-doc inverted index: both sides scale with the
         # short population — shuffle_hash per the corpus-scaled rule.
-        nb.select(F.col("id").alias("id_b"), F.col("__s").alias("__t"))
+        annb.filter(cold)
+        .select(F.col("id").alias("id_b"), F.col("__s").alias("__t"))
         .hint("shuffle_hash"),
         on="__t",
     ).select("id_a", "id_b")
 
-    def hot_heavy(tokens: DataFrame, hot_tokens: DataFrame) -> DataFrame:
-        n = tokens.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
-        hc = hot_tokens.groupBy("id").agg(F.count(F.lit(1)).alias("__hc"))
+    def hot_heavy(ann: DataFrame) -> DataFrame:
+        stats = ann.groupBy("id").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(~cold, True)).alias("__hc"),
+        )
         return (
-            # hc can reach corpus scale on a boilerplate-heavy corpus
-            # (every short doc holding one stop-phrase) — no
-            # estimate-based broadcast.
-            n.join(hc.hint("shuffle_hash"), on="id")
             # Same float-ceil completeness slack as the ppjoin prefix
             # lengths: double rounding can overshoot an exact-integer
             # t*n and exclude a boundary doc from the fallback — the
@@ -625,22 +736,27 @@ def _short_exact_cands(
             # ADMITS more docs (superset; verification prunes).
             # Binary-exact at the shipped t=0.5, so no behavior
             # change on the registry corpus.
-            .filter(
+            stats.filter(
                 F.col("__hc")
                 >= F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-6))
             )
             .select("id")
         )
 
-    hha = hot_heavy(sa, ha)
-    hhb = hha if symmetric else hot_heavy(sb, hb)
+    hha = hot_heavy(anna)
+    hhb = hha if symmetric else hot_heavy(annb)
+    # Hot-heavy id lists and hot-token rows can reach corpus scale on
+    # a boilerplate-heavy corpus (every short doc holding one
+    # stop-phrase) — shuffle_hash per the corpus-scaled rule, never an
+    # estimate-based broadcast of a checkpoint-opaque aggregate.
     fallback = (
-        ha.join(hha, on="id")
+        anna.filter(~cold).join(hha.hint("shuffle_hash"), on="id")
         .select(F.col("id").alias("id_a"), F.col("__s").alias("__t"))
         .join(
-            hb.join(hhb, on="id").select(
-                F.col("id").alias("id_b"), F.col("__s").alias("__t")
-            ),
+            annb.filter(~cold)
+            .join(hhb.hint("shuffle_hash"), on="id")
+            .select(F.col("id").alias("id_b"), F.col("__s").alias("__t"))
+            .hint("shuffle_hash"),
             on="__t",
         )
         .select("id_a", "id_b")
@@ -648,9 +764,10 @@ def _short_exact_cands(
     out = cands.unionByName(fallback)
     if symmetric:
         out = out.filter(F.col("id_a") < F.col("id_b"))
-    out = out.dropDuplicates(["id_a", "id_b"])
+    if dedup:
+        out = out.dropDuplicates(["id_a", "id_b"])
     diag = {
-        "hot_shingles": hot,
+        "hot_shingles": dfreq.filter(F.col("__df") > df_max).select("__s"),
         "hot_heavy_docs": (
             hha if symmetric else hha.unionByName(hhb)
         ).dropDuplicates(["id"]),
@@ -749,10 +866,16 @@ def _across_cands_and_verified(
     for the self-join path)."""
 
     def prep(df: DataFrame):
-        shing = materialize(
+        # Same narrow-projection + conditional-spread as the self-join
+        # path: the shingle UDF must not serialize on a 1-split scan.
+        src = spread_input(
             df.select(
-                F.col(id_col).alias("id"),
-                word_shingles_arrow(F.col(text_col), shingle_n).alias("__sh"),
+                F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+            )
+        )
+        shing = materialize(
+            src.select(
+                "id", word_shingles_arrow(F.col("__t"), shingle_n).alias("__sh")
             ),
             eager=True,
         )
@@ -770,10 +893,10 @@ def _across_cands_and_verified(
     )
     cands = (
         # Both corpora's band tables are corpus-scaled — shuffle_hash
-        # per the bucket_pairs rule (r16 sf3 canary).
+        # per the bucket_pairs rule (r16 sf3 canary). Dedup deferred
+        # to the single dropDuplicates after the short-path union.
         ba.join(bb.hint("shuffle_hash"), on=["band", "key"])
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
     # Short-doc completeness path, short x short and df-capped. A
@@ -787,20 +910,19 @@ def _across_cands_and_verified(
     # DF cap + hot-heavy fallback of _short_exact_cands bounds the
     # remaining skew.
     small_max = int(n_hashes / max(threshold, 0.1))
-    sa = toka.join(
-        sha.filter(F.size("__sh") <= small_max)
-        .select("id")
-        .hint("shuffle_hash"),
-        on="id",
+    # Short-doc token rows re-derive from each corpus's materialized
+    # shingle checkpoint with a filter+explode — a narrow map per
+    # side, replacing the previous tok-join-small_ids shuffles (r16:
+    # same rows, two exchanges fewer).
+    sa = sha.filter(F.size("__sh") <= small_max).select(
+        "id", F.explode("__sh").alias("__s")
     )
-    sb = tokb.join(
-        shb.filter(F.size("__sh") <= small_max)
-        .select("id")
-        .hint("shuffle_hash"),
-        on="id",
+    sb = shb.filter(F.size("__sh") <= small_max).select(
+        "id", F.explode("__sh").alias("__s")
     )
     short_cands, short_diag = _short_exact_cands(
-        sa, sb, threshold, df_max=short_df_max, symmetric=False
+        sa, sb, threshold, df_max=short_df_max, symmetric=False,
+        dedup=False,
     )
     cands = cands.unionByName(short_cands).dropDuplicates(["id_a", "id_b"])
     if materialize_cands:
@@ -819,7 +941,12 @@ def _across_cands_and_verified(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return cands, verified, {"short_candidates": short_cands, **short_diag}
+    # Deduped diag frame — keeps the count canary's historic
+    # distinct-pair semantics under the deferred-dedup pipeline.
+    return cands, verified, {
+        "short_candidates": short_cands.dropDuplicates(["id_a", "id_b"]),
+        **short_diag,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -976,8 +1103,10 @@ def segment_dedup(
 
     # Two consumers below (the posexplode branch and the final n_total
     # join) — materialize so documents are tokenized/segmented once.
+    # spread_input first: tokenize+segment must not serialize on a
+    # 1-split scan (no-op on an already-parallel input).
     base = materialize(
-        df.select(
+        spread_input(df.select(F.col(id_col), F.col(text_col))).select(
             F.col(id_col).alias("__id"),
             segs.alias("__segs"),
             nseg.alias("n_total"),
@@ -1030,8 +1159,11 @@ def _gram_windows(df: DataFrame, text_col: str, id_col: str, k: int):
     intermediates of the plan the operator actually runs, so the
     tokenizer/window rule must not be able to drift between them."""
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    # spread_input: the window explode downstream is the largest
+    # intermediate in the engine — it must not fan out from a 1-split
+    # scan's single task (no-op on an already-parallel input).
     base = materialize(
-        df.select(
+        spread_input(df.select(F.col(id_col), F.col(text_col))).select(
             F.col(id_col).alias("__id"),
             words.alias("__w"),
             F.size(words).cast("int").alias("n_total"),
@@ -1218,8 +1350,10 @@ def remove_boilerplate_segments(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
+    # spread_input: tokenize+segment must not serialize on a 1-split
+    # scan (no-op on an already-parallel input).
     base = materialize(
-        df.select(
+        spread_input(df.select(F.col(id_col), F.col(text_col))).select(
             F.col(id_col).alias("__id"),
             segs.alias("__segs"),
             nseg.alias("n_total"),

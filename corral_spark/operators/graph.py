@@ -65,7 +65,10 @@ def connected_components(
     # candidate generation), so truncate it once up front instead of
     # recomputing per consumer (measured: capstone pretrain pipeline
     # ~12s -> ~8s at sf0.1 warm).
-    edges = materialize(edges, eager=True)
+    # Lazy barrier: the count() below is the first action and
+    # materializes the checkpoint as a side effect — an eager
+    # materialize would pay one extra job for the same result (r16).
+    edges = materialize(edges, eager=False)
     n_edges = edges.count()
     if n_edges == 0:
         # A clean corpus (no near-dup pairs) is a valid input: empty

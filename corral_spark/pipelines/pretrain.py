@@ -103,8 +103,16 @@ def prepare_pretraining_corpus(
         report["after_decontamination"] = _count(docs)
 
     # 1. Scan-side hygiene: normalize, redact, quality-score — fused
-    #    into one projection+filter over the source scan.
-    clean = docs.select(
+    #    into one projection+filter over the source scan. The scan is
+    #    conditionally re-spread first (dedup.spread_input): a small /
+    #    single-row-group input gives a 1-task scan that would
+    #    serialize the regex-heavy normalize+redact stage on one core;
+    #    at scale the scan is already parallel and this is a no-op.
+    from corral_spark.operators.dedup import spread_input
+
+    clean = spread_input(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col),
         redact_pii(normalize_text(F.col(text_col))).alias("clean_text"),
     )

@@ -57,20 +57,25 @@ def _prefixes(spark, sf_dir):
         return _signatures_from_tokens(tok, "id", "__s", n_hashes)
 
     def banded(s):
-        return minhash_lsh_pairs(
-            sigs(s), "id", bands=bands, threshold=0.0
-        ).select("id_a", "id_b")
+        from corral_spark.operators.dedup import _banded_cands
+
+        return _banded_cands(sigs(s), "id", bands).dropDuplicates(
+            ["id_a", "id_b"]
+        )
 
     def with_short(s):
-        tok = s.select("id", F.explode("__sh").alias("__s"))
+        from corral_spark.operators.dedup import _banded_cands
+
         small_max = int(n_hashes / threshold)
-        small_ids = s.filter(F.size("__sh") <= small_max).select("id")
-        stok = tok.join(small_ids, on="id")
+        stok = s.filter(F.size("__sh") <= small_max).select(
+            "id", F.explode("__sh").alias("__s")
+        )
         small_cands, _ = _short_exact_cands(
-            stok, stok, threshold, df_max=SHORT_DF_MAX, symmetric=True
+            stok, stok, threshold, df_max=SHORT_DF_MAX, symmetric=True,
+            dedup=False,
         )
         return (
-            banded(s)
+            _banded_cands(sigs(s), "id", bands)
             .unionByName(small_cands)
             .dropDuplicates(["id_a", "id_b"])
         )
