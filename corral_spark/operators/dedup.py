@@ -401,6 +401,35 @@ def _band_keys(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
     )
 
 
+def bucket_id_pairs(
+    keyed: DataFrame, key_col: str, id_col: str, dedup: bool = True
+) -> DataFrame:
+    """Payload-free ``bucket_pairs``: only (key, id) crosses the
+    self-join and its materialization barrier; callers re-attach
+    payloads to the (much smaller) candidate-pair set with id joins
+    (guide §2.3 — decide with small rows, move heavy columns once).
+    Use when the downstream verification needs per-row payloads
+    (vectors, arrays) that would otherwise ship once per (bucket
+    membership x side) through the pair join.
+    Output: (id_a, id_b) with id_a < id_b; ``dedup=False`` leaves
+    cross-bucket duplicates for a caller-level dropDuplicates.
+    """
+    slim = keyed.select(
+        F.col(key_col).alias("__k"), F.col(id_col).alias("__id")
+    )
+    slim = materialize(slim, eager=True)
+    left = slim.select("__k", F.col("__id").alias("id_a"))
+    right = slim.select("__k", F.col("__id").alias("id_b"))
+    out = (
+        # Corpus-scaled both sides — shuffle_hash per the bucket_pairs
+        # rule (never an estimate-based broadcast of a corpus table).
+        left.join(right.hint("shuffle_hash"), on="__k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return out.dropDuplicates(["id_a", "id_b"]) if dedup else out
+
+
 def _banded_cands(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
     """Raw candidate id pairs from banded signatures — the sig-FREE
     candidate generator for the verified path (r16 optimization).

@@ -110,21 +110,33 @@ def cosine_near_dup_pairs(
         keys = keys + (np.arange(bands, dtype=np.int64) << 32)
         return pd.Series(list(keys))
 
-    from corral_spark.operators.dedup import bucket_pairs
+    from corral_spark.operators.dedup import bucket_id_pairs
 
     corpus = _drop_null_vecs(corpus, vec_col)
+    # Two-step candidate/verify (r16, the minhash _banded_cands
+    # pattern): only (band key, id) crosses the pair self-join and its
+    # barrier — the previous shape shipped each 512-byte vector once
+    # per (band x side) through the join; vectors now attach to the
+    # (much smaller) candidate set by id for exact verification.
     keyed = corpus.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("__v"),
         F.explode(band_keys(F.col(vec_col))).alias("bk"),
     )
-    cand = bucket_pairs(keyed, "bk", "id")
+    cand = bucket_id_pairs(keyed, "bk", "id")
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    a = vecs.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"))
+    b = vecs.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"))
     sim = F.round(
-        cosine_sim(_as_double(F.col("a.__v")), _as_double(F.col("b.__v"))), 6
+        cosine_sim(_as_double(F.col("__va")), _as_double(F.col("__vb"))), 6
     )
-    return cand.select(
-        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cos_sim")
-    ).filter(F.col("cos_sim") >= threshold)
+    return (
+        # The vector table is corpus-scaled — shuffle_hash per the
+        # bucket_pairs rule, never an estimate-based broadcast.
+        cand.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def cosine_topk(
@@ -291,24 +303,30 @@ def semantic_near_dup_pairs(
     bounded at any scale). Output: (id_a, id_b, cos_sim) with
     id_a < id_b, cos_sim quantized to ``round_sim`` dp.
     """
-    from corral_spark.operators.dedup import bucket_pairs
+    from corral_spark.operators.dedup import bucket_id_pairs
 
     centroids = deterministic_centroids(corpus, ncells, id_col, vec_col)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, round_sim=6)
-    keyed = assigned.select(
-        F.col("cell"), F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
-    )
-    cand = bucket_pairs(keyed, "cell", "id")
+    # Two-step candidate/verify (r16, the minhash _banded_cands
+    # pattern): only (cell, id) crosses the within-cell pair join —
+    # the previous shape shipped each vector once per pair SIDE
+    # through the block join (sum-of-squares of cell sizes x 512 B);
+    # vectors now attach to the candidate pairs by id.
+    keyed = assigned.select(F.col("cell"), F.col(id_col).alias("id"))
+    cand = bucket_id_pairs(keyed, "cell", "id")
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    a = vecs.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"))
+    b = vecs.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"))
     sim = F.round(
-        cosine_sim(_as_double(F.col("a.__v")), _as_double(F.col("b.__v"))),
+        cosine_sim(_as_double(F.col("__va")), _as_double(F.col("__vb"))),
         round_sim,
     )
     return (
-        cand.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            sim.alias("cos_sim"),
-        )
+        # Corpus-scaled vector table — shuffle_hash per the
+        # bucket_pairs rule.
+        cand.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
