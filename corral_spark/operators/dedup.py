@@ -334,13 +334,17 @@ def minhash_signatures(
 
 
 def _signatures_from_tokens(
-    tok: DataFrame, id_col: str, tok_col: str, n_hashes: int
+    tok: DataFrame, id_col: str | list[str], tok_col: str, n_hashes: int
 ) -> DataFrame:
     """OPH signature aggregation over pre-exploded (id, token) rows —
     split out so callers that already materialized the shingle set
-    (e.g. minhash_verified_pairs) don't re-run the shingle UDF."""
+    (e.g. minhash_verified_pairs) don't re-run the shingle UDF.
+    ``id_col`` may be a list of key columns (the cross-corpus path
+    aggregates one tagged union keyed by (side, id) so identical id
+    values on the two sides can never merge)."""
+    keys = [id_col] if isinstance(id_col, str) else list(id_col)
     ex = tok.select(
-        id_col,
+        *keys,
         F.xxhash64(tok_col).alias("__h"),
         F.pmod(F.xxhash64(tok_col), F.lit(n_hashes)).alias("__b"),
     )
@@ -348,7 +352,7 @@ def _signatures_from_tokens(
         F.min(F.when(F.col("__b") == i, F.col("__h"))).alias(f"__m{i}")
         for i in range(n_hashes)
     ]
-    g = ex.groupBy(id_col).agg(
+    g = ex.groupBy(*keys).agg(
         *aggs,
         F.count(F.lit(1)).alias("n_shingles"),
         F.min("__h").alias("__gmin"),
@@ -359,7 +363,7 @@ def _signatures_from_tokens(
             for i in range(n_hashes)
         ]
     )
-    return g.select(id_col, sig.alias("sig"), "n_shingles")
+    return g.select(*keys, sig.alias("sig"), "n_shingles")
 
 
 def _band_keys(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
@@ -894,25 +898,64 @@ def _across_cands_and_verified(
     minhash_across_counts (same split as _minhash_cands_and_verified
     for the self-join path)."""
 
-    def prep(df: DataFrame):
-        # Same narrow-projection + conditional-spread as the self-join
-        # path: the shingle UDF must not serialize on a 1-split scan.
+    ea = existing.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    eb = incoming.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+
+    if [f.dataType for f in ea.schema.fields] == [
+        f.dataType for f in eb.schema.fields
+    ]:
+        # Single-pass prep (r16): ONE scan + ONE Arrow shingle pass +
+        # ONE materialize barrier + ONE signature aggregate over the
+        # side-tagged union, instead of one of each PER SIDE. When both
+        # inputs slice one table (the registry query: src0 vs the rest)
+        # this halves phase-1 scan/UDF/barrier cost; distinct-table
+        # inputs still scan each table exactly once. Keyed by
+        # (__side, id) everywhere so identical id values on the two
+        # sides can never merge — the two-frame contract allows that.
         src = spread_input(
-            df.select(
-                F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+            ea.select(F.lit(0).alias("__side"), "*").unionByName(
+                eb.select(F.lit(1).alias("__side"), "*")
             )
         )
         shing = materialize(
             src.select(
-                "id", word_shingles_arrow(F.col("__t"), shingle_n).alias("__sh")
+                "__side",
+                "id",
+                word_shingles_arrow(F.col("__t"), shingle_n).alias("__sh"),
             ),
             eager=True,
         )
-        tok = shing.select("id", F.explode("__sh").alias("__s"))
-        return shing, tok, _signatures_from_tokens(tok, "id", "__s", n_hashes)
+        sha = shing.filter(F.col("__side") == 0).select("id", "__sh")
+        shb = shing.filter(F.col("__side") == 1).select("id", "__sh")
+        tok = shing.select("__side", "id", F.explode("__sh").alias("__s"))
+        # Materialized because BOTH band-join sides derive from it:
+        # left lazy, the full-corpus aggregate would run once per side
+        # — exactly the duplicated work this path exists to remove.
+        sigs = materialize(
+            _signatures_from_tokens(tok, ["__side", "id"], "__s", n_hashes),
+            eager=False,
+        )
+        siga = sigs.filter(F.col("__side") == 0).select("id", "sig")
+        sigb = sigs.filter(F.col("__side") == 1).select("id", "sig")
+    else:
+        # Mixed (id, text) column types: the union would coerce them to
+        # a common type, changing the output id columns' declared types
+        # (and a lossy coercion could conflate distinct ids). Per-side
+        # prep — the pre-r16 shape, one scan/UDF/barrier per side.
+        def prep(df: DataFrame):
+            src = spread_input(df)
+            shing = materialize(
+                src.select(
+                    "id",
+                    word_shingles_arrow(F.col("__t"), shingle_n).alias("__sh"),
+                ),
+                eager=True,
+            )
+            tok = shing.select("id", F.explode("__sh").alias("__s"))
+            return shing, _signatures_from_tokens(tok, "id", "__s", n_hashes)
 
-    sha, toka, siga = prep(existing)
-    shb, tokb, sigb = prep(incoming)
+        sha, siga = prep(ea)
+        shb, sigb = prep(eb)
 
     ba = _band_keys(siga, "id", bands).select(
         F.col("id").alias("id_a"), "band", "key"
