@@ -1191,32 +1191,41 @@ def segment_dedup(
     # First occurrence = min (doc id, seg idx) — a hash aggregate with
     # map-side combine, deliberately NOT a row_number window (windows
     # shuffle every occurrence of a hot segment to one task).
-    kept = (
+    # Winner = min (doc id, seg idx) per distinct segment; only the
+    # (id, idx) INTS ride the doc-keyed exchanges — the segment text
+    # is re-read from the checkpointed __segs array at the final join
+    # (r16: previously the text payload crossed the rebuild groupBy
+    # AND the final join; guide §2.3 "shuffle keys, not payloads").
+    kept_idx = (
         exploded.groupBy("seg")
         .agg(F.min(F.struct("__id", "seg_idx")).alias("__w"))
         .select(
             F.col("__w.__id").alias("__id"),
             F.col("__w.seg_idx").alias("seg_idx"),
-            "seg",
         )
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list("seg_idx")).alias("__kp"))
     )
-    rebuilt = kept.groupBy("__id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
-                lambda s: s.getField("seg"),
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    rebuilt = F.concat_ws(
+        " ",
+        F.transform(
+            F.col("__kp"), lambda j: F.element_at(F.col("__segs"), j + 1)
+        ),
     )
+    # kept_idx is doc-scale — corpus-scaled, never an estimate-based
+    # broadcast build (bucket_pairs rule).
     return (
-        base.select("__id", "n_total")
-        .join(rebuilt.hint("shuffle_hash"), on="__id", how="left")
+        base.join(kept_idx.hint("shuffle_hash"), on="__id", how="left")
         .select(
             F.col("__id").alias(id_col),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.when(F.col("__kp").isNotNull(), rebuilt)
+            .otherwise(F.lit(""))
+            .alias("clean_text"),
+            # size(NULL) is -1 in legacy mode and NULL under ANSI —
+            # branch on the null explicitly so both sessions agree.
+            F.when(F.col("__kp").isNotNull(), F.size("__kp"))
+            .otherwise(F.lit(0))
+            .alias("n_kept"),
             F.coalesce(F.col("n_total"), F.lit(0)).alias("n_total"),
         )
     )
@@ -1276,10 +1285,18 @@ def sliding_gram_dedup(
     one window explode (~n rows/doc), one partial-aggregated min-
     struct per distinct gram (vocabulary-sized, same discipline as
     segment_dedup's min-winner — hot grams never serialize to one
-    task), one gram-keyed join back, a k-way coverage explode
-    (k * n rows, k is a small constant), one (doc, pos) aggregate, and
-    a doc-keyed rebuild. No windows over the corpus, no all-pairs, no
-    driver-side state.
+    task), then a per-doc INTERVAL-UNION rebuild: a token survives
+    iff at least one window covering it is a global first occurrence,
+    and the first-occurrence windows are exactly the min-winners —
+    so the kept positions of a doc are the union of [pos, pos+k-1]
+    over ITS winner rows, computed as an array expression against the
+    checkpointed words array. (r16: this replaced a second window
+    explode, a gram-keyed occurrence join, a k-way coverage explode —
+    previously the largest intermediate in the engine — a (doc, pos)
+    aggregate, a token-scale anti-join and a token collect_list; the
+    word payload now crosses exactly ONE exchange, the final doc join,
+    per guide §8 "move heavy rows once".) No windows over the corpus,
+    no all-pairs, no driver-side state.
 
     Output: (id_col, clean_text, n_kept, n_total), row-complete.
     """
@@ -1287,60 +1304,53 @@ def sliding_gram_dedup(
     firsts = wins.groupBy("gram").agg(
         F.min(F.struct(F.col("__id"), F.col("pos"))).alias("__f")
     )
-    # firsts is vocabulary-sized (one row per distinct gram) — corpus-
-    # scaled; r16 broadcast audit caught Catalyst static-planning it
-    # as a driver broadcast (same class as bucket_pairs, SCALE.md).
-    occ = wins.join(firsts.hint("shuffle_hash"), on="gram").select(
-        "__id",
-        "pos",
-        (
-            ~(
-                (F.col("__id") == F.col("__f.__id"))
-                & (F.col("pos") == F.col("__f.pos"))
-            )
-        ).alias("__dup"),
-    )
-    # A token is removed iff covered by >=1 window and ALL covering
-    # windows are duplicates: min(dup) over the k positions each
-    # window covers.
-    removed = (
-        occ.select(
-            "__id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
-            ).alias("i"),
-            "__dup",
+    # Winner rows per doc: at most n-k+1 ints/doc, totalling one row
+    # per DISTINCT gram corpus-wide — the smallest frame in the
+    # pipeline. Only these ints cross the doc-keyed exchanges.
+    keep_pos = (
+        firsts.select(
+            F.col("__f.__id").alias("__id"), F.col("__f.pos").alias("pos")
         )
-        .groupBy("__id", "i")
-        .agg(F.min(F.col("__dup").cast("int")).alias("__all_dup"))
-        .filter(F.col("__all_dup") == 1)
-        .select("__id", "i")
+        .groupBy("__id")
+        .agg(F.collect_list("pos").alias("__kp"))
     )
-    toks = base.select(
-        "__id", F.posexplode("__w").alias("i", "w"), "n_total"
+    # Kept token positions = union of the k-wide intervals of the
+    # doc's first-occurrence windows; docs shorter than k never enter
+    # wins and keep every token. Per-doc array work only.
+    kept_pos = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.col("__kp"),
+                    lambda p: F.sequence(p, p + F.lit(k - 1)),
+                )
+            )
+        )
     )
-    # removed holds every all-duplicate token position — corpus-scaled
-    # on a dup-heavy corpus; never an estimate-based broadcast build.
-    kept = toks.join(
-        removed.hint("shuffle_hash"), on=["__id", "i"], how="left_anti"
+    rebuilt = F.concat_ws(
+        " ",
+        F.transform(kept_pos, lambda i: F.element_at(F.col("__w"), i + 1)),
     )
-    rebuilt = kept.groupBy("__id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "w"))),
-                lambda s: s.getField("w"),
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).cast("int").alias("n_kept"),
-    )
+    short = F.col("n_total") < k
+    # keep_pos is doc-scale — corpus-scaled, never an estimate-based
+    # broadcast build (bucket_pairs rule); the words-array payload
+    # crosses only this one exchange.
     return (
-        base.select("__id", "n_total")
-        .join(rebuilt.hint("shuffle_hash"), on="__id", how="left")
+        base.join(keep_pos.hint("shuffle_hash"), on="__id", how="left")
         .select(
             F.col("__id").alias(id_col),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.when(short, F.concat_ws(" ", F.col("__w")))
+            .otherwise(
+                F.when(F.col("__kp").isNotNull(), rebuilt).otherwise(F.lit(""))
+            )
+            .alias("clean_text"),
+            F.when(short, F.col("n_total"))
+            .otherwise(
+                F.when(F.col("__kp").isNotNull(), F.size(kept_pos)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .alias("n_kept"),
             F.col("n_total"),
         )
     )
@@ -1354,13 +1364,14 @@ def gram_dedup_counts(
     operator's two largest intermediates, counted exactly.
 
     ``windows`` is the sliding-window explode row count (one row per
-    k-gram occurrence); ``coverage_rows`` is the k-way coverage
-    explode that follows it — exactly ``windows * k`` by construction
-    (every occurrence votes on the k token positions it covers), the
-    largest frame in the whole engine; ``distinct_grams`` is the
-    vocabulary the min-winner aggregate shuffles. On a disjoint-
-    replica 10x corpus all three must grow ~10x — any superlinear
-    ratio is an engine artifact, not noise.
+    k-gram occurrence); ``coverage_rows`` is ``windows * k`` by
+    construction — the volume of the k-way coverage explode the
+    pre-r16 operator materialized (r16 replaced it with the per-doc
+    interval-union rebuild; the counter is kept for cross-round
+    comparability and still tracks the same corpus property);
+    ``distinct_grams`` is the vocabulary the min-winner aggregate
+    shuffles. On a disjoint-replica 10x corpus all three must grow
+    ~10x — any superlinear ratio is an engine artifact, not noise.
 
     Shares ``_gram_windows`` with the operator itself, so the canary
     cannot drift from the construction it certifies.
@@ -1443,24 +1454,37 @@ def remove_boilerplate_segments(
         eager=False,
     )
     hot_side = hot if hot.count() > broadcast_rows else F.broadcast(hot)
-    kept = exploded.join(hot_side, on="seg", how="left_anti")
-    rebuilt = kept.groupBy("__id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
-                lambda s: s.getField("seg"),
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    # Survivor (id, idx) INTS only ride the doc-keyed exchanges; the
+    # segment text is re-read from the checkpointed __segs array at
+    # the final join (r16: previously the text payload crossed the
+    # rebuild groupBy AND the final join; guide §2.3 "shuffle keys,
+    # not payloads"). The anti-join itself still keys on the segment
+    # text — that is the join's semantics.
+    kept_idx = (
+        exploded.join(hot_side, on="seg", how="left_anti")
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list("seg_idx")).alias("__kp"))
     )
+    rebuilt = F.concat_ws(
+        " ",
+        F.transform(
+            F.col("__kp"), lambda j: F.element_at(F.col("__segs"), j + 1)
+        ),
+    )
+    # kept_idx is doc-scale — corpus-scaled, never an estimate-based
+    # broadcast build (bucket_pairs rule).
     return (
-        base.select("__id", "n_total")
-        .join(rebuilt.hint("shuffle_hash"), on="__id", how="left")
+        base.join(kept_idx.hint("shuffle_hash"), on="__id", how="left")
         .select(
             F.col("__id").alias(id_col),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.when(F.col("__kp").isNotNull(), rebuilt)
+            .otherwise(F.lit(""))
+            .alias("clean_text"),
+            # size(NULL) is -1 in legacy mode and NULL under ANSI —
+            # branch on the null explicitly so both sessions agree.
+            F.when(F.col("__kp").isNotNull(), F.size("__kp"))
+            .otherwise(F.lit(0))
+            .alias("n_kept"),
             F.coalesce(F.col("n_total"), F.lit(0)).alias("n_total"),
         )
     )
