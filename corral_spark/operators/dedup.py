@@ -49,7 +49,7 @@ SHORT_DF_MAX = 64
 SPREAD_MIN_BYTES_PER_TASK = 1 * 1024 * 1024
 
 
-def spread_input(df: DataFrame) -> DataFrame:
+def spread_input(df: DataFrame, expansion: float = 1.0) -> DataFrame:
     """Re-spread ``df`` across the cluster when its source scan
     under-parallelizes, before an expensive per-row stage (the Arrow
     shingle UDF, regex normalization, window explodes).
@@ -71,6 +71,15 @@ def spread_input(df: DataFrame) -> DataFrame:
     The inserted round-robin repartition is deterministic
     (sort-before-repartition, SPARK-23207) and both probes are plan
     metadata, not jobs.
+
+    ``expansion`` scales the byte estimate for callers whose
+    downstream per-row stage MULTIPLIES the input (a row-explode such
+    as the SymSpell deletion neighborhood, which turns one short key
+    into O(len^d) variant rows): the cost the spread parallelizes is
+    the post-explode volume, not the scan bytes, so the gate compares
+    ``est * expansion`` per task against the threshold. At 100 TB the
+    partition-count gate above still short-circuits first — the
+    factor can never add a shuffle to an already-parallel scan.
     """
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -84,7 +93,7 @@ def spread_input(df: DataFrame) -> DataFrame:
         )
     )
     est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if est / max(n_part, 1) <= min_bytes:
+    if est * expansion / max(n_part, 1) <= min_bytes:
         return df
     return df.repartition(par)
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from corral_spark.materialize import materialize
+
 
 def _deletion_variants(col: Column) -> Column:
     """Array of the string itself plus every one-character deletion."""
@@ -114,10 +116,23 @@ def fuzzy_join(
     ``max_block`` / ``cap_per_block`` guards mean hot variant keys
     stay bounded exactly as in the distance-1 case.
     """
+    from corral_spark.operators.dedup import spread_input
+
     slim = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     )
-    ex = slim.select(
+    # The neighborhood explode multiplies each row ~len^d / d!-fold
+    # (len+1 variants at depth 1, +len*(len-1)/2 at depth 2), so a
+    # small single-row-group scan would serialize minutes of variant
+    # generation on one core. spread_input's byte gate sees the SCAN
+    # size; pass the explode's multiplier (cost model: short join
+    # keys, len ~ 16 — the operator's documented domain) so the gate
+    # reflects post-explode volume. At scale the partition-count gate
+    # no-ops this entirely.
+    _fact = 1
+    for _i in range(2, max_dist + 1):
+        _fact *= _i
+    ex = spread_input(slim, expansion=16.0**max_dist / _fact).select(
         "id",
         "txt",
         F.explode(_deletion_neighborhood(F.col("txt"), max_dist)).alias("__v"),
@@ -179,8 +194,14 @@ def fuzzy_join(
     #   situation verification can repair.
     exact_path = max_block is None and cap_per_block is None
     key = F.xxhash64("__v").alias("__k") if exact_path else F.col("__v").alias("__k")
-    a = ex.select(F.col("id").alias("id_a"), key)
-    b = ex.select(F.col("id").alias("id_b"), key)
+    # Both self-join sides consume the variant index; checkpoint it so
+    # the O(len^d) explode (and any block guards) run ONCE, not once
+    # per side. Only (id, key) is kept — the variant string itself
+    # never crosses the self-join on the exact path (r10), so drop it
+    # before the barrier rather than carrying ~2x the bytes.
+    ex = materialize(ex.select("id", key), eager=True)
+    a = ex.select(F.col("id").alias("id_a"), "__k")
+    b = ex.select(F.col("id").alias("id_b"), "__k")
     cands = (
         a.join(b.hint("shuffle_hash"), on="__k")
         .filter(F.col("id_a") < F.col("id_b"))

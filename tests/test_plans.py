@@ -593,14 +593,25 @@ def test_minmax_refresh_semi_and_anti_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_fuzzy_variant_join_is_shuffled_hash(spark):
+def test_fuzzy_variant_join_is_shuffled_hash(spark, monkeypatch):
     # The r10 fix: the variant self-join must stay a shuffled hash
     # join — sort-merge re-scans each duplicate-key group
     # quadratically under hot variant keys (zero-run deletions),
     # ablated at 32.4s vs 5.1s on identical keys at sf0.1. The exact
-    # path also joins on the xxhash64 of the variant (8-byte key),
-    # which the filter condition below witnesses.
-    plan = plan_of(spark, "fuzzy_customer_pairs_lev2")
+    # path also joins on the xxhash64 of the variant (8-byte key).
+    # r16: the variant index is checkpointed (built once, not once
+    # per self-join side), which hides the explode and the xxhash64
+    # projection behind the barrier in the executed registry plan —
+    # pin the operator plan with materialize disabled instead (the
+    # ppjoin/pagerank pattern below).
+    import corral_spark.operators.fuzzy as fz
+    from corral_spark.sources.tables import load_table
+
+    monkeypatch.setattr(fz, "materialize", lambda df, eager=False: df)
+    out = fz.fuzzy_join(
+        load_table(spark, SF, "customer"), "c_name", "c_custkey", max_dist=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
     assert "xxhash64" in plan
     assert "CartesianProduct" not in plan
