@@ -255,6 +255,8 @@ def kmeans_centroids(
     clusters (verified on synthetic clustered data in
     tests/test_operators.py); hence ``kmeans_iters=0`` is the default
     in ivf_topk."""
+    from corral_spark.materialize import materialize
+
     cen = deterministic_centroids(corpus, ncells, id_col, vec_col)
     for _ in range(iters):
         assigned = ivf_assign(corpus, cen, id_col, vec_col)
@@ -276,6 +278,15 @@ def kmeans_centroids(
                 lambda s: s.getField("m"),
             ).alias(vec_col)
         ).select(F.col("cell").alias("cell_id"), vec_col)
+        # Checkpoint the ncells-row centroid frame per round: without
+        # the barrier round i's lineage NESTS every earlier round, and
+        # each downstream consumer (the assignment broadcast AND the
+        # query-probe broadcast in ivf_topk) re-executes the whole
+        # stack — measured ~7 corpus passes for iters=2 where 3 are
+        # fundamental (one assign+mean per round plus the final
+        # assignment). The frame is O(ncells) rows and every mean is
+        # 6dp-quantized, so the checkpoint changes no value.
+        cen = materialize(cen, eager=True)
     return cen
 
 
@@ -366,9 +377,18 @@ def ivf_topk(
     that many Lloyd rounds (better-balanced cells -> better recall at
     the same nprobe). Output: (query_id, vec_id, sim, rnk)."""
     if kmeans_iters > 0:
+        # Already checkpointed per Lloyd round inside kmeans_centroids.
         centroids = kmeans_centroids(corpus, ncells, kmeans_iters, id_col, vec_col)
     else:
-        centroids = deterministic_centroids(corpus, ncells, id_col, vec_col)
+        from corral_spark.materialize import materialize
+
+        # The ncells-row top-k init is consumed by TWO broadcasts
+        # (corpus assignment and query probes) — checkpoint so the
+        # corpus top-ncells scan runs once, not once per consumer.
+        centroids = materialize(
+            deterministic_centroids(corpus, ncells, id_col, vec_col),
+            eager=True,
+        )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
 
     # Which cells does each query probe?
