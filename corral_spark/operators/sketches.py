@@ -591,8 +591,17 @@ def hll_registers(
     buckets and bias the estimator."""
     if not 1 <= b <= 16:
         raise ValueError("b must be in [1, 16]: bucket uses 16 hash bits")
+    from corral_spark.operators.dedup import spread_input
+
     m = 1 << b
-    df = df.filter(F.col(key_col).isNotNull())
+    # Project to the key + group columns, then conditionally re-spread:
+    # the per-row register computation (md5 + base-conv + regex strip)
+    # is the expensive part, and on a small single-row-group scan it
+    # would otherwise run on one core (spread_input no-ops whenever the
+    # scan is already parallel — the 100 TB case).
+    df = spread_input(
+        df.filter(F.col(key_col).isNotNull()).select(*group_cols, key_col)
+    )
     h = F.md5(F.concat(F.lit("hll:"), F.col(key_col).cast("string")))
     bucket = (
         F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % m
