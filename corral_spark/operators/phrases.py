@@ -105,8 +105,16 @@ def learn_phrases(
             "each round scans the corpus; learn phrase merges on a "
             "sample instead of raising the cap"
         )
+    from corral_spark.operators.dedup import spread_input
+
     spark = docs.sparkSession
-    corpus = docs.select(
+    # Conditional spread BEFORE the first projection: a single-row-
+    # group scan would otherwise run every round's bigram count AND
+    # double-regex rewrite on one core — and the per-round checkpoint
+    # re-inherits that 1-partition layout, so the serialization
+    # compounds across all k rounds. No-op on an already-parallel
+    # scan (the 100 TB case).
+    corpus = spread_input(docs.select(F.col(text_col))).select(
         F.concat(
             F.lit(" "),
             F.concat_ws(" ", tokenize(F.col(text_col))),
