@@ -555,11 +555,19 @@ def minhash_verified_pairs(
     has far fewer shingles than bins (most bins densified — measured
     at sf0.1: 0.86-0.94-Jaccard pairs with 6-18 shingles banded to
     zero agreement). Any affected pair has min(|a|,|b|) < n_hashes
-    and therefore max <= min/threshold, so candidates for docs with
-    <= n_hashes/threshold shingles are generated EXACTLY via a
-    shingle inverted-index self-join restricted to those docs — tiny
-    by construction (short docs emit few index rows) — and unioned
-    with the banded candidates.
+    and therefore max <= min/threshold, so every pair whose smaller
+    side has <= small_max = n_hashes/threshold shingles is generated
+    EXACTLY via a df-capped shingle inverted index (probe side: the
+    short docs; index side: the partner population, docs of size
+    <= small_max/threshold — the Jaccard length filter's bound on a
+    short doc's possible partners). Docs at or below small_max skip
+    the signature aggregate and the band join entirely (r16: they
+    contribute only exactly-covered pairs, so banding them was pure
+    throwaway work — and mixed short-long pairs previously rode on
+    the short side's least reliable signature); only docs ABOVE
+    small_max are banded, which covers all remaining (long, long)
+    pairs. Candidates stay a superset of the exact Jaccard >= t set
+    by construction, and verification decides membership either way.
 
     The shingle UDF runs ONCE (materialize barrier), feeding both the
     signature aggregation and the verification join.
@@ -645,7 +653,31 @@ def _minhash_cands_and_verified(
         "id", word_shingles_arrow(F.col("__t"), shingle_n).alias("__sh")
     )
     shing = materialize(shing, eager=True)
-    tok = shing.select("id", F.explode("__sh").alias("__s"))
+    # Length-filtered candidate routing (r16, guide §1.2 "don't compute
+    # what you throw away" + the PPJoin length-filter family):
+    #
+    # * small_max = n_hashes/t is the exact-path population bound: any
+    #   pair the OPH bands can miss has min(|a|,|b|) < n_hashes and
+    #   therefore both sides <= n_hashes/t (Jaccard length filter
+    #   t*|b| <= |a∩b| <= |a|).
+    # * Banding therefore only needs docs ABOVE small_max: a qualifying
+    #   pair with min <= small_max has max <= small_max/t (same length
+    #   filter), so it is covered EXACTLY by the partner-extended
+    #   inverted index below — previously such mixed pairs rode on the
+    #   short side's (by construction least reliable) OPH signature.
+    #   Every doc below the bound skips the signature aggregate and the
+    #   band self-join entirely; pairs with BOTH sides above it keep
+    #   the unchanged banded path.
+    # * The verified output is invariant: candidates remain a superset
+    #   of the exact Jaccard >= t pair set (proof above per route), and
+    #   the exact verification join rejects everything else.
+    small_max = int(n_hashes / max(threshold, 0.1))
+    sz = F.size("__sh")
+    is_short = sz <= small_max
+    # Partner bound, admit-direction slack (cf. the ppjoin ceil slack):
+    # J >= t and |a| <= small_max force t*|b| <= small_max.
+    is_partner = (sz * F.lit(float(threshold))) <= F.lit(small_max + 1e-6)
+    tok = shing.filter(~is_short).select("id", F.explode("__sh").alias("__s"))
     sigs = _signatures_from_tokens(tok, "id", "__s", n_hashes)
     # Every band collision is a candidate; the exact verifier (not the
     # signature estimate) decides membership — so candidates come from
@@ -653,20 +685,18 @@ def _minhash_cands_and_verified(
     # crosses the pair join, and dedup is deferred to the single
     # dropDuplicates after the short-path union below.
     cands = _banded_cands(sigs, "id", bands)
-    # Short-doc exact candidates (see docstring): df-capped inverted
-    # index over docs whose shingle count is below the OPH reliability
-    # floor, with a hot-heavy fallback preserving completeness
-    # (_short_exact_cands has the argument). The short-doc token rows
+    # Exact candidates for every pair with min(|a|,|b|) <= small_max:
+    # df-capped inverted index whose PROBE side is the short docs and
+    # whose INDEX side is the partner population (docs any short doc
+    # could pair with), with a hot-heavy fallback preserving
+    # completeness (_short_partner_cands has the argument). Token rows
     # re-derive from the materialized shingle checkpoint with a
-    # filter+explode — a narrow map, replacing the previous
-    # tok-join-small_ids shuffle (r16: same rows, one exchange fewer).
-    small_max = int(n_hashes / max(threshold, 0.1))
-    stok = shing.filter(F.size("__sh") <= small_max).select(
-        "id", F.explode("__sh").alias("__s")
+    # filter+explode — a narrow map, no extra exchange.
+    ptok = shing.filter(is_partner).select(
+        "id", is_short.alias("__p"), F.explode("__sh").alias("__s")
     )
-    small_cands, short_diag = _short_exact_cands(
-        stok, stok, threshold, df_max=short_df_max, symmetric=True,
-        dedup=False,
+    small_cands, short_diag = _short_partner_cands(
+        ptok, threshold, df_max=short_df_max
     )
     cands = cands.unionByName(small_cands).dropDuplicates(["id_a", "id_b"])
     if materialize_cands:
@@ -813,6 +843,95 @@ def _short_exact_cands(
         "hot_heavy_docs": (
             hha if symmetric else hha.unionByName(hhb)
         ).dropDuplicates(["id"]),
+    }
+    return out, diag
+
+
+def _short_partner_cands(
+    ptok: DataFrame,
+    threshold: float,
+    df_max: int = SHORT_DF_MAX,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Exact candidate pairs for every qualifying pair whose SMALLER
+    side is short (<= n_hashes/t distinct shingles — the population the
+    OPH bands cannot be trusted with), for the self-join path.
+
+    ``ptok`` holds one row per (doc, distinct shingle) for the PARTNER
+    population — every doc with t*|doc| <= n_hashes/t, i.e. every doc
+    a short doc could reach at Jaccard >= t (length filter:
+    t*|b| <= |a∩b| <= |a| <= small_max) — with ``__p`` true on the
+    short docs themselves. The probe side of the inverted index is the
+    short rows; the index side is the whole partner population, so a
+    (short, medium) pair is admitted exactly rather than through the
+    short side's degraded OPH signature (pre-r16 behavior).
+
+    Completeness (the `_short_exact_cands` argument, extended): rank
+    every shared shingle of a qualifying pair (A short, B partner) by
+    its population document frequency. If ANY shared shingle is cold
+    (df <= df_max) the index join admits the pair. Otherwise every
+    shared shingle is hot; |A∩B| >= t*|A| and >= t*|B| (Jaccard bound),
+    so BOTH docs have hot-shingle count >= ceil(t*n) — both are
+    hot-heavy — and the hot-token fallback join admits the pair. The
+    df cap bounds any one shingle's index fan-out at df_max^2 pairs;
+    the fallback join is restricted to hot tokens OF hot-heavy docs on
+    both sides, never the full population.
+
+    Orientation: short-short pairs keep one orientation at the join
+    (id_a < id_b, matching the symmetric path's volume); (short,
+    medium) pairs exist in one orientation only and are normalized
+    with least/greatest. Output is raw (duplicates across shared
+    shingles possible) — callers pay the single union-level
+    dropDuplicates (the r16 deferred-dedup shape).
+    """
+    dfreq = ptok.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    cold = F.col("__df") <= df_max
+    # One df-annotation join over the partner population's token rows
+    # (dfreq is vocabulary-sized — corpus-scaled, shuffle_hash per the
+    # bucket_pairs rule); probe/index/hot frames are filters over it.
+    ann = materialize(
+        ptok.join(dfreq.hint("shuffle_hash"), on="__s"), eager=False
+    )
+
+    def pairs_from(probe: DataFrame, index: DataFrame) -> DataFrame:
+        joined = probe.select(
+            F.col("id").alias("__ia"), F.col("__s").alias("__t")
+        ).join(
+            index.select(
+                F.col("id").alias("__ib"),
+                F.col("__p").alias("__pb"),
+                F.col("__s").alias("__t"),
+            ).hint("shuffle_hash"),
+            on="__t",
+        )
+        # Short-short pairs appear on both probe rows — keep one
+        # orientation at the join (and drop self-pairs); mixed pairs
+        # exist once and are oriented by least/greatest.
+        return (
+            joined.filter(~F.col("__pb") | (F.col("__ia") < F.col("__ib")))
+            .select(
+                F.least("__ia", "__ib").alias("id_a"),
+                F.greatest("__ia", "__ib").alias("id_b"),
+            )
+        )
+
+    cands = pairs_from(ann.filter(cold & F.col("__p")), ann.filter(cold))
+    stats = ann.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.when(~cold, True)).alias("__hc"),
+    )
+    # Same float-ceil completeness slack as _short_exact_cands: only
+    # ever ADMITS more docs into the fallback (verification prunes).
+    hh = stats.filter(
+        F.col("__hc") >= F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-6))
+    )
+    hot = ann.filter(~cold).join(
+        hh.select("id").hint("shuffle_hash"), on="id"
+    )
+    fallback = pairs_from(hot.filter("__p"), hot)
+    out = cands.unionByName(fallback)
+    diag = {
+        "hot_shingles": dfreq.filter(F.col("__df") > df_max).select("__s"),
+        "hot_heavy_docs": hh.select("id").dropDuplicates(["id"]),
     }
     return out, diag
 
