@@ -936,6 +936,73 @@ def _short_partner_cands(
     return out, diag
 
 
+def _short_partner_cands_across(
+    ptok: DataFrame,
+    threshold: float,
+    df_max: int = SHORT_DF_MAX,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """`_short_partner_cands` for the two-corpus single-pass path:
+    ``ptok`` is the side-tagged union's partner-population token rows
+    (__side, id, __p, __s) with ``__p`` true on short docs. Emits only
+    CROSS-side pairs, oriented (id_a = side-0 id, id_b = side-1 id);
+    short-short pairs keep the side-0-probed orientation only (the
+    volume discipline of the self path's id_a < id_b keep rule).
+    Same df-cap + hot-heavy completeness argument, population = both
+    corpora's partner docs.
+    """
+    dfreq = ptok.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    cold = F.col("__df") <= df_max
+    ann = materialize(
+        ptok.join(dfreq.hint("shuffle_hash"), on="__s"), eager=False
+    )
+
+    def pairs_from(probe: DataFrame, index: DataFrame) -> DataFrame:
+        joined = probe.select(
+            F.col("__side").alias("__sa"),
+            F.col("id").alias("__ia"),
+            F.col("__s").alias("__t"),
+        ).join(
+            index.select(
+                F.col("__side").alias("__sb"),
+                F.col("id").alias("__ib"),
+                F.col("__p").alias("__pb"),
+                F.col("__s").alias("__t"),
+            ).hint("shuffle_hash"),
+            on="__t",
+        )
+        return (
+            joined.filter(F.col("__sa") != F.col("__sb"))
+            .filter(~F.col("__pb") | (F.col("__sa") == 0))
+            .select(
+                F.when(F.col("__sa") == 0, F.col("__ia"))
+                .otherwise(F.col("__ib"))
+                .alias("id_a"),
+                F.when(F.col("__sa") == 0, F.col("__ib"))
+                .otherwise(F.col("__ia"))
+                .alias("id_b"),
+            )
+        )
+
+    cands = pairs_from(ann.filter(cold & F.col("__p")), ann.filter(cold))
+    stats = ann.groupBy("__side", "id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.when(~cold, True)).alias("__hc"),
+    )
+    hh = stats.filter(
+        F.col("__hc") >= F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-6))
+    )
+    hot = ann.filter(~cold).join(
+        hh.select("__side", "id").hint("shuffle_hash"), on=["__side", "id"]
+    )
+    fallback = pairs_from(hot.filter("__p"), hot)
+    out = cands.unionByName(fallback)
+    diag = {
+        "hot_shingles": dfreq.filter(F.col("__df") > df_max).select("__s"),
+        "hot_heavy_docs": hh.select("id").dropDuplicates(["id"]),
+    }
+    return out, diag
+
+
 def minhash_pairs_across(
     existing: DataFrame,
     incoming: DataFrame,
@@ -1029,9 +1096,22 @@ def _across_cands_and_verified(
     ea = existing.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
     eb = incoming.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
 
-    if [f.dataType for f in ea.schema.fields] == [
+    # Length-filtered candidate routing (r16, mirroring the self-join
+    # path): any qualifying cross pair with min(|a|,|b|) <= small_max
+    # has max <= small_max/t (Jaccard length filter), so such pairs are
+    # covered EXACTLY by the partner-extended inverted index below and
+    # only docs ABOVE small_max need the signature aggregate and the
+    # band join. Candidates stay a superset of the exact cross-Jaccard
+    # >= t set; the exact verification decides membership either way.
+    small_max = int(n_hashes / max(threshold, 0.1))
+    _sz = F.size("__sh")
+    _is_short = _sz <= small_max
+    _is_partner = (_sz * F.lit(float(threshold))) <= F.lit(small_max + 1e-6)
+
+    single_pass = [f.dataType for f in ea.schema.fields] == [
         f.dataType for f in eb.schema.fields
-    ]:
+    ]
+    if single_pass:
         # Single-pass prep (r16): ONE scan + ONE Arrow shingle pass +
         # ONE materialize barrier + ONE signature aggregate over the
         # side-tagged union, instead of one of each PER SIDE. When both
@@ -1055,7 +1135,9 @@ def _across_cands_and_verified(
         )
         sha = shing.filter(F.col("__side") == 0).select("id", "__sh")
         shb = shing.filter(F.col("__side") == 1).select("id", "__sh")
-        tok = shing.select("__side", "id", F.explode("__sh").alias("__s"))
+        tok = shing.filter(~_is_short).select(
+            "__side", "id", F.explode("__sh").alias("__s")
+        )
         # Materialized because BOTH band-join sides derive from it:
         # left lazy, the full-corpus aggregate would run once per side
         # — exactly the duplicated work this path exists to remove.
@@ -1079,7 +1161,9 @@ def _across_cands_and_verified(
                 ),
                 eager=True,
             )
-            tok = shing.select("id", F.explode("__sh").alias("__s"))
+            tok = shing.filter(~_is_short).select(
+                "id", F.explode("__sh").alias("__s")
+            )
             return shing, _signatures_from_tokens(tok, "id", "__s", n_hashes)
 
         sha, siga = prep(ea)
@@ -1099,31 +1183,52 @@ def _across_cands_and_verified(
         .select("id_a", "id_b")
     )
 
-    # Short-doc completeness path, short x short and df-capped. A
-    # qualifying pair (Jaccard >= t) that the OPH bands can miss has
-    # min(|a|,|b|) < n_hashes, and then max <= min/t <= small_max — so
-    # BOTH sides are short, and the exact index never needs to touch
-    # the other corpus's full token table (the previous form joined
-    # short-A shingles against ALL of B: one stop-phrase 5-gram shared
-    # by a short doc and 1% of a 100 TB corpus made that join the
-    # dominant candidate generator). Within short x short the shingle
-    # DF cap + hot-heavy fallback of _short_exact_cands bounds the
-    # remaining skew.
-    small_max = int(n_hashes / max(threshold, 0.1))
-    # Short-doc token rows re-derive from each corpus's materialized
-    # shingle checkpoint with a filter+explode — a narrow map per
-    # side, replacing the previous tok-join-small_ids shuffles (r16:
-    # same rows, two exchanges fewer).
-    sa = sha.filter(F.size("__sh") <= small_max).select(
-        "id", F.explode("__sh").alias("__s")
-    )
-    sb = shb.filter(F.size("__sh") <= small_max).select(
-        "id", F.explode("__sh").alias("__s")
-    )
-    short_cands, short_diag = _short_exact_cands(
-        sa, sb, threshold, df_max=short_df_max, symmetric=False,
-        dedup=False,
-    )
+    # Exact candidates for every cross pair whose smaller side is
+    # short, df-capped. The index never touches the other corpus's
+    # FULL token table — only its partner slice (docs any short doc
+    # could reach at Jaccard >= t; one stop-phrase 5-gram shared by a
+    # short doc and 1% of a 100 TB corpus stays bounded by the df cap
+    # + hot-heavy fallback). Token rows re-derive from the
+    # materialized shingle checkpoints with a filter+explode — a
+    # narrow map per side, no extra exchange.
+    if single_pass:
+        ptok = shing.filter(_is_partner).select(
+            "__side", "id", _is_short.alias("__p"),
+            F.explode("__sh").alias("__s"),
+        )
+        short_cands, short_diag = _short_partner_cands_across(
+            ptok, threshold, df_max=short_df_max
+        )
+    else:
+        # Mixed (id, text) types: no tagged union (the coercion
+        # problem above), so cover the three short-involving routes
+        # with two asymmetric calls — (short A x partner B) takes
+        # short-short and short-medium; (medium A x short B) takes the
+        # remaining medium-short. Both orient id_a from the existing
+        # corpus, as the output contract requires.
+        def side_tok(sh: DataFrame, pred) -> DataFrame:
+            return sh.filter(pred).select(
+                "id", F.explode("__sh").alias("__s")
+            )
+
+        c1, d1 = _short_exact_cands(
+            side_tok(sha, _is_short), side_tok(shb, _is_partner),
+            threshold, df_max=short_df_max, symmetric=False, dedup=False,
+        )
+        c2, d2 = _short_exact_cands(
+            side_tok(sha, _is_partner & ~_is_short),
+            side_tok(shb, _is_short),
+            threshold, df_max=short_df_max, symmetric=False, dedup=False,
+        )
+        short_cands = c1.unionByName(c2)
+        short_diag = {
+            "hot_shingles": d1["hot_shingles"]
+            .unionByName(d2["hot_shingles"])
+            .dropDuplicates(["__s"]),
+            "hot_heavy_docs": d1["hot_heavy_docs"]
+            .unionByName(d2["hot_heavy_docs"])
+            .dropDuplicates(["id"]),
+        }
     cands = cands.unionByName(short_cands).dropDuplicates(["id_a", "id_b"])
     if materialize_cands:
         cands = materialize(cands, eager=False)

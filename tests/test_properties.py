@@ -512,3 +512,95 @@ def test_short_path_nonbinary_thresholds_match_bruteforce(spark):
             if len(a & b) / len(a | b) >= thr:
                 want.add((min(ia, ib), max(ia, ib)))
         assert got == want, f"thr {thr}"
+
+
+def _length_mix_docs(prefix_vocab: str):
+    """Corpus straddling the r16 length-routing boundary at the
+    shipped params (n_hashes=64, t=0.5 -> small_max=128 distinct
+    1-shingles, partner bound 256): short docs (<=128), medium docs
+    (129..256, exact-index side only), long docs (>256, banded only),
+    with qualifying pairs across every route."""
+    base = [f"{prefix_vocab}{i}" for i in range(100)]        # short: 100 words
+    medium = base + [f"{prefix_vocab}m{i}" for i in range(60)]   # 160, J=100/160
+    long1 = [f"{prefix_vocab}L{i}" for i in range(300)]      # long: 300 words
+    long2 = long1[:280] + [f"{prefix_vocab}x{i}" for i in range(20)]  # J=280/320
+    short2 = base[:90] + [f"{prefix_vocab}s{i}" for i in range(10)]   # J=90/110
+    lone = [f"{prefix_vocab}z{i}" for i in range(50)]
+    return {
+        0: " ".join(base),
+        1: " ".join(medium),
+        2: " ".join(long1),
+        3: " ".join(long2),
+        4: " ".join(short2),
+        5: " ".join(lone),
+    }
+
+
+def test_length_routed_candidates_match_bruteforce(spark):
+    """r16 length-filter routing: docs above small_max skip the exact
+    index, docs at or below it skip the bands, and the (short, medium)
+    route moved from banding to the partner-extended exact index. The
+    output must still equal TRUE all-pairs Jaccard on a corpus with
+    qualifying pairs across ALL routes (short-short, short-medium,
+    long-long) plus non-pairs."""
+    from corral_spark.operators.dedup import minhash_verified_pairs
+
+    texts = _length_mix_docs("w")
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_verified_pairs(
+            df, "text", "doc_id", threshold=0.5, shingle_n=1
+        ).collect()
+    }
+    want = _brute_jaccard_pairs(texts, n=1)
+    assert (0, 1) in want  # short x medium: the re-routed case
+    assert (2, 3) in want  # long x long: still banded
+    assert (0, 4) in want  # short x short
+    assert got == want
+
+
+def test_across_length_routing_mixed_id_types(spark):
+    """The two-corpus PER-SIDE branch (mixed id dtypes force it) under
+    the r16 length routing: its exact path is two asymmetric calls
+    (short-A x partner-B, medium-A x short-B) and only docs above
+    small_max are banded. Output must equal TRUE cross-corpus Jaccard,
+    including a short-A x medium-B pair and a medium-A x short-B pair
+    that banding no longer covers."""
+    from corral_spark.operators.dedup import minhash_pairs_across
+
+    a_texts = _length_mix_docs("a")
+    b_texts = {
+        # b10 medium partner of short a0 (share the 100-word base).
+        10: a_texts[1],
+        # b11 short partner of medium a1 (the a-side medium doc's own
+        # base), also short-short partner of a0.
+        11: a_texts[0],
+        # b12 long near-dup of long a2.
+        12: a_texts[3],
+        # b13 unrelated.
+        13: "only unrelated words here",
+    }
+    a = spark.createDataFrame(
+        [(int(i), t) for i, t in a_texts.items()],
+        "doc_id int, text string",
+    )
+    b = spark.createDataFrame(
+        list(b_texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_pairs_across(
+            a, b, "text", "doc_id", threshold=0.5, shingle_n=1
+        ).collect()
+    }
+    want = set()
+    all_pairs = _brute_jaccard_pairs({**a_texts, **{k + 100: v for k, v in b_texts.items()}}, n=1)
+    for (x, y) in all_pairs:
+        lo, hi = min(x, y), max(x, y)
+        if lo < 100 <= hi:  # cross-corpus only
+            want.add((lo, hi - 100))
+    assert any(p[0] == 0 for p in want)  # short-A has cross partners
+    assert got == want
