@@ -634,7 +634,20 @@ def test_ppjoin_expansion_has_no_wide_rows(spark, monkeypatch):
         load_table(spark, SF, "documents"), "text", "doc_id", 0.9
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "collect_list" not in plan
+    # r16: the ONE allowed collect_list is the verification-side
+    # dense-id array rebuild, keyed by gid over that group's DISTINCT
+    # tokens — bounded by document length (same width as the group's
+    # own toks array), not by duplicate-class size. The pair/expansion
+    # path must still never assemble a wide row: every other
+    # collect_list is a regression.
+    import re
+
+    stray = [
+        m
+        for m in re.findall(r"collect_list\((\w+)", plan)
+        if not m.startswith("tid")
+    ]
+    assert stray == [], f"non-tid collect_list in pair path: {stray}"
     assert "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
