@@ -306,12 +306,27 @@ def bfs_hops(
     # grow only linearly (no self-join squaring — see
     # materialize.iter_barrier), sym is never the broadcast side, and
     # the dist anti-join's strategy doesn't change with stats.
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
+    # Canonicalize-then-mirror (r16): dedup ONE canonical (min, max)
+    # row per undirected edge, checkpoint it, and mirror the
+    # checkpoint. The previous shape unioned both directions FIRST
+    # and deduplicated the doubled table — twice the rows through the
+    # distinct's exchange, and the un-checkpointed input subtree
+    # appeared once per union half. The mirrored halves are disjoint
+    # by construction (u < v vs u > v; the self-loop guard keeps
+    # (u, u) out of the second half), so no second distinct is
+    # needed and the symmetrized row SET is identical.
+    und = materialize(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        ).distinct(),
+        eager=True,
     )
-    sym = materialize(sym, eager=True)
+    sym = und.union(
+        und.filter(F.col("u") != F.col("v")).select(
+            F.col("v").alias("u"), F.col("u").alias("v")
+        )
+    )
     dist = seeds.select(
         F.col(seed_col).alias("node"), F.lit(0).alias("hops")
     ).distinct()
@@ -324,17 +339,23 @@ def bfs_hops(
             .distinct()
         )
         # New frontier: nodes not already reached at a smaller hop.
-        frontier = (
-            reached.join(dist.select("node"), "node", "left_anti")
-            .distinct()
-        )
+        # ``reached`` is already distinct and the anti-join only
+        # removes rows, so no re-distinct is needed (r16: was a
+        # redundant exchange per hop).
+        frontier = reached.join(dist.select("node"), "node", "left_anti")
         # with_count folds the loop-exit emptiness check into the
         # count job the barrier already pays (r13: was a separate
         # isEmpty job per hop).
         frontier, n_frontier = iter_barrier(frontier, with_count=True)
         if n_frontier == 0:
             break
-        dist = materialize(dist.unionByName(frontier), eager=True)
+        # Lazy union of ALREADY-CHECKPOINTED frames: each hop's
+        # frontier is its own barrier, so re-materializing the whole
+        # accumulated distance table every hop (r16: one count job +
+        # one O(|dist|) checkpoint write per hop) bought nothing —
+        # the union's leaves never recompute and its depth is bounded
+        # by max_hops.
+        dist = dist.unionByName(frontier)
     return dist
 
 
