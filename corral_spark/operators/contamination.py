@@ -55,8 +55,21 @@ def flag_contaminated(
     Returns (id_col, n_hits) with one row per contaminated doc; clean
     docs are absent (join is the filter). ``n_hits`` counts distinct
     overlapping grams (shingles are per-doc distinct already).
+
+    The candidate side re-spreads conditionally before its Arrow
+    shingle pass (dedup.spread_input, r16): a small/single-row-group
+    scan otherwise serializes the one Python stage of this operator
+    on one core (measured at the 10x corpus: 3.29 -> 1.44 s noop
+    min-of-3); at 100 TB the scan is already parallel and the gate
+    makes it a no-op. The benchmark side stays as-is — it is
+    eval-suite-sized by contract, under the byte gate by
+    construction.
     """
-    grams = candidates.select(
+    from corral_spark.operators.dedup import spread_input
+
+    grams = spread_input(
+        candidates.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col),
         F.explode(word_shingles_arrow(F.col(text_col), n)).alias("gram"),
     )
