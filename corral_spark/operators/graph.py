@@ -468,9 +468,12 @@ def pagerank_fixed_point(
     Output: (node, pr_e12) with pr_e12 the scaled BIGINT rank after
     ``iters`` rounds from a uniform start (scale DIV n per node).
     """
-    both = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # Canonicalize-then-mirror (r16, the bfs_hops shape): dedup ONE
+    # canonical (least, greatest) row per undirected edge, checkpoint
+    # it, and mirror the checkpoint — half the rows through the
+    # distinct's exchange, one subtree compute, and the stored
+    # barrier holds |E| rows instead of 2|E|. The halves are disjoint
+    # (self-loops guarded), so the symmetrized SET is identical.
     # Plain materialize throughout: PageRank's rank<->edges join is
     # large-vs-large at every scale (no broadcast to unlock), and its
     # linear iteration chain cannot compound estimates into the
@@ -478,7 +481,18 @@ def pagerank_fixed_point(
     # barrier would add one count job per round for zero structural
     # gain, so only operators that NEED it (self-join loops, or a
     # broadcastable small side like the BFS frontier) pay it.
-    both = materialize(both.distinct(), eager=True)
+    und = materialize(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        ).distinct(),
+        eager=True,
+    )
+    both = und.union(
+        und.filter(F.col("u") != F.col("v")).select(
+            F.col("v").alias("u"), F.col("u").alias("v")
+        )
+    )
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     deg = materialize(deg, eager=True)
     n = deg.count()
