@@ -60,9 +60,17 @@ def main() -> int:
     )
     from corral_spark.sources.tables import load_table
 
+    # R=100 lesson (r16 session 7): at 5M docs the R=30 sizing
+    # (local[8], 32 shuffle partitions, 8g) OOMs the heap — per-task
+    # aggregate/sort state grows with corpus/partitions (guide §5:
+    # more partitions = smaller per-task state). Both knobs are env
+    # overridable so the tool scales another decade without edits;
+    # heap goes through PYSPARK_SUBMIT_ARGS above (also env-first).
+    master = os.environ.get("CORRAL_CANARY_MASTER", "local[8]")
+    parts = os.environ.get("CORRAL_CANARY_SHUFFLE", "32")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "32")
+        SparkSession.builder.master(master)
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.ui.enabled", "false")
         .appName("sf3-canary")
         .getOrCreate()
