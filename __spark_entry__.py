@@ -78,91 +78,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # double-green queries so no oracled query's newest driver row goes
 # more than ~2 rounds stale.
 #
-# Round 16 (paid per docs/NEXT.md ROUND 16 LEDGER — PAID entry,
-# exactly as precomputed at r15 close with zero displacement math —
-# CORRECTNESS_r15 read 50/50 green, psi + probe both hash-green):
-# the head = the 38-name r13-residue obligation block (every name's
-# newest driver row is r13 = exactly the 3-round limit) + the 12
-# alphabetical r14-green promotions (amplab1, amplab2, amplab3,
-# bloom_new_docs, bloom_new_docs_registers, bm25_top_docs,
-# bottomk_doc_stats, click_purchase_leftouter, cms_bigram_counts,
-# cross_corpus_near_dups, customer_name_features,
-# customer_running_totals).
+# Round 17 (paid per docs/NEXT.md ROUND 17 LEDGER — PAID entry,
+# exactly as precomputed at r16 close with zero displacement math —
+# CORRECTNESS_r16 read 50/50 green): the head = the 37-name
+# r14-green residue obligation block (dedup_exact_docs ...
+# zorder_parts_locality — every name's newest driver row is r14 =
+# exactly the 3-round limit) + the 5 recorded substitutions
+# (simhash_md5_pairs, emb_near_dup_planted, dedup_clusters_docs,
+# dedup_keep_longest_docs, decontaminate_docs) + the 8 alphabetical
+# r15-green promotions (ann_cosine_topk ... click_purchase_within_1h).
 #
-# LEDGER (r17 obligations, precomputed in docs/NEXT.md):
-#   the r14-green residue block below IS the obligation list — 37
-#   names, all with newest driver row r14 = exactly the 3-round
-#   limit at r17 — leaving 13 slots for alphabetical r15-green
-#   promotions. Steady state stays sound: 137 oracled queries /
-#   3-round max staleness = 46 < 50.
+# LEDGER (r18 obligations, precomputed in docs/NEXT.md): the 37-name
+# r15-green residue block below (cube_sales ... window_top_orders,
+# newest driver row r15 = exactly the 3-round limit at r18) + the
+# r17-recorded substitutions, leaving the rest for alphabetical
+# r16-green promotions. Steady state stays sound: 137 oracled
+# queries / 3-round max staleness = 46 < 50.
 _DEMOTED = (
-    # -- r14-green residue (37): the 49 rotated out at r15 minus the
-    #    TWELVE r16 alphabetical promotions (amplab1..customer_
-    #    running_totals) per the ROUND 16 LEDGER — PAID entry in
-    #    docs/NEXT.md. ALL are r17 obligations at exactly the
-    #    3-round limit. --
-    "dedup_exact_docs",
-    "doc_repetition_stats",
-    "dq_report",
-    "emb_int8_topk",
-    "event_funnel_stages",
-    "event_props_json",
-    "event_props_map",
-    "event_transition_matrix",
-    "events_session_30m",
-    "events_sliding_1h_30m",
-    "events_tumbling_1h",
-    "fuzzy_customer_pairs",
-    "fuzzy_customer_pairs_capped",
-    "fuzzy_customer_pairs_lev2",
-    "gram_dedup_docs",
-    "hll_token_overlap_sources",
-    "layout_skipping_report",
-    "multimodal_ppm_decode",
-    "multimodal_wav_decode",
-    "order_item_arrays",
-    "order_percentiles",
-    "part_pairs_lift",
-    "part_price_bins",
-    "ppjoin_neighbor_counts",
-    "price_histogram_quantiles",
-    "price_outliers_mad",
-    "pricing_summary",
-    "purchase_by_tier_scd2",
-    "qty_discount_linreg",
-    "regional_revenue",
-    "rrf_hybrid_docs",
-    "shipping_priority",
-    "skyline_parts",
-    "strong_coorder_triangles",
-    "user_value_ewma",
-    "wordcount",
-    "zorder_parts_locality",
-    # -- r15-green (50): the whole CORRECTNESS_r15 head (50/50
-    #    hash-green, incl. the closed psi_drift_docs red and its
-    #    psi_drift_probe witness), rotated out fresh; due back r18
-    #    by the staleness arithmetic. --
-    "ann_cosine_topk",
-    "ann_ivf_kmeans",
-    "ann_ivf_probes",
-    "ann_ivf_topk",
-    "big_orders_in_subquery",
-    "bigram_logprob_docs",
-    "cdc_chunk_dedup_docs",
-    "click_purchase_within_1h",
+    # -- r15-green residue (37): the 50 rotated out at r16 minus
+    #    the 13 moved into the r17 head (5 substitutions + 8
+    #    alphabetical promotions) per the ROUND 17 LEDGER — PAID
+    #    entry in docs/NEXT.md. ALL are r18 obligations at exactly
+    #    the 3-round limit. --
     "cube_sales",
     "customer_cohort_retention",
     "customer_id_parse",
     "customers_without_orders",
     "daily_revenue_gapfill",
-    "decontaminate_docs",
-    "dedup_clusters_docs",
-    "dedup_keep_longest_docs",
     "distinct_parts_per_flag",
     "doc_chunks",
     "doc_fingerprint_md5",
     "doc_provenance",
-    "emb_near_dup_planted",
     "event_hourly_anomalies",
     "events_in_promo_windows",
     "heavy_hitter_tokens",
@@ -185,13 +131,65 @@ _DEMOTED = (
     "psi_drift_docs",
     "psi_drift_probe",
     "quality_score_docs",
-    "simhash_md5_pairs",
     "top_revenue_supplier",
     "top_tokens_per_lang",
     "udtf_sentences_docs",
     "union_all_parties",
     "weighted_sampled_docs",
     "window_top_orders",
+    # -- r16-green (50): the whole CORRECTNESS_r16 head (50/50
+    #    hash-green), rotated out fresh; due back r19 by the
+    #    staleness arithmetic (minus any r17 substitutions). --
+    "amplab1",
+    "amplab2",
+    "amplab3",
+    "asof_signup_before_purchase",
+    "bloom_new_docs",
+    "bloom_new_docs_registers",
+    "bm25_top_docs",
+    "boilerplate_removed_docs",
+    "bottomk_doc_stats",
+    "click_purchase_leftouter",
+    "cms_bigram_counts",
+    "cross_corpus_near_dups",
+    "customer_name_features",
+    "customer_running_totals",
+    "domain_mix_docs",
+    "hll_distinct_parts",
+    "hll_merged_slices",
+    "hygiene_filtered_docs",
+    "jaccard_pairs_docs",
+    "lang_id_docs",
+    "lang_sampling_weights",
+    "minhash_pairs_docs",
+    "multimodal_features",
+    "normalized_redacted_docs",
+    "orders_minmax_refresh",
+    "part_bfs_hops",
+    "part_pagerank",
+    "parts_never_shipped",
+    "pretrain_corpus",
+    "pretrain_corpus_full",
+    "pretrain_corpus_provenance",
+    "profile_orders",
+    "promo_revenue_share",
+    "robust_stats",
+    "rollup_sales",
+    "salted_nation_revenue",
+    "sample_docs_10pct",
+    "segment_dedup_docs",
+    "semantic_dedup_docs",
+    "source_capped_docs",
+    "stateful_user_totals",
+    "stratified_sample_orders",
+    "temperature_sampled_docs",
+    "text_stats_docs",
+    "tfidf_top_terms",
+    "token_count_docs",
+    "top_orders",
+    "train_test_split_counts",
+    "unigram_logprob_docs",
+    "user_rolling_1h",
 )
 
 

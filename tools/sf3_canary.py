@@ -60,7 +60,7 @@ def main() -> int:
     )
     from corral_spark.sources.tables import load_table
 
-    # R=100 lesson (r16 session 7): at 5M docs the R=30 sizing
+    # R=100 lesson (r16 session 7): at 500k docs the R=30 sizing
     # (local[8], 32 shuffle partitions, 8g) OOMs the heap — per-task
     # aggregate/sort state grows with corpus/partitions (guide §5:
     # more partitions = smaller per-task state). Both knobs are env
