@@ -1723,6 +1723,141 @@ def remove_boilerplate_segments(
     )
 
 
+def _boilerplate_keep_words(
+    base: DataFrame,
+    seg_words: int = 10,
+    max_df: int = 2,
+    broadcast_rows: int = 500_000,
+) -> DataFrame:
+    """Private words-array seam of ``remove_boilerplate_segments`` for
+    the pretrain pipeline (r16 verdict item 1 — guide §2.4 "don't
+    recompute across stages"): the public operator takes/returns TEXT,
+    so composing it with ``sliding_gram_dedup`` re-splits the exact
+    string the previous stage just reassembled with ``concat_ws``.
+    This variant takes a MATERIALIZED ``(__id, __w array<string>)``
+    frame and returns ``(__id, __w)`` with the surviving words — same
+    hot-segment semantics, zero text reassembly/re-tokenization.
+
+    Equivalence to the public operator (proven exceptAll-identical in
+    tests/test_pretrain_fusion.py and by the pipeline-level fused-vs-
+    unfused exceptAll at two SFs): the segment strings built here are
+    the same ``concat_ws(" ", slice(words, ...))`` values, the hot set
+    is the same count_distinct/max_df rule with the same counted
+    broadcast gate, and the public rebuild
+    ``concat_ws(" ", kept segments)`` equals
+    ``concat_ws(" ", flatten(kept word slices))`` because segments are
+    single-space joins of non-empty words. Callers must pass a frame
+    that is already materialized/parallel (the pipeline's head spread
+    + checkpoint); the output is NOT materialized.
+    """
+    w = F.col("__w")
+    nseg = F.ceil(F.size(w) / F.lit(seg_words)).cast("int")
+    segs = F.when(
+        F.size(w) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda j: F.concat_ws(" ", F.slice(w, j * seg_words + 1, seg_words)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = base.select(
+        "__id", F.posexplode(segs).alias("seg_idx", "seg")
+    )
+    hot = materialize(
+        exploded.groupBy("seg")
+        .agg(F.count_distinct("__id").alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("seg"),
+        eager=False,
+    )
+    # Same counted-threshold broadcast gate as the public operator: the
+    # hot set is the Zipf head (usually small) but grows with corpus
+    # size / shrinking max_df — never an unconditional broadcast.
+    hot_side = hot if hot.count() > broadcast_rows else F.broadcast(hot)
+    kept_idx = (
+        exploded.join(hot_side, on="seg", how="left_anti")
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list("seg_idx")).alias("__kp"))
+    )
+    kept_words = F.flatten(
+        F.transform(
+            F.col("__kp"),
+            lambda j: F.slice(F.col("__w"), j * seg_words + 1, seg_words),
+        )
+    )
+    # kept_idx is doc-scale — corpus-scaled, never an estimate-based
+    # broadcast build (bucket_pairs rule).
+    return base.join(kept_idx.hint("shuffle_hash"), on="__id", how="left").select(
+        "__id",
+        F.when(F.col("__kp").isNotNull(), kept_words)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__w"),
+    )
+
+
+def _gram_keep_words(base: DataFrame, k: int = 8) -> DataFrame:
+    """Private words-array seam of ``sliding_gram_dedup`` (see
+    ``_boilerplate_keep_words``): takes a MATERIALIZED
+    ``(__id, __w array<string>)`` frame, returns ``(__id, __w)`` with
+    the kept tokens — same first-occurrence interval-union semantics,
+    no text reassembly/re-tokenization between pipeline stages.
+
+    The window/winner construction mirrors ``_gram_windows`` +
+    ``sliding_gram_dedup`` exactly: n_total = size(__w) (the public
+    path stores the same value at its base build), gram strings are
+    the same ``concat_ws(" ", slice(words, j+1, k))``, the winner is
+    the same min (doc id, pos) struct per distinct gram, and kept
+    positions are the same union of [pos, pos+k-1] intervals. Docs
+    shorter than ``k`` keep every token; docs whose every window was
+    seen earlier keep none (empty array -> the pipeline's "" rebuild).
+    """
+    n_total = F.size("__w")
+    wins = base.filter(n_total >= k).select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_total - k),
+                lambda j: F.concat_ws(" ", F.slice(F.col("__w"), j + 1, k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    firsts = wins.groupBy("gram").agg(
+        F.min(F.struct(F.col("__id"), F.col("pos"))).alias("__f")
+    )
+    keep_pos = (
+        firsts.select(
+            F.col("__f.__id").alias("__id"), F.col("__f.pos").alias("pos")
+        )
+        .groupBy("__id")
+        .agg(F.collect_list("pos").alias("__kp"))
+    )
+    kept_pos = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.col("__kp"),
+                    lambda p: F.sequence(p, p + F.lit(k - 1)),
+                )
+            )
+        )
+    )
+    kept_words = F.transform(
+        kept_pos, lambda i: F.element_at(F.col("__w"), i + 1)
+    )
+    short = F.size("__w") < k
+    # keep_pos is doc-scale — corpus-scaled, never an estimate-based
+    # broadcast build (bucket_pairs rule).
+    return base.join(keep_pos.hint("shuffle_hash"), on="__id", how="left").select(
+        "__id",
+        F.when(short, F.col("__w"))
+        .otherwise(
+            F.when(F.col("__kp").isNotNull(), kept_words).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+        .alias("__w"),
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -116,32 +116,60 @@ def prepare_pretraining_corpus(
         F.col(id_col),
         redact_pii(normalize_text(F.col(text_col))).alias("clean_text"),
     )
-    # 1b. Optional boilerplate removal on the normalized text: drops
-    #     every copy of any segment in > boilerplate_max_df docs, so
-    #     the quality signals below score the de-templated content.
-    if boilerplate_max_df is not None:
-        from corral_spark.operators.dedup import remove_boilerplate_segments
-
-        clean = remove_boilerplate_segments(
-            clean, "clean_text", id_col, max_df=boilerplate_max_df
-        ).select(id_col, "clean_text")
-        report["after_boilerplate_removal"] = _count(
-            clean.filter(F.col("clean_text") != "")
+    # 1b/1c. Optional hygiene stages (boilerplate removal, sliding-gram
+    #     substring dedup) — both run pre-quality so the word-count
+    #     signals score the cleaned/deduplicated content. When any is
+    #     on, the pipeline routes through a PRIVATE words-array seam
+    #     (r17, guide §2.4 "don't recompute across stages"): the public
+    #     operators reassemble text with concat_ws and the next stage
+    #     re-splits that exact string — tokenize ONCE here, pass the
+    #     (__id, __w) words frame between the seam variants
+    #     (dedup._boilerplate_keep_words / _gram_keep_words), and
+    #     reassemble clean_text ONCE at the scored projection. The
+    #     operators' hot-segment / first-occurrence semantics are
+    #     unchanged (fused-vs-unfused outputs proven exceptAll-
+    #     identical at two SFs; tests/test_pretrain_fusion.py); the
+    #     public standalone operators keep their text contract.
+    use_words_seam = boilerplate_max_df is not None or gram_dedup_k is not None
+    if use_words_seam:
+        from corral_spark.operators.dedup import (
+            _boilerplate_keep_words,
+            _gram_keep_words,
         )
-    # 1c. Optional sliding-gram substring dedup: unaligned repeats of
-    #     any k-word window keep only their corpus-global first
-    #     occurrence; like 1b it runs pre-quality so the word-count
-    #     signals score the deduplicated content.
-    if gram_dedup_k is not None:
-        from corral_spark.operators.dedup import sliding_gram_dedup
 
-        clean = sliding_gram_dedup(
-            clean, "clean_text", id_col, k=gram_dedup_k
-        ).select(id_col, "clean_text")
-        report["after_gram_dedup"] = _count(
-            clean.filter(F.col("clean_text") != "")
+        words0 = F.filter(F.split("clean_text", " "), lambda w: w != "")
+        # Each seam stage has two consumers of its input (the segment/
+        # window explode and the final id join) — materialize between
+        # stages, exactly like the public operators' internal bases.
+        wb = materialize(
+            clean.select(F.col(id_col).alias("__id"), words0.alias("__w")),
+            eager=False,
         )
-    words = F.filter(F.split("clean_text", " "), lambda w: w != "")
+        if boilerplate_max_df is not None:
+            wb = materialize(
+                _boilerplate_keep_words(wb, max_df=boilerplate_max_df),
+                eager=False,
+            )
+            report["after_boilerplate_removal"] = _count(
+                wb.filter(F.size("__w") > 0)
+            )
+        if gram_dedup_k is not None:
+            wb = materialize(_gram_keep_words(wb, k=gram_dedup_k), eager=False)
+            report["after_gram_dedup"] = _count(wb.filter(F.size("__w") > 0))
+        words = F.col("__w")
+        pre_scored = wb.select(
+            F.col("__id").alias(id_col),
+            # Canonical single-space join — identical to the public
+            # operators' own rebuilds (segments/tokens are non-empty
+            # words joined by single spaces).
+            F.concat_ws(" ", words).alias("clean_text"),
+            words.alias("__w"),
+        )
+        words_src = F.col("__w")
+    else:
+        pre_scored = clean
+        words_src = F.filter(F.split("clean_text", " "), lambda w: w != "")
+    words = words_src
     rep_cols = (
         [
             F.round(
@@ -151,7 +179,7 @@ def prepare_pretraining_corpus(
         if max_top_token_fraction is not None
         else []
     )
-    scored = clean.select(
+    scored = pre_scored.select(
         id_col,
         "clean_text",
         F.size(words).alias("n_words"),
