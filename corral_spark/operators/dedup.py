@@ -652,7 +652,16 @@ def _minhash_cands_and_verified(
     shing = src.select(
         "id", word_shingles_arrow(F.col("__t"), shingle_n).alias("__sh")
     )
-    shing = materialize(shing, eager=True)
+    # Lazy barrier (r17): the first action to touch this is
+    # _banded_cands' eager keyed checkpoint, whose lineage reads shing
+    # through a SINGLE leg (tok -> sigs -> band keys) — it computes and
+    # stores the shingle partitions as a side effect, so the dedicated
+    # eager job this used to pay was pure scheduling latency. Every
+    # later consumer (ptok, the verification a/b legs) hits the stored
+    # partitions. Frames consumed by two legs of ONE job (keyed, the
+    # cross-corpus sig frame) must stay eager — a lazy first action
+    # would race both legs into computing the same partitions.
+    shing = materialize(shing, eager=False)
     # Length-filtered candidate routing (r16, guide §1.2 "don't compute
     # what you throw away" + the PPJoin length-filter family):
     #
@@ -1863,6 +1872,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str,
     id_col: str,
     threshold: float = 0.5,
+    _diag_out: list | None = None,
 ) -> DataFrame:
     """EXACT word-set Jaccard join (all pairs with J >= threshold) via
     PPJoin-style prefix filtering — the deterministic complement to
@@ -2175,6 +2185,13 @@ def prefix_filter_jaccard_pairs(
     gpairs = joined.filter(jac >= t).select(
         "ga", "gb", F.round(jac, 6).alias("jaccard")
     )
+    if _diag_out is not None:
+        # Diagnostics-only seam (the gram_dedup_counts "canary shares
+        # the operator's construction" discipline): expose the exact
+        # candidate / verified GROUP-pair frames the operator runs so
+        # ppjoin_counts can certify their linearity — never a
+        # reimplementation that could drift.
+        _diag_out.append((cands, gpairs))
     # Expand verified group pairs through the (id, gid) membership
     # relation — plain equi-joins, so the pair product materializes
     # as ROWS across partitions, never as one wide array. Within-
@@ -2209,3 +2226,37 @@ def prefix_filter_jaccard_pairs(
         )
     )
     return cross.unionByName(within)
+
+
+def ppjoin_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> dict[str, int]:
+    """Linearity diagnostic for ``prefix_filter_jaccard_pairs`` (r16
+    verdict item 6 — the minhash_pair_counts discipline applied to the
+    PPJoin path): the candidate funnel's volume drivers, counted off
+    the exact frames the operator builds via the ``_diag_out`` seam.
+
+    * ``candidate_group_pairs`` — distinct group pairs surviving the
+      prefix + length + positional filters (what verification pays);
+    * ``verified_group_pairs`` — group pairs at jaccard >= threshold;
+    * ``output_pairs`` — the expanded doc-pair output (cross-group +
+      within-group).
+
+    On R disjoint token-renamed replicas every counter must read
+    EXACTLY R x its base value — cross-replica token sets share no
+    tokens by construction, so prefixes can never collide across
+    replicas.
+    """
+    diag: list = []
+    out = prefix_filter_jaccard_pairs(
+        df, text_col, id_col, threshold, _diag_out=diag
+    )
+    cands, gpairs = diag[0]
+    return {
+        "candidate_group_pairs": cands.count(),
+        "verified_group_pairs": gpairs.count(),
+        "output_pairs": out.count(),
+    }
