@@ -97,6 +97,7 @@ def fuzzy_join(
     max_dist: int = 1,
     max_block: int | None = None,
     cap_per_block: int | None = None,
+    _raw_out: list | None = None,
 ) -> DataFrame:
     """All pairs within Levenshtein distance ``max_dist`` (id_a < id_b).
 
@@ -115,6 +116,13 @@ def fuzzy_join(
     it on short keys (names, titles), not document bodies. The
     ``max_block`` / ``cap_per_block`` guards mean hot variant keys
     stay bounded exactly as in the distance-1 case.
+
+    ``_raw_out`` is a diagnostics-only seam (the gram_dedup_counts
+    "canary shares the operator's construction" discipline): when a
+    list is passed, the PRE-dedup raw candidate pair frame is appended
+    to it so ``fuzzy_candidate_counts`` can count the raw/distinct
+    candidate volumes of the exact plan the operator runs — never a
+    reimplementation that could drift.
     """
     from corral_spark.operators.dedup import spread_input
 
@@ -202,12 +210,14 @@ def fuzzy_join(
     ex = materialize(ex.select("id", key), eager=True)
     a = ex.select(F.col("id").alias("id_a"), "__k")
     b = ex.select(F.col("id").alias("id_b"), "__k")
-    cands = (
+    raw = (
         a.join(b.hint("shuffle_hash"), on="__k")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if _raw_out is not None:
+        _raw_out.append(raw)
+    cands = raw.dropDuplicates(["id_a", "id_b"])
     texts = slim.dropDuplicates(["id"])
     ta = texts.select(
         F.col("id").alias("id_a"), F.col("txt").alias("text_a")
@@ -250,15 +260,62 @@ def fuzzy_counts(
       ratio here means candidates leaked across blocks; a sublinear
       one means blocking dropped qualifying pairs).
     """
+    variant_rows = fuzzy_counts_variant_rows(df, text_col, max_dist)
+    pairs = fuzzy_join(df, text_col, id_col, max_dist=max_dist).count()
+    return {"variant_rows": int(variant_rows), "pairs": int(pairs)}
+
+
+def fuzzy_candidate_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> dict[str, int]:
+    """Extended linearity diagnostic (r16 verdict item 6): the FULL
+    candidate funnel of the exact fuzzy join, counted off the very
+    frames the operator builds (the ``_raw_out`` seam — no
+    reimplementation that could drift):
+
+    * ``variant_rows`` — deletion-neighborhood index size;
+    * ``raw_pairs`` — variant-key join products before the pair dedup
+      (the widest stream in the plan);
+    * ``distinct_candidates`` — the deduplicated candidate pair set
+      (what verification actually pays for);
+    * ``verified_pairs`` — the lev <= max_dist output.
+
+    On R disjoint marker-perturbed replicas every counter must read
+    EXACTLY R x its base value — cross-replica candidates are
+    impossible by construction (tools/scale_data.py).
+    """
+    raw_box: list = []
+    out = fuzzy_join(
+        df, text_col, id_col, max_dist=max_dist, _raw_out=raw_box
+    )
+    base = fuzzy_counts_variant_rows(df, text_col, max_dist)
+    raw = raw_box[0]
+    return {
+        "variant_rows": base,
+        "raw_pairs": raw.count(),
+        "distinct_candidates": raw.dropDuplicates(
+            ["id_a", "id_b"]
+        ).count(),
+        "verified_pairs": out.count(),
+    }
+
+
+def fuzzy_counts_variant_rows(
+    df: DataFrame, text_col: str, max_dist: int
+) -> int:
+    """Shared variant-index-size counter (one definition for
+    fuzzy_counts and fuzzy_candidate_counts)."""
     txt = F.col(text_col)
-    variant_rows = (
+    total = (
         df.select(
             F.size(_deletion_neighborhood(txt, max_dist)).alias("nv")
         )
         # SUM over zero rows is NULL, not 0 — coalesce so an empty
-        # input reports {0, 0} instead of raising on int(None).
+        # input reports 0 instead of raising on int(None).
         .agg(F.coalesce(F.sum("nv"), F.lit(0)).alias("s"))
         .collect()[0]["s"]
     )
-    pairs = fuzzy_join(df, text_col, id_col, max_dist=max_dist).count()
-    return {"variant_rows": int(variant_rows), "pairs": int(pairs)}
+    return int(total)

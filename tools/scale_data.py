@@ -54,9 +54,16 @@ SRC = "/root/testdata/sf0.1"
 KOFF = 10**9
 
 # Replica marker letters for customer_fuzzy: pairwise distinct, and
-# none occurs in any c_name ("Customer#" + digits — note lowercase
-# markers never collide with the uppercase 'C').
-FUZZY_MARKERS = "abdfghijkl"
+# none occurs in any c_name ("Customer#" + digits, i.e. the chars
+# {C, u, s, t, o, m, e, r, #, 0-9}) — lowercase 'c' and every
+# uppercase letter except 'C' are therefore safe. The first ten stay
+# in their historic order so corpora built before r17 keep their
+# replica markers; r17 extended the alphabet to 44 for the R=30
+# fuzzy linearity canary (r16 verdict item 6). 44 single-char markers
+# is the construction's hard cap — longer markers would change
+# within-replica indel distances relative to the 1-char base variant
+# and break the exact-R-linearity argument.
+FUZZY_MARKERS = "abdfghijkl" + "cnpqvwxyz" + "ABDEFGHIJKLMNOPQRSTUVWXYZ"
 
 
 def scale_fuzzy_customers(

@@ -13,9 +13,17 @@ COUNTS are the tripwire, and the hot-shingle / hot-heavy populations
 must stay 0 (the quadratic-fallback drivers).
 
 Usage:
-  python tools/sf3_canary.py [R] [dir]   # default 30 /tmp/sf3
-Builds the scaled corpus if missing (documents only — the dedup
-family reads nothing else). Exit 1 on any non-exact ratio.
+  python tools/sf3_canary.py [R] [dir] [families]   # default 30 /tmp/sf3
+``families`` is a comma list of {docs,fuzzy,ppjoin} (default docs —
+the original minhash/gram/cross run). Builds the scaled corpora if
+missing (documents for docs/ppjoin; marker-perturbed customer_fuzzy
+replicas under <dir>_fuzzy for fuzzy — cross-replica lev >= 18
+guaranteed by tools/scale_data.py). r16 verdict item 6 added the
+fuzzy (variant_rows / raw_pairs / distinct_candidates /
+verified_pairs via fuzzy_candidate_counts) and ppjoin
+(candidate_group_pairs / verified_group_pairs / output_pairs via
+ppjoin_counts) families, counted off the operators' own frames.
+Exit 1 on any non-exact ratio.
 """
 
 from __future__ import annotations
@@ -33,14 +41,24 @@ BASE = "/root/testdata/sf0.1"
 def main() -> int:
     r = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf3"
+    families = set(
+        (sys.argv[3] if len(sys.argv) > 3 else "docs").split(",")
+    )
 
-    if not os.path.exists(os.path.join(out, "documents.parquet")):
+    import scale_data
+
+    if families & {"docs", "ppjoin"} and not os.path.exists(
+        os.path.join(out, "documents.parquet")
+    ):
         # Reuse the round tool's exact replication rules (bijective
         # token rename per replica -> zero cross-replica shingle
         # overlap) rather than a second writer that could drift.
-        import scale_data
-
         scale_data.scale(r, out, tables={"documents"})
+    fuzzy_dirs = {"base": "/tmp/sf01_fuzzy", "big": out.rstrip("/") + "_fuzzy"}
+    if "fuzzy" in families:
+        for d, reps in ((fuzzy_dirs["base"], 1), (fuzzy_dirs["big"], r)):
+            if not os.path.exists(os.path.join(d, "customer_fuzzy.parquet")):
+                scale_data.scale_fuzzy_customers(reps, d)
 
     # Driver memory must reach the JVM LAUNCHER (sf1_gate.sh recipe);
     # a builder .config("spark.driver.memory") proved unreliable here
@@ -77,27 +95,56 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    results = {}
+    from corral_spark.operators.dedup import ppjoin_counts
+    from corral_spark.operators.fuzzy import fuzzy_candidate_counts
+
+    def _clear() -> None:
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+
+    results = {"base": {}, f"sf{r}/10": {}}
     for label, d in (("base", BASE), (f"sf{r}/10", out)):
-        docs = load_table(spark, d, "documents")
-        results[label] = {
-            "minhash": minhash_pair_counts(docs, "text", "doc_id", threshold=0.5),
-            "gram": gram_dedup_counts(docs, "text", "doc_id", k=8),
-            "cross": minhash_across_counts(
+        if families & {"docs", "ppjoin"}:
+            docs = load_table(spark, d, "documents")
+        if "docs" in families:
+            results[label]["minhash"] = minhash_pair_counts(
+                docs, "text", "doc_id", threshold=0.5
+            )
+            results[label]["gram"] = gram_dedup_counts(
+                docs, "text", "doc_id", k=8
+            )
+            results[label]["cross"] = minhash_across_counts(
                 docs.filter(F.col("source") == "src0"),
                 docs.filter(F.col("source") != "src0"),
                 "text",
                 "doc_id",
                 threshold=0.5,
-            ),
-        }
-        spark.catalog.clearCache()
+            )
+            _clear()
+        if "ppjoin" in families:
+            # threshold 0.9 = the registry query's parameter, so the
+            # counters match the r16 measured funnel (1.8M candidates
+            # at sf0.1).
+            results[label]["ppjoin"] = ppjoin_counts(
+                docs, "text", "doc_id", threshold=0.9
+            )
+            _clear()
+        if "fuzzy" in families:
+            fd = fuzzy_dirs["base" if label == "base" else "big"]
+            cust = spark.read.parquet(
+                os.path.join(fd, "customer_fuzzy.parquet")
+            )
+            results[label]["fuzzy_d1"] = fuzzy_candidate_counts(
+                cust, "c_name", "c_custkey", max_dist=1
+            )
+            _clear()
 
     base, big = results["base"], results[f"sf{r}/10"]
     bad = []
     print(f"| counter | sf0.1 | sf{r}/10 | ratio | expected |")
     print("|---|---|---|---|---|")
-    for fam in ("minhash", "gram", "cross"):
+    for fam in sorted(base):
         for m, b in base[fam].items():
             v = big[fam][m]
             if m in ("hot_shingles", "hot_heavy_docs"):
